@@ -1,0 +1,147 @@
+"""Text-analysis column expressions for large-scale document pipelines.
+
+Extension surface beyond the reference (BASELINE.json north star): language
+ID, quality scoring, token counting, fingerprinting, shingling. Everything
+is built-in Column expressions — no Python UDFs — so the hot path stays in
+whole-stage codegen and scales linearly with executors.
+
+Shingling uses sequence+transform+substring instead of exploding through a
+UDF: at 100 TB the explode itself dominates, so the per-row array build must
+be JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword tables for the n-gram/stopword-vote language
+# heuristic. Deliberately small and deterministic (no external models).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "es": ("el", "la", "de", "que", "los", "es", "en", "una", "por", "con"),
+}
+
+_PUNCT_RE = r"[^\p{L}\p{N}\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-ish proxy: word-piece segments = runs of letters / digits /
+    single punctuation, roughly what a byte-pair tokenizer counts. Cheap,
+    deterministic, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    stop = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The quality-scoring feature set as named columns: length, token
+    count, mean token length, punctuation/digit ratios, stopword ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    total_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_chars_calc": F.length(c).cast("long"),
+        "n_tokens": n_toks.cast("long"),
+        "mean_token_len": F.when(
+            n_toks > 0, total_tok_len.cast("double") / n_toks
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": punct_ratio(c),
+        "digit_ratio": digit_ratio(c),
+        "stopword_ratio_en": stopword_ratio(c, "en"),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+
+    Used by fingerprint-dedup; md5 is deliberate (stable across engines,
+    exact-match friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingle array, JVM-side (sequence + substring).
+
+    Text shorter than k yields a single shingle of the whole text so short
+    docs still participate in MinHash."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(c, i, k))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram array (for n-gram Jaccard dedup)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt >= n,
+                  F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+                  ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-vote score per language (hits / tokens)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    n = F.size(toks)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        # bind `words` via a factory — pyspark lambdas must take Column
+        # params only (a default arg would be treated as a lambda param)
+        pred = (lambda ws: (lambda t: t.isin(*ws)))(words)
+        hits = F.size(F.filter(toks, pred))
+        out[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return out
+
+
+def detect_language(col: Column | str) -> Column:
+    """Pick the language with the max stopword score; 'und' when all zero."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,73 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star): image/audio/video cells are opaque
+``binary`` columns plus typed metadata columns; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` so the bytes never round-trip through Python row objects.
+
+The decode step is STUBBED — the image/audio libraries are not in this
+container. ``extract_binary_features`` is the real, tested plumbing
+(schema, partitioning, batch shape, Arrow transfer) with a deterministic
+fake "decode" (byte length + md5). ``decode_image_stub`` marks where a real
+decoder (PIL/libvips/ffmpeg) plugs in.
+
+Scale notes: binary payloads inflate row size — keep
+``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
+payloads fits executor memory, and select the payload column as late as
+possible so column pruning keeps it out of unrelated scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of ``text_col``).
+
+    Stands in for reading real image/audio bytes; the rest of the pipeline
+    treats it as opaque media bytes."""
+    return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_stub(payload: bytes) -> "object":
+    """Where a real image decoder would run. Deliberately unimplemented —
+    no imaging library ships in this environment."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (PIL/libvips); "
+        "wire it here — the Spark-side plumbing is extract_binary_features"
+    )
+
+
+def extract_binary_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic fake decode: byte_len + md5 hex of the payload. The
+    mapInPandas shape (iterator of pandas batches in/out, explicit output
+    schema) is exactly what a real decoder uses; swap the body, keep the
+    harness."""
+    out_schema = f"{id_col} long, byte_len long, content_hash string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+Extension surface (BASELINE.json north star — not in the reference, which
+has no distinct/dedup at all). Four strategies, cheapest first:
+
+1. ``dedup_exact``        — hash groupBy on the key columns; deterministic
+                            representative (min id), one shuffle.
+2. ``dedup_fingerprint``  — md5 of normalized text; catches
+                            whitespace/case-variant dups, same cost.
+3. ``minhash_signatures`` + ``neardup_pairs_minhash`` — MinHash + LSH
+                            banding for near-duplicates: shingle → k md5
+                            min-hashes → band buckets → bucket equi-join.
+                            Shuffle is on band keys, so cost scales with
+                            candidate density, not n².
+4. ``ngram_jaccard_pairs`` — exact n-gram Jaccard verification over a
+                            candidate pair set (use after LSH to confirm).
+
+Determinism: min-hash uses md5 over salted shingles — stable across
+engines/runs (needed for the DuckDB oracle and for re-runs at scale;
+Spark's built-in ``hash`` is murmur3 and fine too, but md5 is portable).
+
+Scale notes:
+- the explode(shingles) stage is the big one: rows × (len-k+1) shingles.
+  Aggregating min() per (doc, hash-index) is map-side combinable, so the
+  shuffle carries only n_docs × n_hashes rows.
+- band-bucket join skew: a degenerate bucket (e.g. empty docs) explodes the
+  self-join. ``neardup_pairs_minhash`` caps bucket size (AQE skew-join
+  handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.text import char_shingles, fingerprint, word_ngrams
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct key: the one with the smallest id.
+
+    Deterministic alternative to dropDuplicates() (which keeps an arbitrary
+    row). Returns (id, *key_cols)."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).select(
+        id_col, *key_cols
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on normalized-text md5. Returns
+    (fingerprint, keep_id, n_dups)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash i, min(md5(i || shingle)).
+
+    Pure built-ins: shingle array (JVM), explode, groupBy-min (map-side
+    combine). Output: (id, minhash_0..minhash_{n-1})."""
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"minhash_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
+    min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    The self-join is on the band bucket key — Catalyst shuffles both sides
+    by (band, bucket) so comparisons stay within buckets."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    band_cols = []
+    for b in range(bands):
+        cols = [f"minhash_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate (id_a, id_b) pairs.
+
+    Join the doc n-gram sets onto both sides of the pair list, compute
+    |A∩B| / |A∪B| with array built-ins. Returns (id_a, id_b, jaccard)."""
+    grams = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("grams")
+    )
+    ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
+    gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
+    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    out = joined.select("id_a", "id_b", jac.alias("jaccard"))
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash64(col, shingle_k: int = 4):
+    """64-bit SimHash expression over character shingles.
+
+    Each shingle hashes to 64 bits (xxhash64 — JVM built-in); bit b votes
+    +1/-1; the sign vector packs back into a BIGINT. Built as a fold over
+    the shingle array; no explode, no UDF, so it runs per-row in codegen."""
+    sh = char_shingles(col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # votes[b] = sum over shingles of (bit b set ? 1 : -1)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(F.element_at(votes, b + 1) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

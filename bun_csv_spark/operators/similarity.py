@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star). Two tiers:
+
+- ``ann_brute_force``: exact cosine top-k. One scan, one local top-k per
+  partition, k-row reduce on the driver side of the sort — no full sort
+  shuffle (Catalyst TakeOrderedAndProject). The baseline every ANN variant
+  is verified against.
+- ``ann_lsh_buckets`` / ``ann_lsh_topk``: random-hyperplane LSH. Query and
+  corpus hash to sign-bit buckets; only same-bucket rows are scored. The
+  hyperplanes derive deterministically from a seed via xxhash64, so the
+  index is reproducible without storing plane matrices.
+- ``knn_join_brute``: all-pairs top-k per query row for a (small,
+  broadcastable) query set.
+
+Scale: brute force is O(n·d) per query — fine batched. LSH trades recall
+for a bucket-pruned scan; at 100 TB pre-bucket the corpus once
+(write partitioned by bucket) and prune scanned files by the query bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.vectors import cosine_similarity, dot
+
+
+def ann_brute_force(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``query_vec`` over the corpus.
+
+    Ties break on id for determinism. The query vector travels inside the
+    plan as an array literal (broadcast-equivalent for one vector)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = df.select(F.col(id_col), sim.alias("cosine_sim"))
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _plane_sign(vec_col, plane_idx: int, dim: int, seed: int):
+    """Sign bit of <vec, plane_i> with deterministic pseudo-random plane.
+
+    plane_i[j] = xxhash64(seed, plane_idx, j) scaled to [-1, 1). Derived
+    in-plan — no plane matrix to ship or store."""
+    components = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(seed), F.lit(plane_idx), j).cast("double")
+            / F.lit(float(2**63))
+        ),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec_col, components, lambda x, p: x.cast("double") * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
+    """Pack n_planes sign bits into an integer bucket id."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(
+            _plane_sign(c, i, dim, seed).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """LSH-pruned cosine top-k: score only rows in the query's bucket.
+
+    Recall < 1 by design; verify against ann_brute_force in tests."""
+    import math
+
+    # driver-side bucket of the query (same plane derivation, mirrored in
+    # plain python through the same xxhash64 — computed via a 1-row plan to
+    # avoid re-implementing xxhash in python)
+    spark = df.sparkSession
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+    )
+    qbucket = qdf.select(lsh_bucket(F.col("q"), dim, n_planes, seed).alias("b")).first()["b"]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    cand = bucketed.filter(F.col("__bucket") == qbucket)
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k corpus neighbors per query row (broadcast the query side).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). Cross product is
+    |queries| × |corpus| — keep the query side small/broadcastable."""
+    from pyspark.sql import Window
+
+    qa = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(qa))
+    sim = cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,108 @@
+"""Column statistics — the reference `stats` CLI command on Spark.
+
+Per-column: count, nullCount, exact uniqueCount, min/max/mean for numeric
+columns, lexicographic min/max for strings, plus the reference's type
+inference (reference: src/cli/commands/stats.ts:17-113):
+
+- all non-null values numeric        -> "number"
+- <=10 uniques and >100 rows         -> "categorical"
+- else                               -> "string"
+
+One job computes every column's stats in a single pass (one wide agg), so
+the scan cost is paid once regardless of column count. uniqueCount is exact
+(countDistinct) per the oracle requirement; at 100 TB swap in
+approx_count_distinct via ``approximate=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bun_csv_spark.functions.coercion import NUMBER_RE
+
+
+def column_stats(
+    df: DataFrame, columns: list[str] | None = None, approximate: bool = False
+) -> DataFrame:
+    """One row per column: (column, count, null_count, unique_count,
+    min_num, max_num, mean_num, min_str, max_str, inferred_type)."""
+    cols = columns or df.columns
+    total = F.count(F.lit(1))
+    aggs: list = [total.alias("__total")]
+    for c in cols:
+        col = F.col(c)
+        s = col.cast("string")
+        is_num_type = isinstance(df.schema[c].dataType, _NUM_TYPES)
+        numeric = col.cast("double") if is_num_type else F.when(s.rlike(NUMBER_RE), s.cast("double"))
+        distinct = (
+            F.approx_count_distinct(col) if approximate else F.countDistinct(col)
+        )
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            distinct.alias(f"__uniq_{c}"),
+            F.min(numeric).alias(f"__minn_{c}"),
+            F.max(numeric).alias(f"__maxn_{c}"),
+            F.avg(numeric).alias(f"__mean_{c}"),
+            F.min(s).alias(f"__mins_{c}"),
+            F.max(s).alias(f"__maxs_{c}"),
+            F.sum(
+                F.when(col.isNotNull() & ~F.coalesce(s.rlike(NUMBER_RE), F.lit(False)), 1).otherwise(0)
+            ).alias(f"__nonnum_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+
+    total_n = row["__total"]
+    out_rows = []
+    for c in cols:
+        nulls = row[f"__nulls_{c}"]
+        uniq = row[f"__uniq_{c}"]
+        non_num = row[f"__nonnum_{c}"]
+        non_null = total_n - nulls
+        if non_null > 0 and non_num == 0:
+            inferred = "number"
+        elif uniq <= 10 and total_n > 100:
+            inferred = "categorical"
+        else:
+            inferred = "string"
+        out_rows.append(
+            (
+                c,
+                total_n,
+                nulls,
+                uniq,
+                row[f"__minn_{c}"],
+                row[f"__maxn_{c}"],
+                row[f"__mean_{c}"],
+                row[f"__mins_{c}"],
+                row[f"__maxs_{c}"],
+                inferred,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("null_count", T.LongType()),
+            T.StructField("unique_count", T.LongType()),
+            T.StructField("min_num", T.DoubleType()),
+            T.StructField("max_num", T.DoubleType()),
+            T.StructField("mean_num", T.DoubleType()),
+            T.StructField("min_str", T.StringType()),
+            T.StructField("max_str", T.StringType()),
+            T.StructField("inferred_type", T.StringType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+_NUM_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)

@@ -1,0 +1,106 @@
+"""Structured Streaming windows over event tables.
+
+The reference has no streaming operators (SURVEY §2.9 — its "streaming" is
+incremental consumption of a static file). This module is the extension
+surface: watermarked tumbling/sliding/session windows over an event stream,
+exercised in tests by replaying the static events parquet through
+``readStream``.
+
+The batch/stream duality is deliberate: ``tumbling_counts`` builds the same
+logical plan for a static DataFrame and a streaming one, so the DuckDB
+oracle for the batch result also validates the streaming result.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count + value sum per key.
+
+    Output: (window_start string, {key_col}, n_events, sum_value) — the
+    window boundary is formatted to a wall-clock string so results compare
+    bit-for-bit across session timezones and against the oracle."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), duration)
+    return (
+        src.groupBy(win, F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window variant: each event lands in duration/slide windows."""
+    win = F.window(F.col(ts_col), duration, slide)
+    return (
+        events.groupBy(win, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Replay a static parquet file through readStream, apply ``transform``
+    (DataFrame -> DataFrame), drain synchronously into an in-memory table,
+    and return the result as a static DataFrame.
+
+    This runs the REAL streaming engine (micro-batches, state store); the
+    parquet file is just a bounded source, so processAllAvailable()
+    terminates."""
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    out = transform(stream)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
