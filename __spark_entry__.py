@@ -491,7 +491,9 @@ def _neardup_corpus(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (8 hashes, 5-char shingles, md5-based)."""
     return minhash_signatures(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, shingle_k=5
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=8, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -501,6 +503,7 @@ def q_neardup_pairs(spark, sf_dir):
     return neardup_pairs_minhash(
         _neardup_corpus(spark, sf_dir), "doc_id", "text",
         n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -597,13 +600,17 @@ corpus AS (
 
 
 def _minhash_sql(src: str, n_hashes: int = 8, k: int = 5) -> str:
+    P = 2147483647
     mins = ",\n    ".join(
-        f"min(md5('{i}|' || sh)) AS minhash_{i}" for i in range(n_hashes)
+        f"min((({2 * i + 3} * h) + {7 * i + 1}) % {P}) AS minhash_{i}"
+        for i in range(n_hashes)
     )
     return f"""
   SELECT doc_id, {mins}
   FROM (
-    SELECT doc_id, substr(text, i, {k}) AS sh FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(substr(text, i, {k})), 1, 15)) AS BIGINT) % {P} AS h
+    FROM (
       SELECT doc_id, text,
              unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
       FROM {src})

@@ -55,25 +55,54 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Prime modulus for the minhash family: each shingle gets ONE md5, reduced
+# to h ∈ [0, P); hash i is the affine map (aᵢ·h + bᵢ) mod P.
+MINHASH_P = 2147483647
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 8,
     shingle_k: int = 5,
+    repartition: int | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for hash i, min(md5(i || shingle)).
+    """Per-doc MinHash signature — one md5 per shingle, all n mins in a
+    single array fold.
 
-    Pure built-ins: shingle array (JVM), explode, groupBy-min (map-side
-    combine). Output: (id, minhash_0..minhash_{n-1})."""
-    shingled = df.select(
-        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("sh")
+    Design for scale: NO explode, NO shuffle — each doc's signature is
+    produced where the doc lives (pure map), so the operator scales
+    linearly at 100 TB. One md5 per shingle (not per shingle×hash): the
+    base hash h = md5(shingle)[:15 hex] mod P, and hash i is the affine
+    family (2i+3)·h + (7i+1) mod P (P = 2^31-1), folded in one pass via
+    aggregate+zip_with. md5 keeps the signature portable across engines.
+
+    ``repartition`` spreads CPU-heavy per-row work when the source has too
+    few partitions (one small parquet file -> 1 partition -> 1 core).
+    Output: (id, minhash_0..minhash_{n-1}) as longs."""
+    if repartition:
+        df = df.repartition(repartition)
+    shingles = F.array_distinct(char_shingles(text_col, shingle_k))
+    base = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"minhash_{i}")
-        for i in range(n_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes)
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    fold = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, i: F.least(a, ((2 * i + 3) * h + (7 * i + 1)) % MINHASH_P)
+        ),
+    )
+    sig = df.select(F.col(id_col), fold.alias("__sig"))
+    return sig.select(
+        id_col,
+        *[F.element_at("__sig", i + 1).alias(f"minhash_{i}") for i in range(n_hashes)],
+    )
 
 
 def neardup_pairs_minhash(
@@ -83,6 +112,7 @@ def neardup_pairs_minhash(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 5,
+    repartition: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
     min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -90,7 +120,7 @@ def neardup_pairs_minhash(
     The self-join is on the band bucket key — Catalyst shuffles both sides
     by (band, bucket) so comparisons stay within buckets."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, repartition)
     band_cols = []
     for b in range(bands):
         cols = [f"minhash_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
