@@ -600,9 +600,11 @@ corpus AS (
 
 
 def _minhash_sql(src: str, n_hashes: int = 8, k: int = 5) -> str:
-    P = 2147483647
+    from bun_csv_spark.operators.dedup import MINHASH_P as P, minhash_params
+
+    a_consts, b_consts = minhash_params(n_hashes)
     mins = ",\n    ".join(
-        f"min((({2 * i + 3} * h) + {7 * i + 1}) % {P}) AS minhash_{i}"
+        f"min((({a_consts[i]} * h) + {b_consts[i]}) % {P}) AS minhash_{i}"
         for i in range(n_hashes)
     )
     return f"""

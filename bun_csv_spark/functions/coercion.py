@@ -46,7 +46,7 @@ def parse_number(col: Column | str) -> Column:
     cleaned = _clean_numeric_text(c)
     is_pct = cleaned.endswith("%")
     base = F.when(is_pct, F.regexp_replace(cleaned, "%$", "")).otherwise(cleaned)
-    num = base.cast("double")
+    num = base.try_cast("double")
     return F.when(is_pct, num / 100.0).otherwise(num)
 
 
@@ -85,7 +85,7 @@ def parse_currency(col: Column | str) -> Column:
     """currency coercion: strip symbols + whitespace, accounting negatives
     (row.ts:679-690)."""
     c = F.col(col) if isinstance(col, str) else col
-    return _clean_numeric_text(c).cast("double")
+    return _clean_numeric_text(c).try_cast("double")
 
 
 def parse_percent(col: Column | str) -> Column:
@@ -93,7 +93,7 @@ def parse_percent(col: Column | str) -> Column:
     (row.ts:692-701)."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.trim(c.cast("string")), r"[,%]", "")
-    return s.cast("double") / 100.0
+    return s.try_cast("double") / 100.0
 
 
 def dynamic_type(col: Column | str) -> Column:
@@ -160,7 +160,7 @@ def apply_dynamic_typing(df: DataFrame, columns: list[str] | None = None) -> Dat
         if inferred == "boolean":
             out = out.withColumn(c, F.lower(cleaned) == "true")
         elif inferred == "number":
-            out = out.withColumn(c, cleaned.cast("double"))
+            out = out.withColumn(c, cleaned.try_cast("double"))
         else:
             out = out.withColumn(c, cleaned)
     return out

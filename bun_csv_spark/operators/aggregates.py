@@ -38,27 +38,27 @@ def _count(col: Column, order_col: Column | None) -> Column:
 
 
 def _sum(col: Column, order_col: Column | None) -> Column:
-    return F.coalesce(F.sum(col.cast("double")), F.lit(0.0))
+    return F.coalesce(F.sum(col.try_cast("double")), F.lit(0.0))
 
 
 def _min(col: Column, order_col: Column | None) -> Column:
-    return F.min(col.cast("double"))
+    return F.min(col.try_cast("double"))
 
 
 def _max(col: Column, order_col: Column | None) -> Column:
-    return F.max(col.cast("double"))
+    return F.max(col.try_cast("double"))
 
 
 def _mean(col: Column, order_col: Column | None) -> Column:
-    return F.coalesce(F.avg(col.cast("double")), F.lit(0.0))
+    return F.coalesce(F.avg(col.try_cast("double")), F.lit(0.0))
 
 
 def _median(col: Column, order_col: Column | None) -> Column:
-    return F.coalesce(F.median(col.cast("double")), F.lit(0.0))
+    return F.coalesce(F.median(col.try_cast("double")), F.lit(0.0))
 
 
 def _stddev(col: Column, order_col: Column | None) -> Column:
-    return F.coalesce(F.stddev_pop(col.cast("double")), F.lit(0.0))
+    return F.coalesce(F.stddev_pop(col.try_cast("double")), F.lit(0.0))
 
 
 def _require_order(order_col: Column | None, fn: str) -> Column:

@@ -56,8 +56,19 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # Prime modulus for the minhash family: each shingle gets ONE md5, reduced
-# to h ∈ [0, P); hash i is the affine map (aᵢ·h + bᵢ) mod P.
+# to h ∈ [0, P); hash i is the affine map (aᵢ·h + bᵢ) mod P. The multipliers
+# must be LARGE (≈P) so the maps wrap many times and decorrelate — small
+# multipliers barely wrap, every map keeps h's ordering, and all n hashes
+# collapse onto the same argmin shingle. (P-1)² < 2^63, so aᵢ·h stays in
+# signed-int64 range in every engine.
 MINHASH_P = 2147483647
+
+
+def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (aᵢ, bᵢ) affine-map constants, shared with oracle SQL."""
+    a = [(2654435761 * (i + 1)) % MINHASH_P or 1 for i in range(n_hashes)]
+    b = [(1779033703 * (i + 13) + 7) % MINHASH_P for i in range(n_hashes)]
+    return a, b
 
 
 def minhash_signatures(
@@ -89,13 +100,22 @@ def minhash_signatures(
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % MINHASH_P,
     )
+    a_consts, b_consts = minhash_params(n_hashes)
     init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in a_consts])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in b_consts])
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
     fold = F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
-            acc, idx, lambda a, i: F.least(a, ((2 * i + 3) * h + (7 * i + 1)) % MINHASH_P)
+            acc,
+            idx,
+            lambda cur, i: F.least(
+                cur,
+                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
+                % MINHASH_P,
+            ),
         ),
     )
     sig = df.select(F.col(id_col), fold.alias("__sig"))
@@ -180,24 +200,26 @@ def simhash64(col, shingle_k: int = 4):
 
     Each shingle hashes to 64 bits (xxhash64 — JVM built-in); bit b votes
     +1/-1; the sign vector packs back into a BIGINT. Built as a fold over
-    the shingle array; no explode, no UDF, so it runs per-row in codegen."""
+    the shingle array; no explode, no UDF, so it runs per-row in codegen.
+
+    Bit masks are a literal array (bit 63 wraps to the sign bit as a
+    negative long) because Spark's shift functions only take Python-int
+    shift amounts, not Columns."""
     sh = char_shingles(col, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    masks = F.array(*[F.lit(m).cast("long") for m in mask_vals])
     # votes[b] = sum over shingles of (bit b set ? 1 : -1)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            ),
-            lambda a, v: a + v,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(F.element_at(votes, b + 1) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+    signed = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

@@ -98,7 +98,7 @@ class TurboFrame:
             # Type-aware compare (dataframe.zig:879-902): numeric-looking
             # strings sort as numbers; unparseable sorts first like the
             # reference's parse-failure -> less-than rule.
-            as_num = key.cast("double")
+            as_num = key.try_cast("double")
             key = F.when(as_num.isNotNull(), as_num)
             order = [key.desc() if descending else key.asc_nulls_first(),
                      F.col(column).desc() if descending else F.col(column).asc()]
@@ -151,7 +151,12 @@ class TurboFrame:
             rset = set(right.columns)
             keep_left = [c for c in left.columns if c not in rset]
             joined = left.crossJoin(right)
-            return TurboFrame(joined.select(*keep_left, *right.columns))
+            return TurboFrame(
+                joined.select(
+                    *[left[c].alias(c) for c in keep_left],
+                    *[right[c].alias(c) for c in right.columns],
+                )
+            )
 
         if on is None:
             raise ValueError("equi-join needs an `on` key")

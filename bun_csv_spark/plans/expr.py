@@ -190,7 +190,7 @@ def _compare(col: str, op: str, value: str) -> Column:
             raise ExprError(
                 f"numeric comparison {op!r} needs a numeric literal, got {value!r}"
             ) from None
-        lhs = c.cast("double")
+        lhs = c.try_cast("double")
         return {
             ">": lhs > num,
             ">=": lhs >= num,

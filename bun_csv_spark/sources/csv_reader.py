@@ -1,0 +1,490 @@
+"""CSV reader with the reference's full option surface, Spark-first.
+
+The reference is an option-rich CSV parser (reference: src/ts/parser.ts:
+59-217 CSVParserOptions; SURVEY.md §1.3-1.5, §2.1-2.2). Two physical paths:
+
+- **native** (`spark.read.csv`): the scale path. Used whenever the
+  requested options map onto Spark's reader (sep/quote/escape/header/
+  comment/encoding/multiLine/trim). Splittable scans, pushdown, codegen —
+  this is what runs on 100 TB.
+- **exact** (`spark.read.text` + a per-line RFC-4180 tokenizer in
+  mapInPandas): the fidelity path, engaged only when an option needs
+  per-row identity or error parity that Spark's reader cannot express
+  (fromLine/toLine, skipFirstNLines, maxRecordSize, relaxColumnCount*,
+  `__parsed_extra` overflow, structured TooFewFields/TooManyFields
+  errors). Arrow-batched; costs one Python hop; documented as the
+  slow-but-exact mode. Not for multiline records (quoted newlines) —
+  those force the native reader with multiLine=true.
+
+Null semantics replicated exactly (reference row.ts:318-321, 300-317):
+an UNQUOTED empty field is NULL; a QUOTED empty field ``""`` is the empty
+string. The exact-path tokenizer distinguishes them directly; the native
+path relies on Spark's nullValue=""/emptyValue defaults, which implement
+the same pair (pinned by tests).
+
+Header handling (reference parser.ts:505-552): first row is the schema;
+``transform_header`` rewrites names; duplicates are renamed with _1, _2
+suffixes ("rename") or rejected ("error"); hasHeader=False yields
+positional col0..colN names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bun_csv_spark.functions.coercion import apply_dynamic_typing
+
+ROW_IDX = "__row_idx"
+PARSED_EXTRA = "__parsed_extra"
+
+# error codes mirror the reference's structured errors (src/ts/errors.ts:14-37)
+# token injected for quoted-empty fields on the native path, rewritten to ""
+# immediately after the scan (see _read_native)
+_EMPTY_SENTINEL = "__QUOTED_EMPTY__"
+
+ERR_TOO_FEW = "TooFewFields"
+ERR_TOO_MANY = "TooManyFields"
+ERR_MAX_RECORD_SIZE = "MaxRecordSize"
+
+
+@dataclass
+class CSVOptions:
+    """Mirror of the reference CSVParserOptions (parser.ts:59-217)."""
+
+    delimiter: str = ","  # "auto" -> sample-and-score detection
+    quote_char: str = '"'
+    has_header: bool = True
+    encoding: str = "UTF-8"
+    comments: str | None = None  # comment-prefix char (parser.ts:72-73)
+    skip_empty_rows: bool | str = True  # True | False | "greedy" (parser.ts:70-71)
+    from_line: int | None = None  # 1-based record range (parser.ts:170-181)
+    to_line: int | None = None
+    preview: int | None = None  # row limit pushed to scan (parser.ts:74-75)
+    skip_first_n_lines: int = 0  # raw-line skip (parser.ts:76-77)
+    trim: bool | str = False  # True | "left" | "right" (parser.ts:154-169)
+    dynamic_typing: bool = False  # per-column inference (SURVEY §7.3.3)
+    transform_header: Callable[[str, int], str] | None = None
+    duplicate_headers: str = "rename"  # "rename" (_1, _2 ...) | "error"
+    relax_column_count: bool = False  # suppress both error kinds
+    relax_column_count_less: bool = False
+    relax_column_count_more: bool = False
+    max_record_size: int | None = None  # bytes per raw line (parser.ts:130-135)
+    skip_records_with_empty_values: bool = False  # parser.ts:125-129
+    skip_records_with_error: bool = False  # parser.ts:119-124
+    multiline: bool = False  # quoted embedded newlines -> native multiLine
+    with_row_index: bool = False  # attach file-order __row_idx
+    columns: list[str] | None = None  # explicit names when has_header=False
+
+
+class CSVReadError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# delimiter auto-detection (reference detect.zig:32-144 algorithm)
+# ---------------------------------------------------------------------------
+
+_DELIM_CANDIDATES = (",", "\t", "|", ";")
+
+
+def detect_delimiter(
+    sample: str, candidates: tuple[str, ...] = _DELIM_CANDIDATES, quote: str = '"'
+) -> tuple[str, float]:
+    """Score candidate delimiters over <=10 sample rows: average field
+    count x consistency (detect.zig:32-144). Returns (delimiter, confidence)."""
+    lines = [ln for ln in sample.splitlines() if ln.strip()][:10]
+    if not lines:
+        return ",", 0.0
+    best, best_score = ",", -1.0
+    for cand in candidates:
+        counts = [len(_tokenize_line(ln, cand, quote)[0]) for ln in lines]
+        avg = sum(counts) / len(counts)
+        if avg <= 1.0:
+            continue
+        consistency = counts.count(counts[0]) / len(counts)
+        score = avg * consistency
+        if score > best_score:
+            best, best_score = cand, score
+    confidence = 0.0 if best_score < 0 else min(best_score / 10.0, 1.0)
+    return best, confidence
+
+
+# ---------------------------------------------------------------------------
+# exact-path per-line tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_line(line: str, delim: str, quote: str) -> tuple[list, list]:
+    """RFC-4180 single-line field split.
+
+    Returns (values, quoted_flags) where an unquoted empty field is None
+    and a quoted empty field is "" (the reference null rule,
+    row.ts:300-321)."""
+    fields: list = []
+    quoted: list = []
+    i, n = 0, len(line)
+    while True:
+        if i < n and line[i] == quote:
+            buf = []
+            i += 1
+            while i < n:
+                c = line[i]
+                if c == quote:
+                    if i + 1 < n and line[i + 1] == quote:
+                        buf.append(quote)
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    buf.append(c)
+                    i += 1
+            # anything between closing quote and delimiter is appended
+            # (lenient, like the reference scanner)
+            j = line.find(delim, i)
+            if j == -1:
+                buf.append(line[i:])
+                fields.append("".join(buf))
+                quoted.append(True)
+                break
+            buf.append(line[i:j])
+            fields.append("".join(buf))
+            quoted.append(True)
+            i = j + 1
+        else:
+            j = line.find(delim, i)
+            raw = line[i:] if j == -1 else line[i:j]
+            fields.append(raw if raw != "" else None)
+            quoted.append(False)
+            if j == -1:
+                break
+            i = j + 1
+    return fields, quoted
+
+
+# ---------------------------------------------------------------------------
+# header utilities
+# ---------------------------------------------------------------------------
+
+
+def dedupe_headers(names: list[str], mode: str = "rename") -> list[str]:
+    """Duplicate-header policy: "rename" appends _1, _2... per duplicate
+    occurrence; "error" raises (parser.ts:196-202, 530-552)."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for name in names:
+        if name not in seen:
+            seen[name] = 0
+            out.append(name)
+        else:
+            if mode == "error":
+                raise CSVReadError(f"duplicate header {name!r}")
+            seen[name] += 1
+            candidate = f"{name}_{seen[name]}"
+            while candidate in seen:
+                seen[name] += 1
+                candidate = f"{name}_{seen[name]}"
+            seen[candidate] = 0
+            out.append(candidate)
+    return out
+
+
+def _apply_header_transforms(names: list[str], opts: CSVOptions) -> list[str]:
+    if opts.transform_header is not None:
+        names = [opts.transform_header(h, i) for i, h in enumerate(names)]
+    return dedupe_headers(names, opts.duplicate_headers)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def _needs_exact_path(opts: CSVOptions) -> bool:
+    return any(
+        (
+            opts.from_line is not None,
+            opts.to_line is not None,
+            opts.skip_first_n_lines > 0,
+            opts.max_record_size is not None,
+            opts.relax_column_count,
+            opts.relax_column_count_less,
+            opts.relax_column_count_more,
+            opts.skip_records_with_error,
+            opts.with_row_index,
+        )
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, opts: CSVOptions | None = None
+) -> DataFrame:
+    df, _errors = read_csv_with_errors(spark, path, opts)
+    return df
+
+
+def read_csv_with_errors(
+    spark: SparkSession, path: str, opts: CSVOptions | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Read a CSV; returns (data, errors_or_None).
+
+    errors is a DataFrame(row bigint, code string, message string) on the
+    exact path, None on the native path (native drops malformed handling
+    into Spark's PERMISSIVE mode)."""
+    opts = opts or CSVOptions()
+
+    if opts.delimiter == "auto":
+        sample = _head_bytes(spark, path, opts.encoding)
+        opts = _replace(opts, delimiter=detect_delimiter(sample, quote=opts.quote_char)[0])
+
+    if opts.multiline and _needs_exact_path(opts):
+        raise CSVReadError(
+            "multiline quoted records require the native reader; "
+            "line-identity options (fromLine/skipFirstNLines/...) are "
+            "incompatible with it"
+        )
+
+    if _needs_exact_path(opts):
+        return _read_exact(spark, path, opts)
+    return _read_native(spark, path, opts), None
+
+
+def _replace(opts: CSVOptions, **kw) -> CSVOptions:
+    import dataclasses
+
+    return dataclasses.replace(opts, **kw)
+
+
+def _head_bytes(spark: SparkSession, path: str, encoding: str, n: int = 8192) -> str:
+    """First ~8KB for delimiter sniffing — driver-side read via the text
+    source (works for any Hadoop-visible path, no collect of the file)."""
+    rows = spark.read.text(path).limit(12).collect()
+    return "\n".join(r.value for r in rows)[:n]
+
+
+def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:
+    cols = [c for c in df.columns if c not in (ROW_IDX, PARSED_EXTRA)]
+    if opts.trim:
+        fn = {True: F.trim, "left": F.ltrim, "right": F.rtrim}[opts.trim]
+        df = df.withColumns({c: fn(F.col(c)) for c in cols})
+    if opts.skip_records_with_empty_values:
+        non_empty = [
+            (F.col(c).isNotNull() & (F.col(c) != "")) for c in cols
+        ]
+        pred = non_empty[0]
+        for p in non_empty[1:]:
+            pred = pred | p
+        df = df.filter(pred)
+    if opts.dynamic_typing:
+        df = apply_dynamic_typing(df, cols)
+    return df
+
+
+# -- native path -------------------------------------------------------------
+
+
+def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
+    reader = (
+        spark.read.option("sep", opts.delimiter)
+        .option("quote", opts.quote_char)
+        .option("escape", opts.quote_char)  # RFC-4180 "" escaping
+        .option("header", str(opts.has_header).lower())
+        .option("encoding", opts.encoding)
+        .option("multiLine", str(opts.multiline).lower())
+        .option("mode", "PERMISSIVE")
+        # Reference null rule: unquoted empty -> NULL, quoted empty -> "".
+        # Spark's univocity reader maps BOTH to null; the only hook that
+        # distinguishes them is emptyValue, which substitutes a token for
+        # quoted-empty. Inject a sentinel, then rewrite it to "" post-read.
+        .option("nullValue", "")
+        .option("emptyValue", _EMPTY_SENTINEL)
+    )
+    if opts.comments:
+        reader = reader.option("comment", opts.comments)
+    if not opts.skip_empty_rows:
+        # Spark always skips fully-empty lines; reference parity for
+        # skipEmptyRows=False is not representable natively. Documented
+        # divergence; exact path preserves them as all-null rows.
+        pass
+    df = reader.csv(path)
+    df = df.withColumns(
+        {
+            c: F.when(F.col(c) == _EMPTY_SENTINEL, F.lit("")).otherwise(F.col(c))
+            for c in df.columns
+        }
+    )
+
+    names = list(df.columns)
+    if not opts.has_header:
+        names = opts.columns or [f"col{i}" for i in range(len(names))]
+    names = _apply_header_transforms(names, opts)
+    df = df.toDF(*names)
+
+    if opts.skip_empty_rows == "greedy":
+        non_blank = [
+            (F.col(c).isNotNull() & (F.trim(F.col(c)) != "")) for c in names
+        ]
+        pred = non_blank[0]
+        for p in non_blank[1:]:
+            pred = pred | p
+        df = df.filter(pred)
+    if opts.preview:
+        df = df.limit(opts.preview)
+    return _post_read_column_ops(df, opts)
+
+
+# -- exact path --------------------------------------------------------------
+
+
+def _read_exact(
+    spark: SparkSession, path: str, opts: CSVOptions
+) -> tuple[DataFrame, DataFrame]:
+    import pandas as pd
+
+    lines = spark.read.text(path)
+    # deterministic file-order line numbers: text-source partitions are
+    # file-ordered, so zipWithIndex is stable (SURVEY §4.3.4)
+    schema = T.StructType(
+        [T.StructField("line", T.StringType()), T.StructField(ROW_IDX, T.LongType())]
+    )
+    rdd = lines.rdd.zipWithIndex().map(lambda p: (p[0][0], p[1]))
+    df = spark.createDataFrame(rdd, schema)
+
+    if opts.skip_first_n_lines:
+        df = df.filter(F.col(ROW_IDX) >= opts.skip_first_n_lines)
+    if opts.comments:
+        df = df.filter(~F.col("line").startswith(opts.comments))
+    if opts.skip_empty_rows:
+        blank = F.col("line") == ""
+        if opts.skip_empty_rows == "greedy":
+            blank = F.trim(F.col("line")) == ""
+        df = df.filter(~blank)
+
+    # header row = first surviving line
+    if opts.has_header:
+        head = df.orderBy(ROW_IDX).limit(1).collect()
+        if not head:
+            raise CSVReadError(f"no header row found in {path}")
+        header_idx = head[0][ROW_IDX]
+        raw_names, _ = _tokenize_line(head[0]["line"], opts.delimiter, opts.quote_char)
+        names = [h if h is not None else "" for h in raw_names]
+        df = df.filter(F.col(ROW_IDX) > header_idx)
+    else:
+        probe = df.orderBy(ROW_IDX).limit(1).collect()
+        width = (
+            len(_tokenize_line(probe[0]["line"], opts.delimiter, opts.quote_char)[0])
+            if probe
+            else 0
+        )
+        names = opts.columns or [f"col{i}" for i in range(width)]
+    names = _apply_header_transforms(names, opts)
+    n_cols = len(names)
+
+    delim, quote = opts.delimiter, opts.quote_char
+    max_size = opts.max_record_size
+
+    out_schema = T.StructType(
+        [
+            T.StructField(ROW_IDX, T.LongType()),
+            T.StructField("fields", T.ArrayType(T.StringType())),
+            T.StructField("n_fields", T.IntegerType()),
+            T.StructField("err_code", T.StringType()),
+        ]
+    )
+
+    def parse_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            idxs, fields_col, nf_col, err_col = [], [], [], []
+            for line, idx in zip(pdf["line"], pdf[ROW_IDX]):
+                err = None
+                if max_size is not None and len(line.encode("utf-8")) > max_size:
+                    err = ERR_MAX_RECORD_SIZE
+                    vals: list = []
+                else:
+                    vals, _quoted = _tokenize_line(line, delim, quote)
+                    if len(vals) < n_cols:
+                        err = ERR_TOO_FEW
+                    elif len(vals) > n_cols:
+                        err = ERR_TOO_MANY
+                idxs.append(idx)
+                fields_col.append(vals)
+                nf_col.append(len(vals))
+                err_col.append(err)
+            yield pd.DataFrame(
+                {
+                    ROW_IDX: idxs,
+                    "fields": fields_col,
+                    "n_fields": nf_col,
+                    "err_code": err_col,
+                }
+            )
+
+    parsed = df.mapInPandas(parse_batches, schema=out_schema)
+
+    # record numbering (1-based, post-header) for fromLine/toLine
+    if opts.from_line is not None or opts.to_line is not None or opts.preview:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(ROW_IDX)
+        parsed = parsed.withColumn("__rec", F.row_number().over(w))
+        if opts.from_line is not None:
+            parsed = parsed.filter(F.col("__rec") >= opts.from_line)
+        if opts.to_line is not None:
+            parsed = parsed.filter(F.col("__rec") <= opts.to_line)
+        if opts.preview:
+            parsed = parsed.filter(
+                F.col("__rec")
+                < (opts.from_line or 1) + opts.preview
+            )
+        parsed = parsed.drop("__rec")
+
+    parsed = parsed.cache()
+
+    # error records, minus relaxed kinds (parser.ts:137-153, 1270-1302)
+    relax_less = opts.relax_column_count or opts.relax_column_count_less
+    relax_more = opts.relax_column_count or opts.relax_column_count_more
+    err_pred = F.col("err_code").isNotNull()
+    if relax_less:
+        err_pred = err_pred & (F.col("err_code") != ERR_TOO_FEW)
+    if relax_more:
+        err_pred = err_pred & (F.col("err_code") != ERR_TOO_MANY)
+    errors = parsed.filter(err_pred).select(
+        F.col(ROW_IDX).alias("row"),
+        F.col("err_code").alias("code"),
+        F.concat(
+            F.lit("expected "),
+            F.lit(n_cols),
+            F.lit(" fields, got "),
+            F.col("n_fields"),
+        ).alias("message"),
+    )
+
+    # Field-count-mismatch rows still yield data (short rows pad with null,
+    # long rows overflow into __parsed_extra — row.ts:508-523); MaxRecordSize
+    # rows never do. skipRecordsWithError drops every erroring row.
+    if opts.skip_records_with_error:
+        data = parsed.filter(F.col("err_code").isNull())
+    else:
+        data = parsed.filter(
+            F.col("err_code").isNull() | (F.col("err_code") != ERR_MAX_RECORD_SIZE)
+        )
+
+    cols: list[Column] = [
+        F.get("fields", i).alias(names[i]) for i in range(n_cols)
+    ]
+    # overflow fields -> __parsed_extra (row.ts:517-523)
+    extra = F.when(
+        F.col("n_fields") > n_cols,
+        F.slice(F.col("fields"), n_cols + 1, F.col("n_fields") - n_cols),
+    ).alias(PARSED_EXTRA)
+    data = data.select(F.col(ROW_IDX), *cols, extra)
+    if not opts.with_row_index:
+        data = data.drop(ROW_IDX)
+
+    data = _post_read_column_ops(data, opts)
+    return data, errors

@@ -31,9 +31,17 @@ def tumbling_counts(
     Output: (window_start string, {key_col}, n_events, sum_value) — the
     window boundary is formatted to a wall-clock string so results compare
     bit-for-bit across session timezones and against the oracle."""
+    from pyspark.sql import types as T
+
     src = events
+    # Watermarks only accept TIMESTAMP (LTZ); NTZ event time goes through a
+    # wall-clock-preserving cast. The cast+format round trip is session-tz
+    # consistent (same tz both directions), so output strings still match
+    # the batch NTZ plan except for nonexistent local times at a DST gap.
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if watermark is not None and events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), duration)
     return (
         src.groupBy(win, F.col(key_col))

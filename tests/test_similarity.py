@@ -1,0 +1,72 @@
+"""Similarity search: brute-force exactness, LSH recall sanity, kNN join."""
+
+import math
+import random
+
+import pytest
+
+from bun_csv_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from bun_csv_spark.operators.similarity import (
+    ann_brute_force,
+    ann_lsh_topk,
+    knn_join_brute,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    # plant a near-clone of vec 0
+    clone = [x + 0.001 for x in rows[0][1]]
+    rows.append((999, clone))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_exprs(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+    ).collect()[0]
+    assert row.d == 32.0
+    assert abs(row.n - math.sqrt(14)) < 1e-12
+    expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(row.c - expected) < 1e-12
+
+
+def test_zero_vector_cosine_is_zero(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0].c == 0.0
+
+
+def test_brute_force_topk(vecs):
+    q = [r.embedding for r in vecs.filter("vec_id = 0").collect()][0]
+    out = ann_brute_force(vecs, list(q), k=3).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] == 0  # self first (sim 1.0)
+    assert ids[1] == 999  # planted clone second
+    assert out[0].cosine_sim >= out[1].cosine_sim >= out[2].cosine_sim
+
+
+def test_lsh_finds_clone(vecs):
+    q = [r.embedding for r in vecs.filter("vec_id = 0").collect()][0]
+    out = ann_lsh_topk(vecs, list(q), k=5, dim=16, n_planes=6)
+    ids = [r.vec_id for r in out.collect()]
+    # the query's own bucket must contain itself and its clone
+    assert 0 in ids and 999 in ids
+
+
+def test_knn_join(vecs):
+    queries = vecs.filter("vec_id < 3")
+    out = knn_join_brute(vecs, queries, k=2)
+    rows = [(r.query_id, r.neighbor_id, r.rank) for r in out.collect()]
+    assert len(rows) == 6  # 3 queries x k=2
+    for qid in (0, 1, 2):
+        top = [r for r in rows if r[0] == qid and r[2] == 1]
+        assert top[0][1] == qid  # rank-1 neighbor is self

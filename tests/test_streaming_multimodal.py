@@ -1,0 +1,73 @@
+"""Structured Streaming windows + multimodal binary plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.multimodal.binary import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_binary_features,
+)
+from bun_csv_spark.streaming.windows import run_stream_to_table, tumbling_counts
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ev") / "events.parquet")
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 1.0),
+        (2, "2024-01-01 00:55:00", "click", 2.0),
+        (3, "2024-01-01 01:05:00", "view", 3.0),
+        (4, "2024-01-01 01:25:00", "click", 4.0),
+        (5, "2024-01-01 02:10:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double")
+    df = df.select(
+        "event_id", F.to_timestamp_ntz("ts_s").alias("ts"), "event_type", "value"
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_batch_tumbling(spark, events_parquet):
+    ev = spark.read.parquet(events_parquet)
+    out = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in tumbling_counts(ev, "1 hour").collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+    assert out[("2024-01-01 02:00:00", "view")] == (1, 5.0)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_parquet):
+    """The REAL streaming engine over the same file must produce the batch
+    result (complete output mode, availableNow trigger)."""
+    batch = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+             for r in tumbling_counts(spark.read.parquet(events_parquet), "1 hour").collect()}
+    streamed = run_stream_to_table(
+        spark, events_parquet, lambda s: tumbling_counts(s, "1 hour", watermark="2 hours")
+    )
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in streamed.collect()}
+    assert got == batch
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "héllo wörld"), (3, "")], "doc_id long, text string"
+    )
+    feats = extract_binary_features(
+        attach_binary_payload(docs, "text", "payload"), "doc_id", "payload"
+    )
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].byte_len == 5
+    assert rows[2].byte_len == len("héllo wörld".encode("utf-8"))
+    assert rows[3].byte_len == 0
+    import hashlib
+
+    assert rows[1].content_hash == hashlib.md5(b"hello").hexdigest()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")

@@ -1,0 +1,118 @@
+"""Text analysis + dedup operators (extension surface; BASELINE north star)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.text import (
+    char_shingles,
+    detect_language,
+    fingerprint,
+    token_count,
+    word_ngrams,
+)
+from bun_csv_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_signatures,
+    neardup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  Quick  Brown  Fox jumps over the lazy dog"),  # ws/case variant
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  x ",)], "t string")
+    assert [r.n for r in df.select(token_count("t").alias("n")).collect()] == [3, 0, 1]
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("ab",)], "t string")
+    out = [r.s for r in df.select(char_shingles("t", 3).alias("s")).collect()]
+    assert out[0] == ["abc", "bcd", "cde", "def"]
+    assert out[1] == ["ab"]  # shorter than k -> whole text
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = [r.g for r in df.select(word_ngrams("t", 3).alias("g")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]
+
+
+def test_fingerprint_normalizes(spark, docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # case/whitespace variants collapse
+    assert fps[1] != fps[4]
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs, ["text"], "doc_id")
+    assert out.count() == 4  # 1 and 2 collapse
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 in kept and 2 not in kept  # deterministic min-id representative
+
+
+def test_dedup_fingerprint(docs):
+    out = dedup_fingerprint(docs, "text", "doc_id")
+    groups = {r.keep_id: r.n_dups for r in out.collect()}
+    assert groups[1] == 3  # docs 1,2,3 share a fingerprint
+
+
+def test_minhash_identical_docs_equal_signatures(docs):
+    sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    # near-dup shares most hash slots
+    shared = sum(a == b for a, b in zip(sig[1], sig[5]))
+    assert shared >= 4
+
+
+def test_neardup_pairs_finds_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in neardup_pairs_minhash(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs, "doc_id", "text").collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r.doc_id: r.h for r in docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[1], sh[5]) < hamming(sh[1], sh[4])
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house with a mouse"),
+            (2, "der Hund und die Katze sind nicht mit der Maus"),
+            (3, "el perro y la casa de los gatos es una maravilla por la tarde"),
+            (4, "zzzz qqqq xxxx"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang for r in df.select("id", detect_language("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
