@@ -1,0 +1,304 @@
+"""bcsv — the reference's 11-command CLI on Spark.
+
+Reference: src/cli/index.ts:53-64 (command list), command implementations
+under src/cli/commands/. The CLI is the driver process; every command is a
+DataFrame pipeline, so the same commands scale from a laptop file to a
+cluster path unchanged.
+
+    python -m bun_csv_spark.cli <command> [options] <file>
+
+Commands: count, head, tail, select, filter, sort, convert, validate,
+stats, benchmark, completions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from bun_csv_spark.cli.config import merge_config
+from bun_csv_spark.cli.renderers import print_summary, render
+from bun_csv_spark.operators.frame import ROW_IDX, TurboFrame
+from bun_csv_spark.operators.stats import column_stats
+from bun_csv_spark.plans.expr import ExprError, compile_filter
+from bun_csv_spark.sources.csv_reader import (
+    CSVOptions,
+    read_csv,
+    read_csv_with_errors,
+)
+from bun_csv_spark.sources.csv_writer import convert as convert_sink
+from bun_csv_spark.sources.csv_writer import unparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bcsv", description="CSV analytics on Spark (reference-parity CLI)"
+    )
+    p.add_argument("-d", "--delimiter", default=None, help="field delimiter (default: auto)")
+    p.add_argument("-e", "--encoding", default=None)
+    p.add_argument("--no-header", action="store_true")
+    p.add_argument("-f", "--format", choices=["auto", "table", "csv", "json"], default=None)
+    p.add_argument("--preview", type=int, default=None, help="limit parsed rows")
+    p.add_argument("--skip-first-n-lines", type=int, default=0)
+    p.add_argument("--comments", default=None, help="comment prefix char")
+    p.add_argument("--dynamic-typing", action="store_true")
+
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def cmd(name, *positionals, help=None):
+        """Command positionals come BEFORE the file argument, matching the
+        reference usage `turbocsv select "name,email" file.csv`."""
+        sp = sub.add_parser(name, help=help)
+        for pos_name, pos_help in positionals:
+            sp.add_argument(pos_name, help=pos_help)
+        sp.add_argument("file", help="CSV path, or - for stdin")
+        return sp
+
+    cmd("count", help="Count rows")
+    sp = cmd("head", help="First N rows")
+    sp.add_argument("-n", type=int, default=10)
+    sp = cmd("tail", help="Last N rows")
+    sp.add_argument("-n", type=int, default=10)
+    cmd(
+        "select",
+        ("columns", "comma-separated names or 0-based indices"),
+        help="Select columns",
+    )
+    cmd(
+        "filter",
+        ("expression", 'e.g. "age > 21 && city == NYC"'),
+        help="Filter rows by expression",
+    )
+    sp = cmd("sort", ("column", "column to sort by"), help="Sort by column")
+    sp.add_argument("--desc", action="store_true")
+    sp = cmd("convert", help="Convert format")
+    sp.add_argument("--to", required=True, choices=["csv", "tsv", "json", "jsonl"])
+    sp.add_argument("-o", "--output", default=None, help="output dir (default: stdout)")
+    cmd("validate", help="Check CSV validity")
+    cmd("stats", help="Per-column statistics")
+    sp = cmd("benchmark", help="Measure parse throughput")
+    sp.add_argument("--runs", type=int, default=3)
+    sub.add_parser("completions", help="Shell completion script").add_argument(
+        "shell", choices=["bash", "zsh"], nargs="?", default="bash"
+    )
+    return p
+
+
+def _resolve_input(path: str) -> str:
+    if path == "-":
+        # stdin -> temp file (cli/index.ts:294-299)
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".csv", delete=False, prefix="bcsv_stdin_"
+        )
+        tmp.write(sys.stdin.read())
+        tmp.close()
+        return tmp.name
+    return path
+
+
+def _opts_from_args(args, cfg) -> CSVOptions:
+    return CSVOptions(
+        delimiter=cfg["delimiter"],
+        encoding=cfg["encoding"],
+        has_header=cfg["has_header"],
+        preview=args.preview,
+        skip_first_n_lines=args.skip_first_n_lines,
+        comments=args.comments,
+        dynamic_typing=args.dynamic_typing,
+    )
+
+
+def _rows(df: DataFrame, limit: int | None = 1000) -> list[dict]:
+    if limit is not None:
+        df = df.limit(limit)
+    return [r.asDict() for r in df.collect()]
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "completions":
+        print(_completions(args.shell))
+        return 0
+
+    cfg = merge_config(
+        {
+            "delimiter": args.delimiter,
+            "encoding": args.encoding,
+            "has_header": False if args.no_header else None,
+            "format": args.format,
+        }
+    )
+    fmt = cfg["format"]
+
+    if spark is None:
+        from bun_csv_spark.session import get_spark
+
+        spark = get_spark("bcsv-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+
+    path = _resolve_input(args.file)
+    file_size = os.path.getsize(path) if os.path.isfile(path) else None
+    t0 = time.time()
+    opts = _opts_from_args(args, cfg)
+
+    if args.command == "count":
+        n = read_csv(spark, path, opts).count()
+        print(n)
+        print_summary(n, time.time() - t0, file_size)
+        return 0
+
+    if args.command == "head":
+        import dataclasses
+
+        opts = dataclasses.replace(opts, preview=args.n)
+        df = read_csv(spark, path, opts)
+        rows = _rows(df, args.n)
+        print(render(rows, fmt))
+        print_summary(len(rows), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "tail":
+        import dataclasses
+
+        opts = dataclasses.replace(opts, with_row_index=True)
+        df = read_csv(spark, path, opts)
+        rows = [r.asDict() for r in df.orderBy(F.col(ROW_IDX)).tail(args.n)]
+        for r in rows:
+            r.pop(ROW_IDX, None)
+        print(render(rows, fmt))
+        print_summary(len(rows), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "select":
+        df = read_csv(spark, path, opts)
+        spec = [c.strip() for c in args.columns.split(",")]
+        resolved = []
+        for s in spec:
+            # numeric index resolves through the header (select.ts:35-43)
+            if s.lstrip("-").isdigit() and int(s) < len(df.columns):
+                resolved.append(df.columns[int(s)])
+            elif s in df.columns:
+                resolved.append(s)
+            else:
+                print(
+                    f"error: unknown column {s!r}; available: {', '.join(df.columns)}",
+                    file=sys.stderr,
+                )
+                return 2
+        out = TurboFrame(df).select(*resolved).df
+        rows = _rows(out)
+        print(render(rows, fmt))
+        print_summary(len(rows), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "filter":
+        df = read_csv(spark, path, opts)
+        try:
+            cond = compile_filter(args.expression)
+        except ExprError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        out = df.filter(cond)
+        rows = _rows(out)
+        print(render(rows, fmt))
+        print_summary(len(rows), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "sort":
+        df = read_csv(spark, path, opts)
+        if args.column not in df.columns:
+            print(f"error: unknown column {args.column!r}", file=sys.stderr)
+            return 2
+        out = TurboFrame(df).sort(args.column, descending=args.desc).df
+        rows = _rows(out)
+        print(render(rows, fmt))
+        print_summary(len(rows), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "convert":
+        df = read_csv(spark, path, opts)
+        if args.output:
+            convert_sink(df, args.to, args.output)
+            print(f"wrote {args.output}", file=sys.stderr)
+        else:
+            rows = [r.asDict() for r in df.collect()]
+            if args.to in ("json", "jsonl"):
+                import json as _json
+
+                if args.to == "json":
+                    print(_json.dumps(rows, default=str, indent=2))
+                else:
+                    for r in rows:
+                        print(_json.dumps(r, default=str))
+            else:
+                delim = "\t" if args.to == "tsv" else ","
+                print(unparse(rows, delimiter=delim, newline="\n").rstrip("\n"))
+        print_summary(df.count(), time.time() - t0, file_size)
+        return 0
+
+    if args.command == "validate":
+        import dataclasses
+
+        opts = dataclasses.replace(opts, with_row_index=True)
+        df, errors = read_csv_with_errors(spark, path, opts)
+        n = df.count()
+        errs = errors.orderBy("row").collect() if errors is not None else []
+        if not errs:
+            print("OK: CSV is valid")
+        else:
+            print(f"INVALID: {len(errs)} issue(s):")
+            for e in errs[:10]:
+                print(f"  Row {e.row}: [{e.code}] {e.message}")
+            if len(errs) > 10:
+                print(f"  ... and {len(errs) - 10} more")
+        print(f"\nRows: {n:,}")
+        print(f"Columns: {len([c for c in df.columns if not c.startswith('__')])}")
+        print(f"Headers: {', '.join(c for c in df.columns if not c.startswith('__'))}")
+        return 0 if not errs else 1
+
+    if args.command == "stats":
+        df = read_csv(spark, path, opts)
+        st = column_stats(df)
+        rows = [r.asDict() for r in st.collect()]
+        print(render(rows, fmt if fmt != "auto" else "table"))
+        return 0
+
+    if args.command == "benchmark":
+        # warmup + N timed full-scan parses, avg/best/worst MB/s
+        # (reference cli/commands/benchmark.ts:26-141)
+        read_csv(spark, path, opts).count()
+        times = []
+        for _ in range(args.runs):
+            t = time.time()
+            read_csv(spark, path, opts).count()
+            times.append(time.time() - t)
+        mbs = [(file_size or 0) / 1e6 / t for t in times]
+        print(
+            f"runs={args.runs} avg={sum(mbs)/len(mbs):.1f} MB/s "
+            f"best={max(mbs):.1f} MB/s worst={min(mbs):.1f} MB/s"
+        )
+        return 0
+
+    raise AssertionError(f"unhandled command {args.command}")
+
+
+def _completions(shell: str) -> str:
+    cmds = "count head tail select filter sort convert validate stats benchmark completions"
+    if shell == "zsh":
+        return f"compdef '_arguments \"1: :({cmds})\" \"*:file:_files\"' bcsv"
+    return (
+        "_bcsv() {\n"
+        f'  COMPREPLY=($(compgen -W "{cmds}" -- "${{COMP_WORDS[COMP_CWORD]}}"))\n'
+        "}\n"
+        "complete -F _bcsv bcsv"
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
