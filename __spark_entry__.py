@@ -51,9 +51,18 @@ from bun_csv_spark.operators.dedup import (
     neardup_pairs_minhash,
     ngram_jaccard_pairs,
 )
+from bun_csv_spark.functions.coercion import dynamic_type
+from bun_csv_spark.functions.vectors import l2_norm
+from bun_csv_spark.operators.dedup import simhash64
+from bun_csv_spark.operators.edits import EditLog
 from bun_csv_spark.operators.frame import TurboFrame
-from bun_csv_spark.operators.similarity import ann_brute_force, knn_join_brute
+from bun_csv_spark.operators.similarity import (
+    ann_brute_force,
+    ann_lsh_topk,
+    knn_join_brute,
+)
 from bun_csv_spark.operators.stats import column_stats
+from bun_csv_spark.streaming.windows import run_stream_to_table
 from bun_csv_spark.functions.timefmt import (
     epoch_seconds_to_string,
     ns_to_string,
@@ -540,6 +549,281 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Window functions, analytics, scalar functions (extension surface)
+# ---------------------------------------------------------------------------
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Running revenue per customer (frame-bounded window agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead navigation within per-customer order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.dense_rank().over(
+            Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        ).alias("price_rank"),
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles of order totals."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """left_semi (EXISTS) and left_anti (NOT EXISTS) — Spark-native join
+    types beyond the reference's four."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("tag")
+    )
+    anti = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_urgent").alias("tag")
+    )
+    return semi.unionAll(anti)
+
+
+def q_having_subquery(spark, sf_dir):
+    """HAVING + scalar subquery: segments whose average balance beats the
+    overall average."""
+    cust = _t(spark, sf_dir, "customer")
+    overall = cust.agg(F.avg("c_acctbal")).first()[0]
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.avg("c_acctbal").alias("__avg"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("__avg") > overall)  # HAVING on the unrounded value
+        .select("c_mktsegment", F.round("__avg", 4).alias("avg_bal"), "n")
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string functions over part names."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("prefix3"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+    )
+
+
+def q_date_funcs(spark, sf_dir):
+    """Date-part extraction (timestamps are NTZ -> wall-clock safe)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+def q_case_bucketing(spark, sf_dir):
+    """CASE-WHEN histogram bucketing of order totals."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_pivot_native(spark, sf_dir):
+    """Native pivot operator: order counts per priority column."""
+    orders = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", pri)
+        .count()
+    )
+    renames = {p: f"n_{p.split('-')[0]}" for p in pri}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "yr",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (1h window, 30m slide) via explicit window-start
+    explode on epoch-nanos longs — each event lands in 2 windows."""
+    ev = read_events(spark, sf_dir)
+    half = 1800
+    bucket30 = ns_truncate("ts", half)  # the 30m bucket the event is in
+    starts = F.array(bucket30 - half, bucket30)  # the 2 windows covering it
+    return (
+        ev.select(F.explode(starts).alias("win_start_s"), "event_type", "value")
+        .groupBy(epoch_seconds_to_string(F.col("win_start_s")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_streaming_tumbling(spark, sf_dir):
+    """REAL Structured Streaming: replay events.parquet through readStream,
+    hourly tumbling counts, drained synchronously to a memory sink. The
+    oracle is the same SQL as the batch query — streaming and batch must
+    agree (complete mode, availableNow trigger)."""
+    import os as _os
+
+    from bun_csv_spark.functions.timefmt import ns_to_ntz
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        ntz = ns_to_ntz("ts")
+        return (
+            stream.withColumn("ts_ntz", ntz)
+            .withColumn("ts_ntz", F.col("ts_ntz").cast("timestamp"))
+            .groupBy(F.window("ts_ntz", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return run_stream_to_table(spark, path, transform, output_mode="complete")
+
+
+def q_edit_overlay(spark, sf_dir):
+    """Copy-on-write replay (parser.ts:744-899) over the nation table:
+    edit one cell, delete one row, insert two rows; the oracle states the
+    expected final table."""
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .select(
+            F.col("n_nationkey").cast("string").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("string").alias("n_regionkey"),
+        )
+    )
+    from bun_csv_spark.operators.frame import with_row_index
+
+    indexed = with_row_index(nation)
+    log = EditLog()
+    log.set_cell(3, "n_name", "EDITED")
+    log.delete_row(5)
+    log.insert_row(0, ["900", "FIRST", "9"])
+    log.insert_row(10, ["901", "MIDDLE", "9"])
+    return log.apply(indexed)
+
+
+def q_dynamic_typing_struct(spark, sf_dir):
+    """Per-VALUE dynamicTyping (row.ts:442-458): mixed-type column tagged
+    and parsed per row, flattened for comparison."""
+    cust = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_custkey").cast("string"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("true"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("hello"))
+    )
+    tagged = dynamic_type(raw)
+    return cust.select(
+        "c_custkey",
+        tagged["type"].alias("vtype"),
+        tagged["bool"].alias("vbool"),
+        tagged["num"].alias("vnum"),
+        tagged["str"].alias("vstr"),
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-label embedding statistics (vector ops in aggregation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """The CSV layer under the oracle gate: serialize nation through the
+    writer expression pipeline, re-read with the exact-path reader, and
+    aggregate; the oracle computes from the original parquet."""
+    import tempfile as _tf
+
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
+    from bun_csv_spark.sources.csv_writer import write_csv
+
+    nation = _t(spark, sf_dir, "nation")
+    out = _tf.mkdtemp(prefix="bcsv_rt_") + "/nation_csv"
+    write_csv(nation.coalesce(1), out, quote_style="minimal")
+    back = read_csv(
+        spark, out, CSVOptions(dynamic_typing=True, with_row_index=True)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("n_nationkey"), 2).alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (xxhash64-based — no portable oracle, driver
+    records the rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (hyperplanes derived in-plan from xxhash64 — no
+    portable oracle; rows-only check; recall vs brute force is asserted in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_lsh_topk(emb, list(qvec), k=10, dim=64, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -585,6 +869,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
         "multimodal_features": q_multimodal_features,
+        "window_running_sum": q_window_running_sum,
+        "window_lag_lead": q_window_lag_lead,
+        "percentiles": q_percentiles,
+        "semi_anti_join": q_semi_anti_join,
+        "having_subquery": q_having_subquery,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_bucketing": q_case_bucketing,
+        "pivot_native": q_pivot_native,
+        "events_sliding": q_events_sliding,
+        "streaming_tumbling": q_streaming_tumbling,
+        "edit_overlay": q_edit_overlay,
+        "dynamic_typing_struct": q_dynamic_typing_struct,
+        "embedding_norms": q_embedding_norms,
+        "csv_roundtrip": q_csv_roundtrip,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -1021,6 +1322,149 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text))::BIGINT AS byte_len,
                md5(text) AS content_hash
         FROM documents
+    """
+
+    sql["window_running_sum"] = """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM orders
+    """
+
+    sql["window_lag_lead"] = """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey) OVER w AS prev_order,
+               lead(o_orderkey) OVER w AS next_order,
+               dense_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """
+
+    sql["percentiles"] = """
+        SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders
+    """
+
+    sql["semi_anti_join"] = """
+        SELECT c_custkey, 'has_urgent' AS tag FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT c_custkey, 'no_urgent' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """
+
+    sql["having_subquery"] = """
+        SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal,
+               count(*)::BIGINT AS n
+        FROM customer GROUP BY c_mktsegment
+        HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
+    """
+
+    sql["string_funcs"] = """
+        SELECT p_partkey,
+               upper(p_name) AS upper_name,
+               length(p_name)::INTEGER AS name_len,
+               substr(p_name, 1, 3) AS prefix3,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
+               string_split(p_name, ' ')[1] AS first_word
+        FROM part
+    """
+
+    sql["date_funcs"] = """
+        SELECT o_orderkey,
+               year(o_orderdate)::INTEGER AS yr,
+               month(o_orderdate)::INTEGER AS mo,
+               day(o_orderdate)::INTEGER AS dom,
+               quarter(o_orderdate)::INTEGER AS qtr,
+               dayofweek(o_orderdate)::INTEGER AS dow_sun0,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+    """
+
+    sql["case_bucketing"] = """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               count(*)::BIGINT AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1
+    """
+
+    sql["pivot_native"] = """
+        SELECT year(o_orderdate)::INTEGER AS yr,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT AS n_1,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH')::BIGINT AS n_2,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')::BIGINT AS n_3,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')::BIGINT AS n_4,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW')::BIGINT AS n_5
+        FROM orders GROUP BY 1
+    """
+
+    sql["events_sliding"] = """
+        WITH b AS (
+          SELECT date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS s30,
+                 event_type
+          FROM events),
+        u AS (
+          SELECT unnest([s30 - INTERVAL 30 MINUTE, s30]) AS ws, event_type FROM b)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*)::BIGINT AS n_events
+        FROM u GROUP BY 1, 2
+    """
+
+    sql["streaming_tumbling"] = sql["events_tumbling"]
+
+    sql["edit_overlay"] = """
+        SELECT 0::BIGINT AS __row_idx, '900' AS n_nationkey,
+               'FIRST' AS n_name, '9' AS n_regionkey
+        UNION ALL
+        SELECT 10::BIGINT, '901', 'MIDDLE', '9'
+        UNION ALL
+        SELECT (CASE WHEN n_nationkey <= 4 THEN n_nationkey + 1
+                     WHEN n_nationkey <= 9 THEN n_nationkey
+                     ELSE n_nationkey + 1 END)::BIGINT,
+               n_nationkey::VARCHAR,
+               CASE WHEN n_nationkey = 3 THEN 'EDITED' ELSE n_name END,
+               n_regionkey::VARCHAR
+        FROM nation WHERE n_nationkey <> 5
+    """
+
+    sql["dynamic_typing_struct"] = """
+        SELECT c_custkey,
+               CASE c_custkey % 4 WHEN 0 THEN 'number' WHEN 1 THEN 'boolean'
+                    WHEN 2 THEN 'null' ELSE 'string' END AS vtype,
+               CASE WHEN c_custkey % 4 = 1 THEN true END AS vbool,
+               CASE WHEN c_custkey % 4 = 0 THEN c_custkey::DOUBLE END AS vnum,
+               CASE WHEN c_custkey % 4 = 3 THEN 'hello' END AS vstr
+        FROM customer
+    """
+
+    sql["embedding_norms"] = """
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nm
+          FROM embeddings)
+        SELECT label, count(*)::BIGINT AS n,
+               round(avg(nm), 4) AS avg_norm,
+               round(min(nm), 4) AS min_norm,
+               round(max(nm), 4) AS max_norm
+        FROM n GROUP BY label
+    """
+
+    sql["csv_roundtrip"] = """
+        SELECT n_regionkey::DOUBLE AS n_regionkey,
+               count(*)::BIGINT AS n,
+               round(sum(n_nationkey), 2) AS key_sum,
+               min(n_name) AS first_name
+        FROM nation GROUP BY 1
     """
 
     return sql

@@ -95,7 +95,16 @@ def run_stream_to_table(
     This runs the REAL streaming engine (micro-batches, state store); the
     parquet file is just a bounded source, so processAllAvailable()
     terminates."""
+    import os
+    import tempfile
+
     schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        # FileStreamSource wants a directory; replay a single file by
+        # symlinking it into a scratch dir
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
     stream = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
