@@ -1,0 +1,73 @@
+"""Physical-plan audit: assert the plans we want at 100 TB.
+
+Checks, per query: parquet filter pushdown (PushedFilters), column pruning
+(ReadSchema), broadcast joins for dimension tables, whole-stage codegen
+presence, and shuffle (Exchange) counts. Run:
+
+    python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from bun_csv_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+EXPECTATIONS = {
+    # query: (max_shuffles, must_contain, must_not_contain)
+    "tpch_q1": (1, ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"], []),
+    "filter_numeric": (0, ["PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"], ["Exchange"]),
+    "select_project": (0, ["ReadSchema: struct<c_custkey:bigint,c_name:string>"], ["Exchange"]),
+    "join_inner": (0, ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "sort_topk": (0, ["TakeOrderedAndProject"], ["GlobalSort"]),
+    "minhash_signatures": (1, [], ["SortMergeJoin"]),  # repartition only
+    "ann_cosine_topk": (0, ["TakeOrderedAndProject"], []),
+    "groupby_reference_aggs": (1, ["HashAggregate"], []),  # partial+final
+    "dedup_exact": (1, ["HashAggregate"], []),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    bad = 0
+    for name, (max_ex, must, must_not) in EXPECTATIONS.items():
+        df = queries[name](spark, sf_dir)
+        plan = plan_of(df)
+        # count shuffle nodes once each: the "(N) Exchange" detail headers
+        # (tree lines would double-count; BroadcastExchange is not a shuffle)
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        problems = []
+        if n_ex > max_ex:
+            problems.append(f"{n_ex} shuffles (max {max_ex})")
+        for frag in must:
+            if frag not in plan:
+                problems.append(f"missing {frag!r}")
+        for frag in must_not:
+            if frag in plan:
+                problems.append(f"unwanted {frag!r}")
+        if problems:
+            bad += 1
+            print(f"BAD  {name}: {'; '.join(problems)}")
+            if "-v" in sys.argv:
+                print(plan)
+        else:
+            print(f"OK   {name}: shuffles={n_ex}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
