@@ -807,6 +807,71 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: Voronoi cells around the first 16 corpus vectors, query
+    probes the 2 nearest cells, brute-force within. Fully deterministic,
+    so DuckDB can replay the whole pipeline as the oracle."""
+    from bun_csv_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    return ann_ivf_topk(emb, list(qvec), k=10, n_centroids=16, nprobe=2)
+
+
+def q_top_tokens(spark, sf_dir):
+    """Corpus-level vocabulary: top-50 tokens by frequency (explode+agg —
+    the canonical scale pattern for token statistics)."""
+    from bun_csv_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality-gate filter: the composite keep/drop decision a training
+    pipeline applies (filters on UNROUNDED metrics; rounded for display)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mtl"),
+        feats["stopword_ratio_en"].alias("swr"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20) & (F.col("swr") <= 0.5)
+        & (F.col("mtl") >= 3.0) & (F.col("mtl") <= 12.0)
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mtl", 4).alias("mean_token_len"),
+        F.round("swr", 4).alias("stopword_ratio_en"),
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (elementwise mean) — posexplode +
+    two-level agg, re-assembled in position order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda p: F.round(p["m"], 4),
+        ).alias("centroid")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (xxhash64-based — no portable oracle, driver
     records the rows-only check)."""
@@ -886,6 +951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ivf_ann": q_ivf_ann,
+        "top_tokens": q_top_tokens,
+        "quality_filter": q_quality_filter,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -1465,6 +1534,80 @@ def oracle_sql() -> dict[str, str]:
                round(sum(n_nationkey), 2) AS key_sum,
                min(n_name) AS first_name
         FROM nation GROUP BY 1
+    """
+
+    sql["ivf_ann"] = """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 16),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+        assigned AS (
+          SELECT e.vec_id, e.embedding,
+                 (max(struct_pack(s := list_cosine_similarity(e.embedding::DOUBLE[], c.cv),
+                                  c := c.cid))).c AS cell
+          FROM embeddings e, cents c
+          GROUP BY e.vec_id, e.embedding),
+        probes AS (
+          SELECT (max(struct_pack(s := list_cosine_similarity(q.qv, c.cv), c := c.cid))).c AS cell,
+                 1 AS rnk
+          FROM cents c, q
+          UNION ALL
+          SELECT cid, 2 FROM (
+            SELECT c.cid, row_number() OVER (
+              ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+            FROM cents c, q) WHERE rn = 2)
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+        FROM assigned a, q
+        WHERE a.cell IN (SELECT cell FROM probes)
+        ORDER BY cosine_sim DESC, a.vec_id
+        LIMIT 10
+    """
+
+    sql["top_tokens"] = r"""
+        SELECT token, count(*)::BIGINT AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
+    """
+
+    sql["quality_filter"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(t)::BIGINT AS n_tokens,
+                 CASE WHEN len(t) > 0 THEN
+                   list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                 ELSE 0.0 END AS mtl,
+                 CASE WHEN len(t) > 0 THEN
+                   len(list_filter(t, x -> lower(x) IN
+                     (""" + _stopword_sql_list("en") + r""")))::DOUBLE / len(t)
+                 ELSE 0.0 END AS swr
+          FROM toks)
+        SELECT doc_id, n_tokens,
+               round(mtl, 4) AS mean_token_len,
+               round(swr, 4) AS stopword_ratio_en
+        FROM m
+        WHERE n_tokens >= 20 AND swr <= 0.5 AND mtl >= 3.0 AND mtl <= 12.0
+    """
+
+    sql["label_centroids"] = """
+        WITH e AS (
+          SELECT label,
+                 unnest(embedding)::DOUBLE AS x,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings),
+        p AS (
+          SELECT label, pos, avg(x) AS m FROM e GROUP BY label, pos)
+        SELECT label, list(round(m, 4) ORDER BY pos) AS centroid
+        FROM p GROUP BY label
     """
 
     return sql

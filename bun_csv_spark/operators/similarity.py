@@ -115,6 +115,87 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around fixed
+    centroids; a query scans only its ``nprobe`` nearest cells.
+
+    Centroids are the first ``n_centroids`` corpus vectors (deterministic —
+    a k-means refinement slots in without changing the plan shape). Cell
+    assignment is an in-plan argmax over the broadcast centroid array, so
+    building the "index" is one shuffle-free map; at 100 TB, write the
+    corpus partitioned by cell id once and let partition pruning serve
+    queries without any full scan."""
+    centroids = [
+        (r[id_col], list(r[vec_col]))
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    if not centroids:
+        raise ValueError("no centroid rows found")
+
+    def cell_expr(vec):
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                    F.lit(int(cid)).alias("c"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        return F.array_max(sims)["c"]
+
+    # probe cells for the query — computed by the same expression over a
+    # 1-row plan so Spark's float math decides, not Python's
+    spark = df.sparkSession
+    qdf = spark.range(1).select(F.array(*[F.lit(float(x)) for x in query_vec]).alias("q"))
+    probe_rows = qdf.select(
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                cosine_similarity(
+                                    F.col("q"), F.array(*[F.lit(float(x)) for x in cv])
+                                ).alias("s"),
+                                F.lit(int(cid)).alias("c"),
+                            )
+                            for cid, cv in centroids
+                        ]
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("top")
+    ).first()["top"]
+    probes = [r["c"] for r in probe_rows]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.withColumn("__cell", cell_expr(F.col(vec_col))).filter(
+        F.col("__cell").isin(*probes)
+    )
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join_brute(
     corpus: DataFrame,
     queries: DataFrame,

@@ -79,6 +79,13 @@ class CSVOptions:
     multiline: bool = False  # quoted embedded newlines -> native multiLine
     with_row_index: bool = False  # attach file-order __row_idx
     columns: list[str] | None = None  # explicit names when has_header=False
+    # per-field rewrite: (Column, column_name) -> Column — the declarative
+    # form of the reference's `transform` callback (parser.ts:95,
+    # row.ts:276-281); runs JVM-side, unlike the reference's per-value JS
+    transform: "Callable[[Column, str], Column] | None" = None
+    # whole-record rewrite-or-drop hook (parser.ts:205-216 onRecord),
+    # expressed as a DataFrame -> DataFrame transform (filter + withColumns)
+    on_record: "Callable[[DataFrame], DataFrame] | None" = None
 
 
 class CSVReadError(ValueError):
@@ -228,6 +235,69 @@ def read_csv(
     return df
 
 
+def read_csv_url(
+    spark: SparkSession,
+    url: str,
+    opts: CSVOptions | None = None,
+    request_headers: dict[str, str] | None = None,
+    before_first_chunk: "Callable[[str], str] | None" = None,
+) -> DataFrame:
+    """URL source shim: download driver-side, parse distributed.
+
+    Mirrors the reference's fetch-then-parse (parser.ts:447-500) including
+    ``downloadRequestHeaders`` (parser.ts:105-118) and the
+    ``beforeFirstChunk`` raw-text rewrite (parser.ts:203-209) — the latter
+    is driver-side by nature (it sees the whole text before parsing)."""
+    import tempfile
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=request_headers or {})
+    with urllib.request.urlopen(req) as resp:  # noqa: S310 (explicit shim)
+        raw = resp.read()
+    encoding = (opts.encoding if opts else None) or "UTF-8"
+    text = raw.decode(detect_encoding(raw) or encoding, errors="replace")
+    if before_first_chunk is not None:
+        text = before_first_chunk(text)
+    tmp = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".csv", delete=False, prefix="bcsv_url_", encoding="utf-8"
+    )
+    tmp.write(text)
+    tmp.close()
+    return read_csv(spark, tmp.name, opts)
+
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def detect_encoding(head: bytes) -> str | None:
+    """BOM detection + a light heuristic (iconv.zig:42-74, 150-187).
+
+    Returns a codec name or None (caller falls back to its configured
+    encoding)."""
+    for bom, name in _BOMS:
+        if head.startswith(bom):
+            return name
+    sample = head[:4096]
+    if not sample:
+        return None
+    # interleaved NULs suggest UTF-16 without BOM
+    if sample[1::2].count(0) > len(sample) // 4:
+        return "utf-16-le"
+    if sample[0::2].count(0) > len(sample) // 4:
+        return "utf-16-be"
+    try:
+        sample.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"  # the reference's fallback family (windows-1252-ish)
+
+
 def read_csv_with_errors(
     spark: SparkSession, path: str, opts: CSVOptions | None = None
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -280,6 +350,10 @@ def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:
         for p in non_empty[1:]:
             pred = pred | p
         df = df.filter(pred)
+    if opts.transform is not None:
+        df = df.withColumns({c: opts.transform(F.col(c), c) for c in cols})
+    if opts.on_record is not None:
+        df = opts.on_record(df)
     if opts.dynamic_typing:
         df = apply_dynamic_typing(df, cols)
     return df

@@ -1,0 +1,115 @@
+"""Seeded generator (LCG parity), nested helpers, reader hooks, encoding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.nested import (
+    flatten,
+    flatten_objects,
+    flatten_struct_columns,
+    nest_columns,
+    unflatten,
+)
+from bun_csv_spark.sources.csv_reader import (
+    CSVOptions,
+    detect_encoding,
+    read_csv,
+)
+from bun_csv_spark.testing import SeededRandom, fuzz_csv, generate_csv
+
+
+def test_lcg_exact_sequence():
+    # the reference LCG: seed=(seed*1103515245+12345)&0x7fffffff
+    rng = SeededRandom(42)
+    seeds = []
+    for _ in range(3):
+        rng.next()
+        seeds.append(rng.seed)
+    assert seeds[0] == (42 * 1103515245 + 12345) & 0x7FFFFFFF
+    assert seeds[1] == (seeds[0] * 1103515245 + 12345) & 0x7FFFFFFF
+
+
+def test_generate_csv_deterministic():
+    a = generate_csv(5, ["id:integer", "name:name", "city:city", "ok:boolean"], seed=7)
+    b = generate_csv(5, ["id:integer", "name:name", "city:city", "ok:boolean"], seed=7)
+    assert a == b
+    lines = a.strip().splitlines()
+    assert lines[0] == "id,name,city,ok"
+    assert len(lines) == 6
+    first = lines[1].split(",")
+    assert first[0].isdigit()
+    assert first[3] in ("true", "false")
+
+
+def test_generated_csv_parses(spark, tmp_path):
+    p = tmp_path / "gen.csv"
+    p.write_text(generate_csv(50, ["id:integer", "sal:float", "d:date", "e:email"], seed=3))
+    df = read_csv(spark, str(p), CSVOptions(dynamic_typing=True))
+    assert df.count() == 50
+    assert dict(df.dtypes)["id"] == "double"
+
+
+def test_fuzz_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "fuzz.csv"
+    p.write_text(fuzz_csv(rows=60, include_huge_fields=False, seed=11))
+    df = read_csv(spark, str(p), CSVOptions(multiline=True))
+    assert df.count() == 60
+    payloads = [r.payload for r in df.collect()]
+    assert any('say "hi" now' == v for v in payloads)  # quotes unescaped
+    assert any("\n" in (v or "") for v in payloads)  # embedded newline survives
+
+
+def test_flatten_unflatten_dicts():
+    nested = {"user": {"name": "Alice", "addr": {"city": "NYC"}}, "n": 1}
+    flat = flatten(nested)
+    assert flat == {"user.name": "Alice", "user.addr.city": "NYC", "n": 1}
+    assert unflatten(flat) == nested
+
+
+def test_flatten_objects_union_of_keys():
+    headers, rows = flatten_objects([{"a": {"b": 1}}, {"c": 2}])
+    assert headers == ["a.b", "c"]
+    assert rows == [[1, None], [None, 2]]
+
+
+def test_struct_flatten_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, ("Alice", ("NYC",)))],
+        "id int, user struct<name:string, addr:struct<city:string>>",
+    )
+    flat = flatten_struct_columns(df)
+    assert flat.columns == ["id", "user.name", "user.addr.city"]
+    row = flat.collect()[0]
+    assert row["user.addr.city"] == "NYC"
+    nested = nest_columns(flat)
+    assert nested.schema["user"].dataType.fieldNames() == ["name", "addr"]
+    assert nested.collect()[0].user.addr.city == "NYC"
+
+
+def test_reader_transform_hook(spark, write_csv_file):
+    path = write_csv_file("a,b\nx,1\ny,2\n")
+    opts = CSVOptions(transform=lambda c, name: F.upper(c) if name == "a" else c)
+    vals = {r.a for r in read_csv(spark, path, opts).collect()}
+    assert vals == {"X", "Y"}
+
+
+def test_reader_on_record_hook(spark, write_csv_file):
+    path = write_csv_file("a,b\n1,keep\n2,drop\n3,keep\n")
+    opts = CSVOptions(on_record=lambda df: df.filter(F.col("b") == "keep"))
+    assert read_csv(spark, path, opts).count() == 2
+
+
+@pytest.mark.parametrize(
+    "data,expected",
+    [
+        (b"\xef\xbb\xbfabc", "utf-8-sig"),
+        (b"\xff\xfea\x00b\x00", "utf-16-le"),
+        (b"\xfe\xff\x00a\x00b", "utf-16-be"),
+        (b"plain ascii text", "utf-8"),
+        ("héllo wörld".encode("utf-8"), "utf-8"),
+        ("héllo".encode("latin-1") * 10, "latin-1"),
+        (b"", None),
+    ],
+)
+def test_detect_encoding(data, expected):
+    assert detect_encoding(data) == expected
