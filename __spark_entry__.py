@@ -62,6 +62,7 @@ from bun_csv_spark.operators.similarity import (
     knn_join_brute,
 )
 from bun_csv_spark.operators.stats import column_stats
+from bun_csv_spark.operators.util import ensure_parallelism
 from bun_csv_spark.streaming.windows import run_stream_to_table
 from bun_csv_spark.functions.timefmt import (
     epoch_seconds_to_string,
@@ -200,7 +201,7 @@ def q_groupby_reference_aggs(spark, sf_dir):
     """The exact aggregate semantics table (dataframe.ts:268-343, SURVEY
     §2.4): count counts nulls, stddev is population, median exact,
     first/last in encounter order (pinned by the __ord key)."""
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem")).withColumn(
         "__ord", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
     grouped = TurboFrame(li).group_by("l_returnflag")
@@ -270,7 +271,7 @@ def q_agg_ungrouped(spark, sf_dir):
 
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the flagship scan+agg pipeline."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
@@ -447,12 +448,13 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_fingerprint(spark, sf_dir):
     """Fingerprint dedup on normalized-text md5."""
-    return dedup_fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return dedup_fingerprint(docs, "text", "doc_id")
 
 
 def q_text_quality(spark, sf_dir):
     """Quality scoring: length/tokens/punct/digit/stopword features."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",

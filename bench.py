@@ -53,11 +53,17 @@ def main() -> None:
     # warmup: JIT codegen + parquet footer caches on a small query
     force(queries["count_rows"](spark, sf_dir))
 
+    # per-query: one warmup + best-of-2 timed runs — the reference's own
+    # harness methodology (test/benchmark.ts: warmup + N iterations)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        force(queries[name](spark, sf_dir))  # warmup (codegen/JIT per plan)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
