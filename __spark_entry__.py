@@ -874,6 +874,32 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+def q_schema_apply(spark, sf_dir):
+    """Typed Schema<T> enforcement, permissive mode (types.ts:6-31,
+    row.ts:386-411): integer parse failure -> NULL, currency default fills
+    NULL, non-boolean text -> NULL."""
+    from bun_csv_spark.functions.schema import Field, apply_schema
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    staged = cust.select(
+        "c_custkey",
+        F.when(ck % 5 == 0, F.concat(F.lit("x"), ck.cast("string")))
+        .otherwise(ck.cast("string"))
+        .alias("sid"),
+        F.when(ck % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("$"), (ck * 2).cast("string"))
+        ).alias("sbal"),
+        F.when(ck % 2 == 0, "yes").otherwise("nope").alias("sok"),
+    )
+    schema = {
+        "sid": Field("integer"),
+        "sbal": Field("currency", default=0.0),
+        "sok": Field("boolean"),
+    }
+    return apply_schema(staged, schema, mode="permissive")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (xxhash64-based — no portable oracle, driver
     records the rows-only check)."""
@@ -957,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "quality_filter": q_quality_filter,
         "label_centroids": q_label_centroids,
+        "schema_apply": q_schema_apply,
     }
 
 
@@ -1598,6 +1625,15 @@ def oracle_sql() -> dict[str, str]:
                round(swr, 4) AS stopword_ratio_en
         FROM m
         WHERE n_tokens >= 20 AND swr <= 0.5 AND mtl >= 3.0 AND mtl <= 12.0
+    """
+
+    sql["schema_apply"] = """
+        SELECT c_custkey,
+               (CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END)::BIGINT AS sid,
+               CASE WHEN c_custkey % 3 = 0 THEN 0.0
+                    ELSE (c_custkey * 2)::DOUBLE END AS sbal,
+               CASE WHEN c_custkey % 2 = 0 THEN true ELSE NULL END AS sok
+        FROM customer
     """
 
     sql["label_centroids"] = """

@@ -214,13 +214,34 @@ class TurboGroupedFrame:
 
     def aggregate(
         self,
-        specs: Mapping[str, tuple[str, str]],
+        specs: Mapping[str, tuple],
         order_col: str | None = None,
     ) -> TurboFrame:
+        """specs: {out_name: (col, fn)} with fn a name from AGG_FNS, or
+        {out_name: (col, callable, return_type)} for a custom aggregate —
+        the reference's ``(values[]) => unknown`` hook (dataframe.ts:43,
+        281-283). The callable receives the group's values in encounter
+        order; it runs as a Python UDF over an ordered collect_list, so
+        reserve it for bounded groups (built-in fns stay JVM-side)."""
         order = order_col or (ROW_IDX if ROW_IDX in self.df.columns else None)
         order_c = F.col(order) if order else None
-        aggs = [
-            agg_column(fn, col, order_c).alias(out)
-            for out, (col, fn) in specs.items()
-        ]
+        aggs = []
+        for out, spec in specs.items():
+            if len(spec) == 3 and callable(spec[1]):
+                col, fn, rtype = spec
+                if order_c is None:
+                    raise ValueError(
+                        "custom aggregates need an order column (encounter order)"
+                    )
+                ordered_vals = F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(order_c.alias("o"), F.col(col).alias("v")))
+                    ),
+                    lambda p: p["v"],
+                )
+                udf = F.udf(lambda vals: fn(list(vals) if vals else []), rtype)
+                aggs.append(udf(ordered_vals).alias(out))
+            else:
+                col, fn = spec
+                aggs.append(agg_column(fn, col, order_c).alias(out))
         return TurboFrame(self.df.groupBy(*self.keys).agg(*aggs))
