@@ -65,6 +65,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    csv_mb_s = csv_parse_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,9 +76,45 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "csv_parse_mb_per_sec": csv_mb_s,
             }
         )
     )
+
+
+def csv_parse_throughput(spark, sf_dir: str) -> float:
+    """End-to-end CSV parse MB/s — the reference's own headline metric
+    (BASELINE.md: iterate all rows + access a field, warmup + best-of-N).
+
+    lineitem is serialized to CSV once (cached in /tmp), then timed through
+    the native reader with a projection+aggregation that forces every row
+    to parse. CSV with multiLine=false splits, so all cores participate."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
+    from bun_csv_spark.sources.csv_writer import write_csv
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/bench_csv_{tag}/lineitem_csv"
+    if not glob.glob(f"{out}/part-*"):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        # many part files = many scan splits (how real pipelines lay out CSV)
+        write_csv(li.repartition(32), out)
+    size = sum(os.path.getsize(p) for p in glob.glob(f"{out}/part-*"))
+
+    def parse_all():
+        df = read_csv(spark, out, CSVOptions())
+        force(df.select(F.sum(F.length("l_returnflag")).alias("s")))
+
+    parse_all()  # warmup
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        parse_all()
+        best = min(best, time.time() - t0)
+    return round(size / 1e6 / best, 1)
 
 
 if __name__ == "__main__":

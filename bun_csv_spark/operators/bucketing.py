@@ -1,0 +1,44 @@
+"""Bucketed tables — co-located joins without a shuffle.
+
+The 100 TB join strategy (SCALE.md): when two fact tables join repeatedly
+on the same key, bucket both by that key once at write time; every later
+join reads co-partitioned buckets and skips the exchange entirely.
+Verified by tests/test_bucketing.py asserting the join plan contains no
+shuffle Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Sorting within buckets additionally removes the sort from sort-merge
+    joins and enables faster merge scans."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables; Catalyst reads the bucket spec from
+    the catalog and plans the join shuffle-free."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, on, how)

@@ -363,8 +363,21 @@ def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:
 
 
 def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
+    # Pre-read the header line and hand the reader an explicit all-string
+    # schema: without it Spark runs a schema/header discovery pass over the
+    # files on EVERY action (~2x scan cost measured at sf0.1).
+    head = spark.read.text(path).limit(1).collect()
+    if not head:
+        raise CSVReadError(f"empty CSV source {path!r}")
+    first_fields, _ = _tokenize_line(head[0]["value"], opts.delimiter, opts.quote_char)
+    n_cols = len(first_fields)
+    schema = T.StructType(
+        [T.StructField(f"_c{i}", T.StringType()) for i in range(n_cols)]
+    )
+
     reader = (
-        spark.read.option("sep", opts.delimiter)
+        spark.read.schema(schema)
+        .option("sep", opts.delimiter)
         .option("quote", opts.quote_char)
         .option("escape", opts.quote_char)  # RFC-4180 "" escaping
         .option("header", str(opts.has_header).lower())
@@ -393,9 +406,10 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
         }
     )
 
-    names = list(df.columns)
-    if not opts.has_header:
-        names = opts.columns or [f"col{i}" for i in range(len(names))]
+    if opts.has_header:
+        names = [h if h is not None else "" for h in first_fields]
+    else:
+        names = opts.columns or [f"col{i}" for i in range(n_cols)]
     names = _apply_header_transforms(names, opts)
     df = df.toDF(*names)
 

@@ -82,6 +82,40 @@ def sliding_counts(
     )
 
 
+def stateful_user_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value sum carried across micro-batches.
+
+    This is the pattern for operators Spark's windowed aggs can't express
+    (custom session logic, decaying counters, CEP-ish state machines):
+    state lives in the state store, keyed by user, bounded by the key
+    cardinality — executors scale it horizontally."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"{user_col} long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     parquet_path: str,

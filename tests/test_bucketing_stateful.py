@@ -1,0 +1,66 @@
+"""Bucketed co-located joins (no shuffle) + stateful streaming operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.operators.bucketing import bucketed_join, write_bucketed
+from bun_csv_spark.streaming.windows import run_stream_to_table, stateful_user_counts
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # saveAsTable writes under spark-warehouse/ (gitignored); tables are
+    # dropped in the finally block
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bk_a", "bk_b", "k")
+        plan = plan_of(joined)
+        import re
+
+        assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+        assert joined.count() == 500
+        row = joined.filter("k = 10").collect()[0]
+        assert (row.va, row.vb) == (20, 30)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+@pytest.fixture(scope="module")
+def user_events_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sev") / "events")
+    rows = [
+        (1, 100, 1.5), (2, 100, 2.5), (3, 200, 10.0), (4, 100, 1.0), (5, 300, 4.0),
+    ]
+    spark.createDataFrame(rows, "event_id long, user_id long, value double") \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_user_counts(spark, user_events_parquet):
+    out = run_stream_to_table(
+        spark,
+        user_events_parquet,
+        lambda s: stateful_user_counts(s),
+        output_mode="update",
+    )
+    rows = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+    assert rows[100] == (3, 5.0)
+    assert rows[200] == (1, 10.0)
+    assert rows[300] == (1, 4.0)
