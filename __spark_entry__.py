@@ -413,6 +413,47 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Native session_window operator (gap-merged sessions). Spark closes
+    a session when the next event is >= gap away (window end exclusive),
+    so the oracle's lag-based rewrite uses >= too. Full microsecond
+    precision feeds the gap check."""
+    from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
+
+    ev = read_events(spark, sf_dir)
+    ts = ns_to_ntz_micros("ts").alias("ts_ntz")
+    return (
+        ev.select("user_id", ts, "value")
+        .groupBy(F.session_window("ts_ntz", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation — result must equal the direct
+    groupBy (the oracle IS the direct form)."""
+    from bun_csv_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li, ["l_returnflag"], sums=["l_quantity"], n_salt=16
+    )
+    return out.select(
+        "l_returnflag", "n_rows", F.round("sum_l_quantity", 2).alias("sum_qty")
+    )
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation per event type."""
     ev = read_events(spark, sf_dir)
@@ -948,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
+        "session_window_native": q_session_window,
+        "skew_salted_agg": q_skew_salted_agg,
         "events_pivot": q_events_pivot,
         "rollup_agg": q_rollup_agg,
         "dedup_exact": q_dedup_exact,
@@ -1254,6 +1297,32 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["session_window_native"] = """
+        WITH flags AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flags)
+        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               user_id,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["skew_salted_agg"] = """
+        SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
     """
 
     sql["events_pivot"] = """

@@ -45,6 +45,15 @@ def ns_to_ntz(col: Column | str) -> Column:
     return F.to_timestamp_ntz(ns_to_string(col))
 
 
+def ns_to_ntz_micros(col: Column | str) -> Column:
+    """Epoch nanos -> TIMESTAMP_NTZ at microsecond resolution (full Spark
+    timestamp precision; nanos truncate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    micros = F.floor((c % F.lit(1_000_000_000)) / 1000).cast("long")
+    frac = F.lpad(micros.cast("string"), 6, "0")
+    return F.to_timestamp_ntz(F.concat(ns_to_string(c), F.lit("."), frac))
+
+
 def ns_truncate(col: Column | str, unit_seconds: int) -> Column:
     """Floor epoch nanos to a multiple of ``unit_seconds``; returns epoch
     seconds (long). E.g. unit_seconds=3600 -> hour bucket."""

@@ -42,6 +42,27 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_salted_aggregate_equals_direct(spark):
+    from bun_csv_spark.operators.skew import salted_aggregate
+
+    # a heavily skewed key distribution: 90% of rows share one key
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    direct = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n_rows, r.sum_v)
+        for r in salted_aggregate(df, ["k"], sums=["v"], n_salt=8).collect()
+    }
+    assert salted == direct
+
+
 @pytest.fixture(scope="module")
 def user_events_parquet(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("sev") / "events")
