@@ -375,7 +375,7 @@ def q_window_topk_per_group(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -581,7 +581,9 @@ def q_knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = knn_join_brute(emb, queries, k=5, round_digits=6)
-    return out.select("query_id", "neighbor_id", "cosine_sim", F.col("rank").alias("rnk"))
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rnk")
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -622,7 +624,7 @@ def q_window_lag_lead(spark, sf_dir):
         F.lead("o_orderkey").over(w).alias("next_order"),
         F.dense_rank().over(
             Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        ).alias("price_rank"),
+        ).cast("long").alias("price_rank"),
     )
 
 

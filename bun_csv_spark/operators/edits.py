@@ -146,7 +146,7 @@ class EditLog:
         out = base.orderBy("__anchor", "__kind", "__seq")
         w2 = Window.orderBy("__anchor", "__kind", "__seq")
         return (
-            out.withColumn(ROW_IDX, F.row_number().over(w2) - 1)
+            out.withColumn(ROW_IDX, (F.row_number().over(w2) - 1).cast("long"))
             .drop("__anchor", "__kind", "__seq")
             .select(ROW_IDX, *data_cols)
         )
