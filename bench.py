@@ -23,6 +23,8 @@ from bun_csv_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "join_inner",
     "groupby_reference_aggs",
     "sort_topk",
