@@ -143,16 +143,26 @@ def infer_column_type(df: DataFrame, column: str) -> str:
     return "string"
 
 
-def apply_dynamic_typing(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def apply_dynamic_typing(
+    df: DataFrame, columns=None
+) -> DataFrame:
     """Cast every conforming string column per ``infer_column_type``.
 
-    Empty string becomes NULL first (dynamicTyping maps "" -> null,
-    row.ts:447)."""
+    ``columns`` mirrors the reference's dynamicTyping config shapes
+    (parser.ts:94, row.ts:423-436): None/True = all string columns; a
+    list of names; or a predicate ``(name) -> bool``. Empty string
+    becomes NULL first (dynamicTyping maps "" -> null, row.ts:447)."""
     from pyspark.sql import types as T
 
-    targets = columns or [
+    string_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     ]
+    if columns is None or columns is True:
+        targets = string_cols
+    elif callable(columns):
+        targets = [c for c in string_cols if columns(c)]
+    else:
+        targets = [c for c in columns if c in string_cols]
     out = df
     for c in targets:
         inferred = infer_column_type(df, c)

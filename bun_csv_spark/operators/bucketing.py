@@ -30,6 +30,21 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout: one directory per partition value.
+
+    The 100 TB read-side payoff is PARTITION PRUNING — a filter on the
+    partition column prunes whole directories before any file is opened
+    (verified in tests: the scan's PartitionFilters carries the predicate
+    and the input file count drops)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

@@ -67,7 +67,9 @@ class CSVOptions:
     preview: int | None = None  # row limit pushed to scan (parser.ts:74-75)
     skip_first_n_lines: int = 0  # raw-line skip (parser.ts:76-77)
     trim: bool | str = False  # True | "left" | "right" (parser.ts:154-169)
-    dynamic_typing: bool = False  # per-column inference (SURVEY §7.3.3)
+    # per-column inference (SURVEY §7.3.3); True = all columns, or a list
+    # of names, or a predicate (name) -> bool (parser.ts:94 config shapes)
+    dynamic_typing: "bool | list[str] | Callable[[str], bool]" = False
     transform_header: Callable[[str, int], str] | None = None
     duplicate_headers: str = "rename"  # "rename" (_1, _2 ...) | "error"
     relax_column_count: bool = False  # suppress both error kinds
@@ -355,7 +357,8 @@ def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:
     if opts.on_record is not None:
         df = opts.on_record(df)
     if opts.dynamic_typing:
-        df = apply_dynamic_typing(df, cols)
+        selector = None if opts.dynamic_typing is True else opts.dynamic_typing
+        df = apply_dynamic_typing(df, selector)
     return df
 
 

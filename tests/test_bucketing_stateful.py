@@ -42,6 +42,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_partition_pruning(spark, tmp_path):
+    from bun_csv_spark.operators.bucketing import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "buy"][i % 3], float(i)) for i in range(300)],
+        "id long, etype string, v double",
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(df, out, ["etype"])
+
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("etype") == "click")
+    plan = plan_of(pruned)
+    # the partition predicate must prune directories, not filter rows
+    assert "PartitionFilters" in plan and "click" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == 100
+    # (inputFiles() reflects the unpruned base relation, so the plan's
+    # PartitionFilters line above is the authoritative pruning evidence)
+
+
 def test_salted_aggregate_equals_direct(spark):
     from bun_csv_spark.operators.skew import salted_aggregate
 

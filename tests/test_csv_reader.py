@@ -211,6 +211,28 @@ def test_dynamic_typing_per_column(spark, write_csv_file):
     assert {r.n for r in df.collect()} == {1.0, 2.5, -300.0}
 
 
+def test_dynamic_typing_per_column_config(spark, write_csv_file):
+    # dynamicTyping accepts a column list or predicate (parser.ts:94)
+    path = write_csv_file("a,b,c\n1,2,3\n4,5,6\n")
+    df = read_csv(spark, path, CSVOptions(dynamic_typing=["a"]))
+    types = dict(df.dtypes)
+    assert types["a"] == "double" and types["b"] == "string"
+    df2 = read_csv(spark, path, CSVOptions(dynamic_typing=lambda name: name != "c"))
+    types2 = dict(df2.dtypes)
+    assert types2 == {"a": "double", "b": "double", "c": "string"}
+
+
+def test_unclosed_quote_is_lenient(spark, write_csv_file):
+    # an unterminated quoted field consumes to end-of-line (lenient, like
+    # the reference scanner) rather than erroring
+    path = write_csv_file('a,b\n1,"unclosed\n2,ok\n')
+    df, errors = read_csv_with_errors(spark, path, CSVOptions(with_row_index=True))
+    vals = {r.a: r.b for r in df.collect()}
+    assert vals["1"] == "unclosed"
+    assert vals["2"] == "ok"
+    assert errors.count() == 0
+
+
 def test_multiline_quoted_newline(spark, write_csv_file):
     path = write_csv_file('a,b\n1,"line1\nline2"\n2,plain\n')
     df = read_csv(spark, path, CSVOptions(multiline=True))
