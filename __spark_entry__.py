@@ -517,6 +517,52 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_distinct_agg(spark, sf_dir):
+    """DISTINCT aggregation modifier (no distinct-agg in the reference —
+    SURVEY §2.4 'no distinct aggregation modifier')."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations of two dimensions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction over the events props column."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long) via the native unpivot operator."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+    return wide.unpivot(
+        "c_mktsegment", ["min_bal", "max_bal", "avg_bal"], "metric", "value"
+    )
+
+
 def q_rollup_agg(spark, sf_dir):
     """ROLLUP grouping sets (extension; no grouping sets in reference)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1046,6 +1092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "events_pivot": q_events_pivot,
         "rollup_agg": q_rollup_agg,
+        "distinct_agg": q_distinct_agg,
+        "cube_agg": q_cube_agg,
+        "json_extract": q_json_extract,
+        "unpivot": q_unpivot,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
@@ -1424,6 +1474,43 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["distinct_agg"] = """
+        SELECT c_mktsegment,
+               count(DISTINCT o_custkey)::BIGINT AS n_customers,
+               count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+               count(*)::BIGINT AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    sql["cube_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*)::BIGINT AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["json_extract"] = """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract_string(props, '$.k')::BIGINT AS k_num
+        FROM events
+    """
+
+    sql["unpivot"] = """
+        WITH wide AS (
+          SELECT c_mktsegment,
+                 round(min(c_acctbal), 2) AS min_bal,
+                 round(max(c_acctbal), 2) AS max_bal,
+                 round(avg(c_acctbal), 2) AS avg_bal
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, 'min_bal' AS metric, min_bal AS value FROM wide
+        UNION ALL
+        SELECT c_mktsegment, 'max_bal', max_bal FROM wide
+        UNION ALL
+        SELECT c_mktsegment, 'avg_bal', avg_bal FROM wide
     """
 
     sql["dedup_exact"] = (
