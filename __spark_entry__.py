@@ -654,6 +654,23 @@ def q_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup clusters: connected components of the LSH near-dup graph —
+    every doc labeled with its component's canonical (min) id. Oracle:
+    recursive reachability CTE in DuckDB."""
+    from bun_csv_spark.operators.dedup import connected_components
+
+    pairs = neardup_pairs_minhash(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text",
+        n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over the LSH candidate pairs."""
     corpus = _neardup_corpus(spark, sf_dir)
@@ -1104,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
@@ -1599,6 +1617,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """
+    )
+
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL.replace("corpus AS", "corpus AS", 1)
+        + ", sig AS (" + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), pairs AS ("
+        + """
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sym AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb, ida FROM pairs),
+        reach(node, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b)
+        SELECT node::BIGINT AS node, min(r)::BIGINT AS label
+        FROM reach GROUP BY node
         """
     )
 

@@ -195,6 +195,57 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters: connected components of the near-dup pair graph by
+    min-label propagation. Returns (node, label) with label = the smallest
+    id in the component — the canonical representative each duplicate
+    collapses to.
+
+    Iterative Spark-first design: each round joins the symmetric edge list
+    against current labels, takes the min neighbor label, and
+    localCheckpoints to truncate lineage (without it the plan doubles per
+    round). Converges in graph-diameter rounds; near-dup graphs are
+    star-like so diameter is small. One shuffle per round, all built-ins.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint()
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(col, shingle_k: int = 4):
     """64-bit SimHash expression over character shingles.
 

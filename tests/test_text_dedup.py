@@ -101,6 +101,18 @@ def test_simhash_near_dups_close(docs):
     assert hamming(sh[1], sh[5]) < hamming(sh[1], sh[4])
 
 
+def test_connected_components(spark):
+    from bun_csv_spark.operators.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_detect_language(spark):
     df = spark.createDataFrame(
         [
