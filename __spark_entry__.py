@@ -886,6 +886,39 @@ def q_streaming_tumbling(spark, sf_dir):
     return run_stream_to_table(spark, path, transform, output_mode="complete")
 
 
+def q_streaming_session(spark, sf_dir):
+    """Session windows on the REAL streaming engine (watermarked, update
+    mode, availableNow) — must match the batch session_window oracle."""
+    import os as _os
+
+    from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        ts = ns_to_ntz_micros("ts").cast("timestamp").alias("ts_t")
+        return (
+            stream.select("user_id", ts, "value")
+            .withWatermark("ts_t", "10 days")
+            .groupBy(F.session_window("ts_t", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return run_stream_to_table(spark, path, transform, output_mode="complete")
+
+
 def q_edit_overlay(spark, sf_dir):
     """Copy-on-write replay (parser.ts:744-899) over the nation table:
     edit one cell, delete one row, insert two rows; the oracle states the
@@ -1137,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_native": q_pivot_native,
         "events_sliding": q_events_sliding,
         "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
         "edit_overlay": q_edit_overlay,
         "dynamic_typing_struct": q_dynamic_typing_struct,
         "embedding_norms": q_embedding_norms,
@@ -1797,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["streaming_tumbling"] = sql["events_tumbling"]
+    sql["streaming_session"] = sql["session_window_native"]
 
     sql["edit_overlay"] = """
         SELECT 0::BIGINT AS __row_idx, '900' AS n_nationkey,

@@ -277,6 +277,38 @@ _BOMS = (
 )
 
 
+def reader_meta(
+    spark: SparkSession, path: str, opts: CSVOptions | None = None
+) -> dict:
+    """Parse metadata — the reference's getMeta surface (parser.ts:557-567:
+    delimiter, linebreak, fields, aborted, truncated).
+
+    aborted is always False (batch reads run to completion); truncated
+    reflects an applied preview limit."""
+    opts = opts or CSVOptions()
+    if opts.delimiter == "auto":
+        sample = _head_bytes(spark, path, opts.encoding)
+        delimiter, confidence = detect_delimiter(sample, quote=opts.quote_char)
+    else:
+        delimiter, confidence = opts.delimiter, 1.0
+    head = spark.read.text(path).limit(2).collect()
+    first = head[0]["value"] if head else ""
+    fields, _ = _tokenize_line(first, delimiter, opts.quote_char)
+    names = [f if f is not None else "" for f in fields]
+    if opts.has_header:
+        names = _apply_header_transforms(names, opts)
+    else:
+        names = opts.columns or [f"col{i}" for i in range(len(names))]
+    return {
+        "delimiter": delimiter,
+        "delimiter_confidence": confidence,
+        "linebreak": "\n",  # the text source normalizes CRLF
+        "fields": names,
+        "aborted": False,
+        "truncated": opts.preview is not None,
+    }
+
+
 def detect_encoding(head: bytes) -> str | None:
     """BOM detection + a light heuristic (iconv.zig:42-74, 150-187).
 

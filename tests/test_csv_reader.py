@@ -233,6 +233,30 @@ def test_unclosed_quote_is_lenient(spark, write_csv_file):
     assert errors.count() == 0
 
 
+def test_reader_meta(spark, write_csv_file):
+    from bun_csv_spark.sources.csv_reader import reader_meta
+
+    path = write_csv_file("x|y|z\n1|2|3\n4|5|6\n", name="meta.csv")
+    meta = reader_meta(spark, path, CSVOptions(delimiter="auto"))
+    assert meta["delimiter"] == "|"
+    assert meta["fields"] == ["x", "y", "z"]
+    assert meta["aborted"] is False and meta["truncated"] is False
+    meta2 = reader_meta(spark, path, CSVOptions(delimiter="|", preview=1))
+    assert meta2["truncated"] is True
+
+
+def test_gzip_input(spark, tmp_path):
+    # compressed CSV reads transparently (extension beyond the reference,
+    # which only mmaps plain files)
+    import gzip
+
+    p = tmp_path / "z.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert sorted(r.a for r in df.collect()) == ["1", "2"]
+
+
 def test_multiline_quoted_newline(spark, write_csv_file):
     path = write_csv_file('a,b\n1,"line1\nline2"\n2,plain\n')
     df = read_csv(spark, path, CSVOptions(multiline=True))
