@@ -116,6 +116,27 @@ def stateful_user_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys arriving within the
+    watermark delay (dropDuplicatesWithinWatermark). State holds one entry
+    per key only until the watermark passes — bounded state, unlike a
+    global dropDuplicates over an unbounded stream."""
+    from pyspark.sql import types as T
+
+    src = events
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, delay)
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)
+
+
 def run_stream_to_table(
     spark: SparkSession,
     parquet_path: str,

@@ -94,6 +94,26 @@ def user_events_parquet(spark, tmp_path_factory):
     return path
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from bun_csv_spark.streaming.windows import run_stream_to_table, streaming_dedup
+
+    path = str(tmp_path / "dupev")
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # dup key 1
+        (2, "2024-01-01 00:05:00"),
+        (3, "2024-01-01 01:00:00"), (3, "2024-01-01 01:01:00"),  # dup key 3
+    ]
+    df = spark.createDataFrame(rows, "k long, ts_s string").select(
+        "k", F.to_timestamp_ntz("ts_s").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(path)
+    out = run_stream_to_table(
+        spark, path, lambda s: streaming_dedup(s, ["k"], "ts", "2 hours"),
+        output_mode="append",
+    )
+    assert sorted(r.k for r in out.collect()) == [1, 2, 3]
+
+
 def test_stateful_user_counts(spark, user_events_parquet):
     out = run_stream_to_table(
         spark,

@@ -92,6 +92,11 @@ def test_cli_stats(capsys, spark, people_csv):
     assert byc["city"]["unique_count"] == 3
 
 
+def test_cli_benchmark(capsys, spark, people_csv):
+    rc, out, _ = run_cli(capsys, spark, ["benchmark", "--runs", "1", people_csv])
+    assert rc == 0 and "MB/s" in out and "runs=1" in out
+
+
 def test_cli_config_precedence(tmp_path, monkeypatch):
     (tmp_path / ".bcsvrc").write_text('{"format": "json", "delimiter": ";"}')
     monkeypatch.chdir(tmp_path)

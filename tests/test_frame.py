@@ -133,10 +133,14 @@ def test_group_aggregate_semantics(spark):
 def test_aggregate_empty_group_edges(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double").filter("v > 99")
     out = TurboFrame(df).aggregate_all(
-        {"n": ("v", "count"), "s": ("v", "sum"), "m": ("v", "mean")}
+        {"n": ("v", "count"), "s": ("v", "sum"), "m": ("v", "mean"),
+         "mn": ("v", "min"), "mx": ("v", "max")}
     ).df.collect()[0]
-    # empty: sum/mean -> 0 (reference); count -> 0
+    # empty: sum/mean -> 0 (reference); count -> 0; min/max -> NULL — the
+    # documented divergence from the reference's ±Infinity JS quirk
+    # (dataframe.ts:307-311, SURVEY §7.3.5)
     assert (out.n, out.s, out.m) == (0, 0.0, 0.0)
+    assert out.mn is None and out.mx is None
 
 
 def test_filter_string_expression(spark):
