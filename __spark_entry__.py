@@ -20,7 +20,14 @@ Determinism conventions used throughout (SURVEY §7.3):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module by file path; make the sibling package
+# importable regardless of the invoking process's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
