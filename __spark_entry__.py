@@ -747,6 +747,51 @@ def q_window_lag_lead(spark, sf_dir):
     )
 
 
+def q_window_rank_family(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over per-segment balances."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    """TF-IDF scoring: term frequency within doc × inverse document
+    frequency across the corpus — two aggregations and a broadcast join,
+    the canonical text-representation pipeline."""
+    from bun_csv_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_len), "doc_id")
+        .join(F.broadcast(df_counts), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf") / F.col("n_tok"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """Exact continuous percentiles of order totals."""
     orders = _t(spark, sf_dir, "orders")
@@ -1168,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "window_running_sum": q_window_running_sum,
         "window_lag_lead": q_window_lag_lead,
+        "window_rank_family": q_window_rank_family,
+        "tfidf": q_tfidf,
         "percentiles": q_percentiles,
         "semi_anti_join": q_semi_anti_join,
         "having_subquery": q_having_subquery,
@@ -1756,6 +1803,43 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """
+
+    sql["window_rank_family"] = """
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """
+
+    sql["tfidf"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*)::BIGINT AS tf
+          FROM tok GROUP BY doc_id, token),
+        doc_len AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tok FROM tok GROUP BY doc_id),
+        dfc AS (
+          SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round((tf.tf / doc_len.n_tok) * ln(n.n_docs / dfc.df), 6) AS tfidf
+          FROM tf
+          JOIN doc_len ON tf.doc_id = doc_len.doc_id
+          JOIN dfc ON tf.token = dfc.token, n)
+        SELECT doc_id, token, tfidf, rnk FROM (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
     """
 
     sql["percentiles"] = """

@@ -7,6 +7,20 @@ import os
 from pyspark.sql import DataFrame
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling (training-data mixture control: downsample
+    overrepresented sources/languages, keep rare ones whole).
+
+    ``sampleBy`` is a filter pushed into the scan — no shuffle, no
+    collect; deterministic for a fixed seed and input partitioning."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
 def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Repartition ONLY when the scan is too small to split (one small
     parquet file = one row group = one task locally), so CPU-bound stages

@@ -101,6 +101,21 @@ def test_simhash_near_dups_close(docs):
     assert hamming(sh[1], sh[5]) < hamming(sh[1], sh[4])
 
 
+def test_stratified_sample(spark):
+    from bun_csv_spark.operators.util import stratified_sample
+
+    df = spark.range(10000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("s"), "id"
+    )
+    out = stratified_sample(df, "s", {"true": 0.1, "false": 0.9}, seed=7)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 300 < counts["true"] < 700  # ~10% of 5000
+    assert 4200 < counts["false"] < 4800  # ~90% of 5000
+    # deterministic for a fixed seed
+    again = stratified_sample(df, "s", {"true": 0.1, "false": 0.9}, seed=7)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+
+
 def test_connected_components(spark):
     from bun_csv_spark.operators.dedup import connected_components
 
