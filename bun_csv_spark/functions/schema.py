@@ -45,8 +45,9 @@ COLUMN_TYPES = (
     "percent",
 )
 
-ISSUE_NULL = "null_not_nullable"
-ISSUE_PARSE = "parse_failure"
+# reference Validation codes (errors.ts:35-37)
+ISSUE_NULL = "ConstraintViolation"
+ISSUE_PARSE = "InvalidCast"
 
 
 @dataclass

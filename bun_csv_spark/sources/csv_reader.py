@@ -128,19 +128,27 @@ def detect_delimiter(
 # ---------------------------------------------------------------------------
 
 
-def _tokenize_line(line: str, delim: str, quote: str) -> tuple[list, list]:
+def _tokenize_line(
+    line: str, delim: str, quote: str
+) -> tuple[list, list, list[str]]:
     """RFC-4180 single-line field split.
 
-    Returns (values, quoted_flags) where an unquoted empty field is None
-    and a quoted empty field is "" (the reference null rule,
-    row.ts:300-321)."""
+    Returns (values, quoted_flags, quote_error_codes) where an unquoted
+    empty field is None and a quoted empty field is "" (the reference null
+    rule, row.ts:300-321). Parsing is LENIENT — malformed quoting still
+    yields a value — but emits structured codes (errors.ts:15-37):
+    QuoteNotClosed (quoted field ran to end of line) and
+    NonTrimableCharAfterClosingQuote (junk between closing quote and
+    delimiter)."""
     fields: list = []
     quoted: list = []
+    errs: list[str] = []
     i, n = 0, len(line)
     while True:
         if i < n and line[i] == quote:
             buf = []
             i += 1
+            closed = False
             while i < n:
                 c = line[i]
                 if c == quote:
@@ -149,21 +157,24 @@ def _tokenize_line(line: str, delim: str, quote: str) -> tuple[list, list]:
                         i += 2
                     else:
                         i += 1
+                        closed = True
                         break
                 else:
                     buf.append(c)
                     i += 1
+            if not closed:
+                errs.append("QuoteNotClosed")
             # anything between closing quote and delimiter is appended
-            # (lenient, like the reference scanner)
+            # (lenient, like the reference scanner) but flagged
             j = line.find(delim, i)
-            if j == -1:
-                buf.append(line[i:])
-                fields.append("".join(buf))
-                quoted.append(True)
-                break
-            buf.append(line[i:j])
+            trailing = line[i:] if j == -1 else line[i:j]
+            if closed and trailing:
+                errs.append("NonTrimableCharAfterClosingQuote")
+            buf.append(trailing)
             fields.append("".join(buf))
             quoted.append(True)
+            if j == -1:
+                break
             i = j + 1
         else:
             j = line.find(delim, i)
@@ -173,7 +184,7 @@ def _tokenize_line(line: str, delim: str, quote: str) -> tuple[list, list]:
             if j == -1:
                 break
             i = j + 1
-    return fields, quoted
+    return fields, quoted, errs
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +304,7 @@ def reader_meta(
         delimiter, confidence = opts.delimiter, 1.0
     head = spark.read.text(path).limit(2).collect()
     first = head[0]["value"] if head else ""
-    fields, _ = _tokenize_line(first, delimiter, opts.quote_char)
+    fields, _, _ = _tokenize_line(first, delimiter, opts.quote_char)
     names = [f if f is not None else "" for f in fields]
     if opts.has_header:
         names = _apply_header_transforms(names, opts)
@@ -404,7 +415,7 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     head = spark.read.text(path).limit(1).collect()
     if not head:
         raise CSVReadError(f"empty CSV source {path!r}")
-    first_fields, _ = _tokenize_line(head[0]["value"], opts.delimiter, opts.quote_char)
+    first_fields, _, _ = _tokenize_line(head[0]["value"], opts.delimiter, opts.quote_char)
     n_cols = len(first_fields)
     schema = T.StructType(
         [T.StructField(f"_c{i}", T.StringType()) for i in range(n_cols)]
@@ -494,7 +505,7 @@ def _read_exact(
         if not head:
             raise CSVReadError(f"no header row found in {path}")
         header_idx = head[0][ROW_IDX]
-        raw_names, _ = _tokenize_line(head[0]["line"], opts.delimiter, opts.quote_char)
+        raw_names, _, _ = _tokenize_line(head[0]["line"], opts.delimiter, opts.quote_char)
         names = [h if h is not None else "" for h in raw_names]
         df = df.filter(F.col(ROW_IDX) > header_idx)
     else:
@@ -516,7 +527,7 @@ def _read_exact(
             T.StructField(ROW_IDX, T.LongType()),
             T.StructField("fields", T.ArrayType(T.StringType())),
             T.StructField("n_fields", T.IntegerType()),
-            T.StructField("err_code", T.StringType()),
+            T.StructField("err_codes", T.ArrayType(T.StringType())),
         ]
     )
 
@@ -524,26 +535,25 @@ def _read_exact(
         for pdf in it:
             idxs, fields_col, nf_col, err_col = [], [], [], []
             for line, idx in zip(pdf["line"], pdf[ROW_IDX]):
-                err = None
                 if max_size is not None and len(line.encode("utf-8")) > max_size:
-                    err = ERR_MAX_RECORD_SIZE
+                    errs = [ERR_MAX_RECORD_SIZE]
                     vals: list = []
                 else:
-                    vals, _quoted = _tokenize_line(line, delim, quote)
+                    vals, _quoted, errs = _tokenize_line(line, delim, quote)
                     if len(vals) < n_cols:
-                        err = ERR_TOO_FEW
+                        errs = errs + [ERR_TOO_FEW]
                     elif len(vals) > n_cols:
-                        err = ERR_TOO_MANY
+                        errs = errs + [ERR_TOO_MANY]
                 idxs.append(idx)
                 fields_col.append(vals)
                 nf_col.append(len(vals))
-                err_col.append(err)
+                err_col.append(errs)
             yield pd.DataFrame(
                 {
                     ROW_IDX: idxs,
                     "fields": fields_col,
                     "n_fields": nf_col,
-                    "err_code": err_col,
+                    "err_codes": err_col,
                 }
             )
 
@@ -568,34 +578,48 @@ def _read_exact(
 
     parsed = parsed.cache()
 
-    # error records, minus relaxed kinds (parser.ts:137-153, 1270-1302)
-    relax_less = opts.relax_column_count or opts.relax_column_count_less
-    relax_more = opts.relax_column_count or opts.relax_column_count_more
-    err_pred = F.col("err_code").isNotNull()
-    if relax_less:
-        err_pred = err_pred & (F.col("err_code") != ERR_TOO_FEW)
-    if relax_more:
-        err_pred = err_pred & (F.col("err_code") != ERR_TOO_MANY)
-    errors = parsed.filter(err_pred).select(
+    # error records, minus relaxed kinds (parser.ts:137-153, 1270-1302);
+    # one output row per (line, code) with the reference's type category
+    from bun_csv_spark.errors import ERROR_TYPES
+
+    relaxed = set()
+    if opts.relax_column_count or opts.relax_column_count_less:
+        relaxed.add(ERR_TOO_FEW)
+    if opts.relax_column_count or opts.relax_column_count_more:
+        relaxed.add(ERR_TOO_MANY)
+    exploded = parsed.select(
+        F.col(ROW_IDX), "n_fields", F.explode("err_codes").alias("code")
+    )
+    if relaxed:
+        exploded = exploded.filter(~F.col("code").isin(*relaxed))
+    type_map = F.create_map(
+        *[F.lit(x) for kv in ERROR_TYPES.items() for x in kv]
+    )
+    message = (
+        F.when(
+            F.col("code").isin(ERR_TOO_FEW, ERR_TOO_MANY),
+            F.concat(
+                F.lit(f"expected {n_cols} fields, got "), F.col("n_fields")
+            ),
+        )
+        .when(F.col("code") == ERR_MAX_RECORD_SIZE,
+              F.lit(f"record exceeds {max_size} bytes"))
+        .otherwise(F.concat(F.lit("malformed quoting: "), F.col("code")))
+    )
+    errors = exploded.select(
         F.col(ROW_IDX).alias("row"),
-        F.col("err_code").alias("code"),
-        F.concat(
-            F.lit("expected "),
-            F.lit(n_cols),
-            F.lit(" fields, got "),
-            F.col("n_fields"),
-        ).alias("message"),
+        type_map[F.col("code")].alias("type"),
+        "code",
+        message.alias("message"),
     )
 
-    # Field-count-mismatch rows still yield data (short rows pad with null,
-    # long rows overflow into __parsed_extra — row.ts:508-523); MaxRecordSize
-    # rows never do. skipRecordsWithError drops every erroring row.
+    # Erroring rows still yield data (short rows pad with null, long rows
+    # overflow into __parsed_extra — row.ts:508-523); MaxRecordSize rows
+    # never do. skipRecordsWithError drops every erroring row.
     if opts.skip_records_with_error:
-        data = parsed.filter(F.col("err_code").isNull())
+        data = parsed.filter(F.size("err_codes") == 0)
     else:
-        data = parsed.filter(
-            F.col("err_code").isNull() | (F.col("err_code") != ERR_MAX_RECORD_SIZE)
-        )
+        data = parsed.filter(~F.array_contains("err_codes", ERR_MAX_RECORD_SIZE))
 
     cols: list[Column] = [
         F.get("fields", i).alias(names[i]) for i in range(n_cols)

@@ -230,7 +230,8 @@ def test_unclosed_quote_is_lenient(spark, write_csv_file):
     vals = {r.a: r.b for r in df.collect()}
     assert vals["1"] == "unclosed"
     assert vals["2"] == "ok"
-    assert errors.count() == 0
+    errs = [(e.code, e.type) for e in errors.collect()]
+    assert errs == [("QuoteNotClosed", "Quotes")]
 
 
 def test_reader_meta(spark, write_csv_file):

@@ -57,9 +57,9 @@ def test_apply_schema_strict_ok(spark):
 
 def test_validate_schema_reports(raw):
     issues = {(r.column, r.issue) for r in validate_schema(raw, SCHEMA).collect()}
-    assert ("id", "parse_failure") in issues
-    assert ("ok", "parse_failure") in issues  # 'maybe'
-    assert ("d", "parse_failure") in issues  # 'bad-date'
+    assert ("id", "InvalidCast") in issues
+    assert ("ok", "InvalidCast") in issues  # 'maybe'
+    assert ("d", "InvalidCast") in issues  # 'bad-date'
     assert not any(c == "bal" for c, _ in issues)  # default absorbs the null
 
 
