@@ -1156,6 +1156,19 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, list(qvec), k=10, dim=64, n_planes=6)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image pipeline plumbing: payload -> md5-derived dims (Arrow-batched
+    decode stub) -> aspect-preserving thumbnail geometry (JVM exprs)."""
+    from bun_csv_spark.multimodal.binary import extract_image_meta, resize_dims
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    meta = extract_image_meta(docs, "doc_id", "payload")
+    new_w, new_h = resize_dims("width", "height", 256)
+    return meta.select(
+        "doc_id", "width", "height", new_w.alias("thumb_w"), new_h.alias("thumb_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1211,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "window_running_sum": q_window_running_sum,
         "window_lag_lead": q_window_lag_lead,
         "window_rank_family": q_window_rank_family,
@@ -1786,6 +1800,22 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text))::BIGINT AS byte_len,
                md5(text) AS content_hash
         FROM documents
+    """
+
+    sql["multimodal_resize"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 1 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 512 AS width,
+                 1 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 512 AS height
+          FROM documents)
+        SELECT doc_id, width, height,
+               CASE WHEN greatest(width, height) <= 256 THEN width
+                    ELSE greatest((width * 256) // greatest(width, height), 1)
+               END::BIGINT AS thumb_w,
+               CASE WHEN greatest(width, height) <= 256 THEN height
+                    ELSE greatest((height * 256) // greatest(width, height), 1)
+               END::BIGINT AS thumb_h
+        FROM dims
     """
 
     sql["window_running_sum"] = """

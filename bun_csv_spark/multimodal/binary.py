@@ -46,6 +46,51 @@ def decode_image_stub(payload: bytes) -> "object":
     )
 
 
+def extract_image_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Image-metadata decode stub: width/height derived deterministically
+    from the payload's md5 (1 + first/second 16 bits mod 512) — a real
+    decoder reads the codec header here; the Arrow-batched shape is the
+    production plumbing."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, width long, height long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hexes = pdf[payload_col].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": hexes.map(lambda h: 1 + int(h[:4], 16) % 512),
+                    "height": hexes.map(lambda h: 1 + int(h[4:8], 16) % 512),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def resize_dims(width, height, max_dim: int = 256):
+    """Aspect-preserving thumbnail dimensions as Column expressions
+    (integer math, floor scaling, min 1px). The geometry half of a resize
+    operator — the pixel half plugs into decode_image_stub."""
+    from pyspark.sql import Column
+
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    longest = F.greatest(w, h)
+    new_w = F.greatest(F.floor(w * max_dim / longest), F.lit(1)).cast("long")
+    new_h = F.greatest(F.floor(h * max_dim / longest), F.lit(1)).cast("long")
+    keep = longest <= max_dim
+    return (
+        F.when(keep, w).otherwise(new_w).cast("long"),
+        F.when(keep, h).otherwise(new_h).cast("long"),
+    )
+
+
 def extract_binary_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
