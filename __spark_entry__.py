@@ -151,13 +151,14 @@ def q_limit_preview(spark, sf_dir):
 
 
 def q_join_inner(spark, sf_dir):
-    """Hash equi-join, inner (dataframe.ts:157-207)."""
+    """Hash equi-join, inner (dataframe.ts:157-207). No broadcast hint:
+    customer scales with SF, so the strategy is left to AQE (it broadcasts
+    only when the runtime size is actually under the threshold)."""
     tf = TurboFrame(_t(spark, sf_dir, "orders"))
     joined = tf.join(
         TurboFrame(_t(spark, sf_dir, "customer")),
         on={"left": "o_custkey", "right": "c_custkey"},
         how="inner",
-        broadcast=True,
     )
     return joined.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment").df
 
@@ -306,7 +307,8 @@ def q_tpch_q3(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no forced broadcast; AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
         .select(
@@ -321,8 +323,9 @@ def q_tpch_q3(spark, sf_dir):
 
 
 def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 local-supplier volume (adapted): 6-way star join with the
-    dimension chain broadcast, revenue per nation in one region."""
+    """TPC-H Q5 local-supplier volume (adapted): 6-way star join — fixed
+    dims (nation/region) broadcast, scaling tables AQE-decided — revenue
+    per nation in one region."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     supplier = _t(spark, sf_dir, "supplier")
@@ -332,9 +335,11 @@ def q_tpch_q5(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier scale with SF — no forced broadcast (AQE
+        # decides); nation/region are fixed 25/5-row dims, always safe
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (cust.c_nationkey == supplier.s_nationkey),
         )
@@ -529,7 +534,8 @@ def q_distinct_agg(spark, sf_dir):
     SURVEY §2.4 'no distinct aggregation modifier')."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer scales with SF — strategy left to AQE
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return joined.groupBy("c_mktsegment").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
@@ -762,28 +768,29 @@ def q_window_rank_family(spark, sf_dir):
 
 def q_tfidf(spark, sf_dir):
     """TF-IDF scoring: term frequency within doc × inverse document
-    frequency across the corpus — two aggregations and a broadcast join,
-    the canonical text-representation pipeline."""
+    frequency across the corpus — the canonical text-representation
+    pipeline, shaped for 100 TB: document length is a window sum over the
+    per-(doc,token) counts (no corpus-sized join at all), and the
+    vocabulary join is left to AQE (it broadcasts only if genuinely
+    small). n_docs is the one driver scalar — a count-star parquet
+    metadata read."""
     from bun_csv_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w_doc = Window.partitionBy("doc_id")
+    tf = tf.withColumn("n_tok", F.sum("tf").over(w_doc))
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(doc_len), "doc_id")
-        .join(F.broadcast(df_counts), "token")
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                (F.col("tf") / F.col("n_tok"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
-                6,
-            ).alias("tfidf"),
-        )
+    scored = tf.join(df_counts, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("tf") / F.col("n_tok"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
@@ -1298,6 +1305,17 @@ def _bands_sql(bands: int = 4, rows: int = 2) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# mirrors neardup_pairs_minhash's max_bucket degenerate-bucket guard
+# (dedup.py): buckets larger than the cap are dropped before the self-join
+_BANDS_CAPPED_SQL = """
+bands_c AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands)
+  WHERE bsz <= 64
+)
+"""
+
+
 def _stopword_sql_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
 
@@ -1714,10 +1732,10 @@ def oracle_sql() -> dict[str, str]:
     sql["neardup_pairs"] = (
         "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
         + _minhash_sql("corpus")
-        + "), bands AS (" + _bands_sql() + ") "
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
         + """
         SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
-        FROM bands a JOIN bands b
+        FROM bands_c a JOIN bands_c b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         """
     )
@@ -1725,10 +1743,11 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_clusters"] = (
         "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL.replace("corpus AS", "corpus AS", 1)
         + ", sig AS (" + _minhash_sql("corpus")
-        + "), bands AS (" + _bands_sql() + "), pairs AS ("
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + ", pairs AS ("
         + """
           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          FROM bands a JOIN bands b
+          FROM bands_c a JOIN bands_c b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
         sym AS (
           SELECT ida AS a, idb AS b FROM pairs
@@ -1746,10 +1765,11 @@ def oracle_sql() -> dict[str, str]:
     sql["ngram_jaccard"] = (
         "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
         + _minhash_sql("corpus")
-        + "), bands AS (" + _bands_sql() + "), pairs AS ("
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + ", pairs AS ("
         + """
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM bands_c a JOIN bands_c b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         ), grams AS (
           SELECT doc_id,

@@ -23,9 +23,13 @@ Scale notes:
 - the explode(shingles) stage is the big one: rows × (len-k+1) shingles.
   Aggregating min() per (doc, hash-index) is map-side combinable, so the
   shuffle carries only n_docs × n_hashes rows.
-- band-bucket join skew: a degenerate bucket (e.g. empty docs) explodes the
-  self-join. ``neardup_pairs_minhash`` caps bucket size (AQE skew-join
-  handles the rest).
+- band-bucket join skew: a degenerate bucket (empty/boilerplate docs all
+  hashing identically) makes the self-join quadratic.
+  ``neardup_pairs_minhash`` therefore drops buckets larger than
+  ``max_bucket`` (default 64) BEFORE the join — a band shared by hundreds
+  of documents is boilerplate, not near-dup signal, and exact/fingerprint
+  dedup already handles identical docs. AQE skew-join handles residual
+  imbalance below the cap.
 """
 
 from __future__ import annotations
@@ -133,12 +137,20 @@ def neardup_pairs_minhash(
     bands: int = 4,
     shingle_k: int = 5,
     repartition: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
     min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
 
     The self-join is on the band bucket key — Catalyst shuffles both sides
-    by (band, bucket) so comparisons stay within buckets."""
+    by (band, bucket) so comparisons stay within buckets.
+
+    ``max_bucket`` is the degenerate-bucket guard: any (band, bucket)
+    holding more than this many docs is dropped before the join (one
+    bucket of B docs contributes B²/2 candidate pairs — a single
+    10k-identical-docs bucket would add 5·10⁷ pairs and stall the stage).
+    The size count is a window over the SAME (band, bucket) key the join
+    shuffles on, so the cap adds no extra exchange. ``None`` disables."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, repartition)
     band_cols = []
@@ -150,6 +162,16 @@ def neardup_pairs_minhash(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
 
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -41,6 +41,8 @@ class EditLog:
     cell_edits: dict[tuple[int, str], str | None] = field(default_factory=dict)
     deleted: set[int] = field(default_factory=set)
     inserts: dict[int, list] = field(default_factory=dict)  # output pos -> values
+    # get_cell contiguity memo: (id(df), row_col) -> min index or None
+    _contig_base: dict = field(default_factory=dict, repr=False)
 
     def set_cell(self, row: int, column: str, value) -> None:
         self.cell_edits[(row, column)] = value
@@ -91,7 +93,13 @@ class EditLog:
         """Replay the log over a DataFrame carrying file-order identity.
 
         Returns the edited frame with the same user-facing columns, ordered
-        like the reference's saved file, with a fresh ``__row_idx``."""
+        like the reference's saved file, with a fresh ``__row_idx``.
+
+        Scale boundary: the renumbering and final replay-order windows are
+        GLOBAL (single task) — correct for the operator's actual domain, an
+        interactive edit log over one ordered file (the reference replays a
+        user's manual edits, parser.ts:816-850). This is not a 100 TB path;
+        batch mutations at scale belong in ordinary joins/filters/unions."""
         spark = df.sparkSession
         data_cols = [c for c in df.columns if c != row_col]
 
@@ -152,16 +160,34 @@ class EditLog:
         )
 
     def get_cell(self, df: DataFrame, row: int, column: str, row_col: str = ROW_IDX):
-        """Point lookup with modifications applied (parser.ts:874-899)."""
+        """Point lookup with modifications applied (parser.ts:874-899).
+
+        When the frame's ``row_col`` is contiguous (no gaps from skipped
+        comment/blank lines), the lookup is a direct equality filter on the
+        existing index — no global window. The contiguity probe is one tiny
+        aggregation, memoized per frame."""
         if (row, column) in self.cell_edits:
             return self.cell_edits[(row, column)]
         if row in self.deleted:
             return None
-        w = Window.orderBy(F.col(row_col))
-        hit = (
-            df.withColumn("__r", F.row_number().over(w) - 1)
-            .filter(F.col("__r") == row)
-            .select(column)
-            .collect()
-        )
+        key = (id(df), row_col)
+        if key not in self._contig_base:
+            b = df.agg(
+                F.min(row_col).alias("mn"),
+                F.max(row_col).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            contiguous = b["n"] > 0 and b["mx"] - b["mn"] + 1 == b["n"]
+            self._contig_base[key] = b["mn"] if contiguous else None
+        base = self._contig_base[key]
+        if base is not None:
+            hit = df.filter(F.col(row_col) == base + row).select(column).collect()
+        else:
+            w = Window.orderBy(F.col(row_col))
+            hit = (
+                df.withColumn("__r", F.row_number().over(w) - 1)
+                .filter(F.col("__r") == row)
+                .select(column)
+                .collect()
+            )
         return hit[0][0] if hit else None

@@ -58,15 +58,16 @@ def with_row_index(df: DataFrame, name: str = ROW_IDX) -> DataFrame:
     """Attach a deterministic 0-based file-order row index.
 
     The reference exposes 0-based ``row.index`` in file order
-    (reference: src/ts/row.ts:88-89). Spark has no implicit row identity, so
-    we zip the underlying partitions: for file sources the partition order
-    and intra-partition order are deterministic, making this stable across
-    runs. This is one full pass but no shuffle; at 100 TB prefer carrying a
-    natural key instead when one exists.
+    (reference: src/ts/row.ts:88-89). Spark has no implicit row identity;
+    this delegates to ``operators.util.with_file_order_index`` — a pure
+    DataFrame-API index (spark_partition_id + a tiny per-partition count
+    aggregation + broadcast offset join; no ``.rdd``, no Python hop, no
+    shuffle). One extra stats job; at 100 TB prefer carrying a natural key
+    instead when one exists.
     """
-    schema = T.StructType(df.schema.fields + [T.StructField(name, T.LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    from bun_csv_spark.operators.util import with_file_order_index
+
+    return with_file_order_index(df, name)
 
 
 class TurboFrame:

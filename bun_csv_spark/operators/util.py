@@ -5,6 +5,70 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_file_order_index(
+    df: DataFrame, name: str = "__row_idx", order_col: str | None = None
+) -> DataFrame:
+    """Attach a deterministic 0-based row index — pure DataFrame API.
+
+    Replaces ``df.rdd.zipWithIndex()`` (which round-trips every row through
+    Python serialization) with three JVM-side steps:
+
+    1. tag rows with ``spark_partition_id()`` + ``monotonically_increasing_id()``;
+    2. one tiny aggregation (one row per task — bounded by cluster
+       parallelism, not data size) collects per-partition row counts plus
+       the partition's min ``order_col`` (pass the file source's
+       ``_metadata.file_block_start`` to order partitions by file offset;
+       default orders by partition id, matching zipWithIndex); cumulative
+       offsets are computed on the driver;
+    3. broadcast-join the offsets back. When ``monotonically_increasing_id``
+       is contiguous within every partition (its documented behavior —
+       verified from the collected stats), the index is
+       ``offset + (mid - partition_min_mid)`` with NO shuffle at all;
+       otherwise fall back to a partition-local ``row_number`` window.
+
+    Deterministic whenever the upstream plan is (file scans are). Like
+    zipWithIndex this evaluates the plan twice (stats job + real job).
+    """
+    base = df.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    ord_expr = F.min(order_col) if order_col else F.min("__pid")
+    stats = (
+        base.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("__mid").alias("__mn"),
+            F.max("__mid").alias("__mx"),
+            ord_expr.alias("__ordk"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: (r["__ordk"], r["__pid"]))
+    contiguous = all(r["__mx"] - r["__mn"] + 1 == r["__cnt"] for r in stats)
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append((r["__pid"], acc, r["__mn"]))
+        acc += r["__cnt"]
+    offs = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long, __pmn long"
+    )
+    out = base.join(F.broadcast(offs), "__pid")
+    if contiguous:
+        idx = F.col("__off") + (F.col("__mid") - F.col("__pmn"))
+    else:  # pragma: no cover — mid has been contiguous on every Spark release
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__pid").orderBy("__mid")
+        idx = F.col("__off") + F.row_number().over(w) - 1
+    return (
+        out.withColumn(name, idx.cast("long"))
+        .drop("__pid", "__mid", "__off", "__pmn")
+    )
 
 
 def stratified_sample(

@@ -43,9 +43,15 @@ ROW_IDX = "__row_idx"
 PARSED_EXTRA = "__parsed_extra"
 
 # error codes mirror the reference's structured errors (src/ts/errors.ts:14-37)
-# token injected for quoted-empty fields on the native path, rewritten to ""
-# immediately after the scan (see _read_native)
-_EMPTY_SENTINEL = "__QUOTED_EMPTY__"
+def _empty_sentinel() -> str:
+    """Per-read collision-resistant token injected for quoted-empty fields
+    on the native path, rewritten to "" immediately after the scan (see
+    _read_native). Randomized per read so no real data value can collide
+    with it (a fixed token would silently corrupt a field whose genuine
+    value happened to equal the token)."""
+    import uuid
+
+    return f"\x01QE{uuid.uuid4().hex}\x01"
 
 ERR_TOO_FEW = "TooFewFields"
 ERR_TOO_MANY = "TooManyFields"
@@ -412,7 +418,12 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     # Pre-read the header line and hand the reader an explicit all-string
     # schema: without it Spark runs a schema/header discovery pass over the
     # files on EVERY action (~2x scan cost measured at sf0.1).
-    head = spark.read.text(path).limit(1).collect()
+    # Spark's CSV reader skips comment and blank lines before the header,
+    # so the probe must too (a leading comment is not the header).
+    probe = spark.read.text(path)
+    if opts.comments:
+        probe = probe.filter(~F.col("value").startswith(opts.comments))
+    head = probe.filter(F.col("value") != "").limit(1).collect()
     if not head:
         raise CSVReadError(f"empty CSV source {path!r}")
     first_fields, _, _ = _tokenize_line(head[0]["value"], opts.delimiter, opts.quote_char)
@@ -421,6 +432,7 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
         [T.StructField(f"_c{i}", T.StringType()) for i in range(n_cols)]
     )
 
+    sentinel = _empty_sentinel()
     reader = (
         spark.read.schema(schema)
         .option("sep", opts.delimiter)
@@ -435,7 +447,7 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
         # distinguishes them is emptyValue, which substitutes a token for
         # quoted-empty. Inject a sentinel, then rewrite it to "" post-read.
         .option("nullValue", "")
-        .option("emptyValue", _EMPTY_SENTINEL)
+        .option("emptyValue", sentinel)
     )
     if opts.comments:
         reader = reader.option("comment", opts.comments)
@@ -447,7 +459,7 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     df = reader.csv(path)
     df = df.withColumns(
         {
-            c: F.when(F.col(c) == _EMPTY_SENTINEL, F.lit("")).otherwise(F.col(c))
+            c: F.when(F.col(c) == sentinel, F.lit("")).otherwise(F.col(c))
             for c in df.columns
         }
     )
@@ -480,14 +492,17 @@ def _read_exact(
 ) -> tuple[DataFrame, DataFrame]:
     import pandas as pd
 
-    lines = spark.read.text(path)
-    # deterministic file-order line numbers: text-source partitions are
-    # file-ordered, so zipWithIndex is stable (SURVEY §4.3.4)
-    schema = T.StructType(
-        [T.StructField("line", T.StringType()), T.StructField(ROW_IDX, T.LongType())]
+    from bun_csv_spark.operators.util import with_file_order_index
+
+    # deterministic file-order line numbers, all JVM-side: partition order
+    # comes from the file source's _metadata.file_block_start, the global
+    # offset from a tiny per-partition count aggregation (SURVEY §4.3.4) —
+    # no .rdd, no Python round-trip of the data
+    lines = spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.col("_metadata.file_block_start").alias("__blk"),
     )
-    rdd = lines.rdd.zipWithIndex().map(lambda p: (p[0][0], p[1]))
-    df = spark.createDataFrame(rdd, schema)
+    df = with_file_order_index(lines, ROW_IDX, order_col="__blk").drop("__blk")
 
     if opts.skip_first_n_lines:
         df = df.filter(F.col(ROW_IDX) >= opts.skip_first_n_lines)
@@ -559,21 +574,28 @@ def _read_exact(
 
     parsed = df.mapInPandas(parse_batches, schema=out_schema)
 
-    # record numbering (1-based, post-header) for fromLine/toLine
+    # Record numbering for fromLine/toLine. The reference counts 1-based
+    # FILE lines with the header as line 1 (parser.ts:1504-1513:
+    # fromRecord = fromLine - headerOffset - 1), so with a header every
+    # bound shifts down one record: fromLine=3 starts at the 2nd data
+    # record. Clamped at record 1.
+    # Scale note: the row_number window is global (single task) — it only
+    # engages when a line-range option is set, which is inherently an
+    # ordered-file operation (exact/fidelity path, not the 100 TB path).
     if opts.from_line is not None or opts.to_line is not None or opts.preview:
         from pyspark.sql import Window
 
+        hdr_off = 1 if opts.has_header else 0
         w = Window.orderBy(ROW_IDX)
         parsed = parsed.withColumn("__rec", F.row_number().over(w))
+        start = 1
         if opts.from_line is not None:
-            parsed = parsed.filter(F.col("__rec") >= opts.from_line)
+            start = max(1, opts.from_line - hdr_off)
+            parsed = parsed.filter(F.col("__rec") >= start)
         if opts.to_line is not None:
-            parsed = parsed.filter(F.col("__rec") <= opts.to_line)
+            parsed = parsed.filter(F.col("__rec") <= opts.to_line - hdr_off)
         if opts.preview:
-            parsed = parsed.filter(
-                F.col("__rec")
-                < (opts.from_line or 1) + opts.preview
-            )
+            parsed = parsed.filter(F.col("__rec") < start + opts.preview)
         parsed = parsed.drop("__rec")
 
     parsed = parsed.cache()
@@ -587,9 +609,16 @@ def _read_exact(
         relaxed.add(ERR_TOO_FEW)
     if opts.relax_column_count or opts.relax_column_count_more:
         relaxed.add(ERR_TOO_MANY)
-    exploded = parsed.select(
-        F.col(ROW_IDX), "n_fields", F.explode("err_codes").alias("code")
-    )
+    # The reference's CSVError.row is the 0-based DATA-row index — it does
+    # not count the header or skipped/comment/blank lines (errors.ts:49) —
+    # so renumber the surviving records before exploding. The global window
+    # is lazy: it executes only when the errors frame is consumed.
+    from pyspark.sql import Window
+
+    w_err = Window.orderBy(ROW_IDX)
+    exploded = parsed.withColumn(
+        "__rec0", F.row_number().over(w_err) - 1
+    ).select(F.col("__rec0"), "n_fields", F.explode("err_codes").alias("code"))
     if relaxed:
         exploded = exploded.filter(~F.col("code").isin(*relaxed))
     type_map = F.create_map(
@@ -607,7 +636,7 @@ def _read_exact(
         .otherwise(F.concat(F.lit("malformed quoting: "), F.col("code")))
     )
     errors = exploded.select(
-        F.col(ROW_IDX).alias("row"),
+        F.col("__rec0").alias("row"),
         type_map[F.col("code")].alias("type"),
         "code",
         message.alias("message"),

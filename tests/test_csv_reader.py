@@ -94,15 +94,27 @@ def test_skip_first_n_lines(spark, write_csv_file):
 
 
 def test_from_to_line(spark, write_csv_file):
-    path = write_csv_file("a\n" + "\n".join(str(i) for i in range(1, 11)) + "\n")
+    # fromLine/toLine are 1-based FILE lines with the header as line 1
+    # (parser.ts:1504-1513) — fromLine=3 starts at the 2nd DATA record.
+    # Values are distinct from record numbers so an off-by-one can't hide.
+    path = write_csv_file("a\n" + "\n".join(f"v{i}" for i in range(1, 11)) + "\n")
     df = read_csv(spark, path, CSVOptions(from_line=3, to_line=5))
-    assert sorted(int(r.a) for r in df.collect()) == [3, 4, 5]
+    assert sorted(r.a for r in df.collect()) == ["v2", "v3", "v4"]
+
+
+def test_from_to_line_no_header(spark, write_csv_file):
+    # without a header, file line N is data record N
+    path = write_csv_file("\n".join(f"v{i}" for i in range(1, 11)) + "\n")
+    df = read_csv(
+        spark, path, CSVOptions(has_header=False, from_line=3, to_line=5)
+    )
+    assert sorted(r.col0 for r in df.collect()) == ["v3", "v4", "v5"]
 
 
 def test_preview_composes_with_from_line(spark, write_csv_file):
-    path = write_csv_file("a\n" + "\n".join(str(i) for i in range(1, 11)) + "\n")
+    path = write_csv_file("a\n" + "\n".join(f"v{i}" for i in range(1, 11)) + "\n")
     df = read_csv(spark, path, CSVOptions(from_line=3, preview=2))
-    assert sorted(int(r.a) for r in df.collect()) == [3, 4]
+    assert sorted(r.a for r in df.collect()) == ["v2", "v3"]
 
 
 def test_skip_empty_rows_greedy(spark, write_csv_file):

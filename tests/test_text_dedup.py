@@ -84,6 +84,30 @@ def test_neardup_pairs_finds_dups(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_bucket_cap_degenerate(spark):
+    """10k identical short docs hash to ONE bucket per band; without the
+    max_bucket cap the self-join is quadratic (~2·10⁸ candidate pairs).
+    The cap drops the degenerate buckets, while genuine near-dups in
+    ordinary buckets still pair."""
+    degenerate = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("aaaaaa").alias("text")
+    )
+    real = spark.createDataFrame(
+        [
+            (100_001, "the quick brown fox jumps over the lazy dog tonight"),
+            (100_002, "the quick brown fox jumps over the lazy dog tonite"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = neardup_pairs_minhash(
+        degenerate.unionAll(real), "doc_id", "text", max_bucket=64
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (100_001, 100_002) in ids
+    # every pair from the 10k-doc bucket is suppressed
+    assert all(a > 100_000 for a, _ in ids)
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
     out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs, "doc_id", "text").collect()}

@@ -38,12 +38,33 @@ EXPECTATIONS = {
 }
 
 
+# Forced-broadcast budget: scaling tables (customer/supplier/documents…)
+# must NOT carry a broadcast hint — their strategy is AQE/statistics-decided.
+# Only fixed-size dims (region 5 rows, nation 25) may be hinted.
+BROADCAST_HINT_BUDGET = {
+    "tfidf": 0,          # corpus-sized doc_len/df_counts must not be hinted
+    "join_inner": 0,     # customer scales with SF
+    "tpch_q3": 0,
+    "distinct_agg": 0,
+    "tpch_q5": 2,        # nation + region only
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("audit", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     bad = 0
+    for name, budget in BROADCAST_HINT_BUDGET.items():
+        df = queries[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("ResolvedHint")
+        if n_hints > budget:
+            bad += 1
+            print(f"BAD  {name}: {n_hints} broadcast hints (budget {budget})")
+        else:
+            print(f"OK   {name}: broadcast hints={n_hints}/{budget}")
     for name, (max_ex, must, must_not) in EXPECTATIONS.items():
         df = queries[name](spark, sf_dir)
         plan = plan_of(df)
