@@ -1056,6 +1056,156 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def _nation_csv_fixture(
+    spark, sf_dir, ragged: bool = False, comments: bool = False
+) -> str:
+    """Serialize nation (25 rows, driver-side) to a CSV file with
+    deterministically planted irregularities, for the reader option-matrix
+    gates (reference test/unit/errors.test.ts:39-163,
+    phase1-features.test.ts:58-501). Returns the file path.
+
+    - ``comments``: a '# …' line before the header and before every row
+      whose key is a multiple of 5.
+    - ``ragged``: rows with key % 7 == 3 drop the last field
+      (TooFewFields); otherwise rows with key % 5 == 2 gain an extra
+      field ``x{key}`` (TooManyFields)."""
+    import tempfile as _tf
+
+    rows = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = []
+    if comments:
+        lines.append("# leading comment before the header")
+    lines.append("n_nationkey,n_name,n_regionkey")
+    for r in rows:
+        k = r["n_nationkey"]
+        if comments and k % 5 == 0:
+            lines.append(f"# comment {k}")
+        if ragged and k % 7 == 3:
+            lines.append(f"{k},{r['n_name']}")
+        elif ragged and k % 5 == 2:
+            lines.append(f"{k},{r['n_name']},{r['n_regionkey']},x{k}")
+        else:
+            lines.append(f"{k},{r['n_name']},{r['n_regionkey']}")
+    f = _tf.NamedTemporaryFile(
+        "w", suffix=".csv", prefix="bcsv_opts_", delete=False, encoding="utf-8"
+    )
+    f.write("\n".join(lines) + "\n")
+    f.close()
+    return f.name
+
+
+def q_csv_opts_comments(spark, sf_dir):
+    """Option matrix: comment-line skipping on the native path, including
+    a comment BEFORE the header (parser.ts:72-73; the header/schema probe
+    must skip it)."""
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
+
+    path = _nation_csv_fixture(spark, sf_dir, comments=True)
+    return read_csv(spark, path, CSVOptions(comments="#"))
+
+
+def q_csv_opts_fromto(spark, sf_dir):
+    """Option matrix: fromLine/toLine as 1-based file lines with the
+    header as line 1 (parser.ts:1504-1513) — lines 5..20 of a headered
+    file are data records 4..19."""
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
+
+    path = _nation_csv_fixture(spark, sf_dir)
+    df = read_csv(spark, path, CSVOptions(from_line=5, to_line=20))
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_csv_opts_relax(spark, sf_dir):
+    """Option matrix: relaxColumnCount — short rows pad NULL, overflow
+    lands in __parsed_extra (row.ts:508-523), no error rows."""
+    from bun_csv_spark.sources.csv_reader import (
+        PARSED_EXTRA,
+        CSVOptions,
+        read_csv_with_errors,
+    )
+
+    path = _nation_csv_fixture(spark, sf_dir, ragged=True)
+    df, errors = read_csv_with_errors(
+        spark, path, CSVOptions(relax_column_count=True)
+    )
+    assert errors.count() == 0  # both error kinds relaxed away
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.when(
+            F.col(PARSED_EXTRA).isNotNull(), F.concat_ws(";", PARSED_EXTRA)
+        ).alias("extra"),
+    )
+
+
+def q_csv_opts_errors(spark, sf_dir):
+    """Option matrix: structured TooFewFields/TooManyFields error rows
+    with 0-based data-row indices (errors.ts:6-53)."""
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv_with_errors
+
+    path = _nation_csv_fixture(spark, sf_dir, ragged=True)
+    _df, errors = read_csv_with_errors(
+        spark, path, CSVOptions(with_row_index=True)
+    )
+    return errors.select(
+        F.col("row").cast("long").alias("row"), "type", "code", "message"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Training-data mixture control: deterministic hash-based stratified
+    sampling per language (downsample dominant en, keep rare langs)."""
+    from bun_csv_spark.operators.util import stratified_sample_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 1.0, "fr": 0.75}
+    return stratified_sample_hash(docs, "lang", fractions, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """REAL streaming dedup: dropDuplicatesWithinWatermark over the events
+    replay. The watermark delay (30 days) exceeds the dataset's time span,
+    so no state expires mid-replay and the surviving set is exactly the
+    distinct keys — which row survives is processing-order-dependent, so
+    only the key columns are returned (that set IS deterministic)."""
+    import os as _os
+
+    from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
+    from bun_csv_spark.streaming.windows import run_stream_to_table, streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        src = stream.select(
+            "user_id",
+            "event_type",
+            ns_to_ntz_micros("ts").cast("timestamp").alias("ts_t"),
+        )
+        out = streaming_dedup(src, ["user_id", "event_type"], "ts_t", "30 days")
+        return out.select("user_id", "event_type")
+
+    return run_stream_to_table(spark, path, transform, output_mode="append")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH banded buckets (portable
+    md5-derived planes) -> capped bucket self-join -> exact cosine verify.
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51), so the gate threshold is 0.35 — it pins the ALGORITHM, bucket
+    bits and all, against the oracle."""
+    from bun_csv_spark.operators.dedup import neardup_pairs_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_embedding(
+        emb, "vec_id", "embedding", dim=64, threshold=0.35,
+        bands=4, n_planes=6, seed=7,
+    )
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN: Voronoi cells around the first 16 corpus vectors, query
     probes the 2 nearest cells, brute-force within. Fully deterministic,
@@ -1182,32 +1332,61 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered RISKIEST-FIRST: round 1's correctness run covered exactly the
+    # first 50 registry entries, so the queries without a prior oracle
+    # verdict (plus this round's new gates) lead, and the long-stable
+    # trivial ones (simple filters/limits/set ops, all green in round 1)
+    # bring up the rear where a capped run can least afford to miss.
     return {
-        "select_project": q_select_project,
-        "filter_numeric": q_filter_numeric,
-        "filter_compound": q_filter_compound,
-        "filter_string_ops": q_filter_string_ops,
-        "filter_matches": q_filter_matches,
-        "sort_topk": q_sort_topk,
-        "limit_preview": q_limit_preview,
-        "join_inner": q_join_inner,
-        "join_left": q_join_left,
-        "join_right": q_join_right,
-        "join_full": q_join_full,
-        "join_cross": q_join_cross,
-        "groupby_reference_aggs": q_groupby_reference_aggs,
-        "groupby_concat": q_groupby_concat,
-        "agg_ungrouped": q_agg_ungrouped,
+        # -- no oracle verdict yet / new this round -------------------------
+        "edit_overlay": q_edit_overlay,
+        "csv_roundtrip": q_csv_roundtrip,
+        "csv_opts_comments": q_csv_opts_comments,
+        "csv_opts_fromto": q_csv_opts_fromto,
+        "csv_opts_relax": q_csv_opts_relax,
+        "csv_opts_errors": q_csv_opts_errors,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
+        "streaming_dedup": q_streaming_dedup,
+        "stratified_sample": q_stratified_sample,
+        "dedup_embedding": q_dedup_embedding,
+        "tfidf": q_tfidf,
+        "window_lag_lead": q_window_lag_lead,
+        "window_rank_family": q_window_rank_family,
+        "percentiles": q_percentiles,
+        "semi_anti_join": q_semi_anti_join,
+        "having_subquery": q_having_subquery,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_bucketing": q_case_bucketing,
+        "pivot_native": q_pivot_native,
+        "events_sliding": q_events_sliding,
+        "dynamic_typing_struct": q_dynamic_typing_struct,
+        "embedding_norms": q_embedding_norms,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "ivf_ann": q_ivf_ann,
+        "top_tokens": q_top_tokens,
+        "quality_filter": q_quality_filter,
+        "label_centroids": q_label_centroids,
+        "schema_apply": q_schema_apply,
+        # -- green in round 1, heavier pipelines ----------------------------
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "count_rows": q_count_rows,
-        "distinct_values": q_distinct_values,
-        "set_ops": q_set_ops,
-        "coercion_pipeline": q_coercion_pipeline,
-        "stats_columns": q_stats_columns,
-        "unparse_lines": q_unparse_lines,
-        "window_topk_per_group": q_window_topk_per_group,
+        "groupby_reference_aggs": q_groupby_reference_aggs,
+        "groupby_concat": q_groupby_concat,
+        "agg_ungrouped": q_agg_ungrouped,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_pairs": q_neardup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_join": q_knn_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "session_window_native": q_session_window,
@@ -1218,45 +1397,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "json_extract": q_json_extract,
         "unpivot": q_unpivot,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_detect": q_lang_detect,
         "doc_fingerprint": q_doc_fingerprint,
-        "minhash_signatures": q_minhash_signatures,
-        "neardup_pairs": q_neardup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_join": q_knn_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
+        "window_topk_per_group": q_window_topk_per_group,
         "window_running_sum": q_window_running_sum,
-        "window_lag_lead": q_window_lag_lead,
-        "window_rank_family": q_window_rank_family,
-        "tfidf": q_tfidf,
-        "percentiles": q_percentiles,
-        "semi_anti_join": q_semi_anti_join,
-        "having_subquery": q_having_subquery,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "case_bucketing": q_case_bucketing,
-        "pivot_native": q_pivot_native,
-        "events_sliding": q_events_sliding,
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "edit_overlay": q_edit_overlay,
-        "dynamic_typing_struct": q_dynamic_typing_struct,
-        "embedding_norms": q_embedding_norms,
-        "csv_roundtrip": q_csv_roundtrip,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ivf_ann": q_ivf_ann,
-        "top_tokens": q_top_tokens,
-        "quality_filter": q_quality_filter,
-        "label_centroids": q_label_centroids,
-        "schema_apply": q_schema_apply,
+        "coercion_pipeline": q_coercion_pipeline,
+        "stats_columns": q_stats_columns,
+        "unparse_lines": q_unparse_lines,
+        # -- green in round 1, simple & stable ------------------------------
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_full": q_join_full,
+        "join_cross": q_join_cross,
+        "select_project": q_select_project,
+        "filter_numeric": q_filter_numeric,
+        "filter_compound": q_filter_compound,
+        "filter_string_ops": q_filter_string_ops,
+        "filter_matches": q_filter_matches,
+        "sort_topk": q_sort_topk,
+        "limit_preview": q_limit_preview,
+        "count_rows": q_count_rows,
+        "distinct_values": q_distinct_values,
+        "set_ops": q_set_ops,
     }
 
 
@@ -1303,6 +1468,49 @@ def _bands_sql(bands: int = 4, rows: int = 2) -> str:
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _dedup_embedding_sql(
+    bands: int = 4, n_planes: int = 6, dim: int = 64, seed: int = 7,
+    threshold: float = 0.35, max_bucket: int = 256,
+) -> str:
+    """Oracle for q_dedup_embedding: the SAME integer plane constants
+    (embedding_planes) emitted as SQL literals, bucket bits via
+    round(list_dot_product, 6) sign — bit-for-bit the Spark bucketing."""
+    from bun_csv_spark.operators.dedup import embedding_planes
+
+    planes = embedding_planes(seed, bands, n_planes, dim)
+    band_selects = []
+    for b in range(bands):
+        bits = []
+        for i in range(n_planes):
+            arr = "[" + ",".join(str(p) for p in planes[b][i]) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product(v, {arr}), 6) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(bits)})::BIGINT AS bucket FROM e"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bands AS ({bands_sql}),
+        bands_c AS (
+          SELECT vec_id, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands)
+          WHERE bsz <= {max_bucket}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.id_a
+        JOIN e eb ON eb.vec_id = p.id_b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
 
 
 # mirrors neardup_pairs_minhash's max_bucket degenerate-bucket guard
@@ -2101,6 +2309,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, list(round(m, 4) ORDER BY pos) AS centroid
         FROM p GROUP BY label
     """
+
+    # reader option-matrix gates: the fixture is nation serialized with
+    # deterministically planted irregularities (_nation_csv_fixture), so
+    # the oracle states the expected surviving rows from the parquet
+    sql["csv_opts_comments"] = """
+        SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+               n_regionkey::VARCHAR AS n_regionkey
+        FROM nation
+    """
+
+    sql["csv_opts_fromto"] = """
+        SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+               n_regionkey::VARCHAR AS n_regionkey
+        FROM nation WHERE n_nationkey BETWEEN 3 AND 18
+    """
+
+    sql["csv_opts_relax"] = """
+        SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+               CASE WHEN n_nationkey % 7 = 3 THEN NULL
+                    ELSE n_regionkey::VARCHAR END AS n_regionkey,
+               CASE WHEN n_nationkey % 7 <> 3 AND n_nationkey % 5 = 2
+                    THEN 'x' || n_nationkey::VARCHAR END AS extra
+        FROM nation
+    """
+
+    sql["csv_opts_errors"] = """
+        SELECT n_nationkey::BIGINT AS row, 'FieldMismatch' AS type,
+               CASE WHEN n_nationkey % 7 = 3 THEN 'TooFewFields'
+                    ELSE 'TooManyFields' END AS code,
+               CASE WHEN n_nationkey % 7 = 3 THEN 'expected 3 fields, got 2'
+                    ELSE 'expected 3 fields, got 4' END AS message
+        FROM nation
+        WHERE n_nationkey % 7 = 3 OR (n_nationkey % 7 <> 3 AND n_nationkey % 5 = 2)
+    """
+
+    # mirrors stratified_sample_hash: md5-bucket < per-stratum cutoff
+    sql["stratified_sample"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 10000 <
+          CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000
+                    WHEN 'es' THEN 5000 WHEN 'de' THEN 10000
+                    WHEN 'fr' THEN 7500 END
+    """
+
+    # dropDuplicatesWithinWatermark with a watermark spanning the replay
+    # keeps exactly one row per key -> the distinct key set
+    sql["streaming_dedup"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    sql["dedup_embedding"] = _dedup_embedding_sql()
 
     return sql
 

@@ -268,6 +268,114 @@ def connected_components(
     return labels
 
 
+def embedding_planes(
+    seed: int, bands: int, n_planes: int, dim: int
+) -> list[list[list[int]]]:
+    """Deterministic integer hyperplane components for embedding LSH,
+    derived driver-side from md5 so the SAME constants can be emitted
+    into oracle SQL: p[band][plane][j] ∈ [-1000, 1000]. Precomputing them
+    as literals keeps the per-row work to plain multiply-adds (no in-plan
+    hashing) and makes the bucketing bit-for-bit portable across engines."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{seed}-{b}-{i}-{j}".encode()).hexdigest()[:15], 16
+                )
+                % 2001
+                - 1000
+                for j in range(dim)
+            ]
+            for i in range(n_planes)
+        ]
+        for b in range(bands)
+    ]
+
+
+def neardup_pairs_embedding(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    bands: int = 4,
+    n_planes: int = 6,
+    seed: int = 7,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded for scale.
+
+    Same shape as the MinHash pipeline: each vector lands in ``bands``
+    sign-LSH buckets (one per independent plane set); candidates are pairs
+    sharing ANY bucket (bucketed equi-join, NOT all-pairs); the exact
+    cosine then verifies candidates against ``threshold``. Degenerate
+    buckets above ``max_bucket`` are dropped before the join, like
+    ``neardup_pairs_minhash``.
+
+    The projection sign is taken on ``round(proj, 6)`` so float
+    accumulation-order ULPs can't flip a bucket bit between engines.
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    Recall < 1 by design (tune bands/n_planes); at 100 TB the candidate
+    join shuffles on (band, bucket) only."""
+    from bun_csv_spark.functions.vectors import cosine_similarity
+
+    planes = embedding_planes(seed, bands, n_planes, dim)
+    v = F.col(vec_col)
+    band_cols = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            arr = F.array(*[F.lit(float(p)) for p in planes[b][i]])
+            proj = F.aggregate(
+                F.zip_with(v, arr, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(F.round(proj, 6) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + F.shiftleft(bit, i)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    buckets = df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64(col, shingle_k: int = 4):
     """64-bit SimHash expression over character shingles.
 

@@ -85,6 +85,37 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic, engine-portable stratified sampling: keep a row iff
+    ``md5(id) mod denom < fraction * denom`` for its stratum.
+
+    Unlike ``sampleBy`` (seeded RNG whose draw order depends on
+    partitioning) the keep/drop decision is a pure function of the row —
+    identical across engines, runs, and cluster layouts, which is what a
+    reproducible training-data mixture needs. Still a plain filter
+    expression: no shuffle, no UDF, pushes into the scan. Strata missing
+    from ``fractions`` are dropped (map lookup yields NULL)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % denom
+    )
+    cutoffs = F.create_map(
+        *[
+            F.lit(x)
+            for stratum, frac in fractions.items()
+            for x in (stratum, int(round(frac * denom)))
+        ]
+    )
+    return df.filter(bucket < cutoffs[F.col(strata_col)])
+
+
 def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Repartition ONLY when the scan is too small to split (one small
     parquet file = one row group = one task locally), so CPU-bound stages

@@ -43,15 +43,14 @@ ROW_IDX = "__row_idx"
 PARSED_EXTRA = "__parsed_extra"
 
 # error codes mirror the reference's structured errors (src/ts/errors.ts:14-37)
-def _empty_sentinel() -> str:
-    """Per-read collision-resistant token injected for quoted-empty fields
-    on the native path, rewritten to "" immediately after the scan (see
-    _read_native). Randomized per read so no real data value can collide
-    with it (a fixed token would silently corrupt a field whose genuine
-    value happened to equal the token)."""
+def _null_sentinel() -> str:
+    """Per-read collision-resistant token used as the native reader's
+    ``nullValue`` (see _read_native). Randomized per read so no real data
+    value can collide with it (a fixed token would silently null a field
+    whose genuine value happened to equal the token)."""
     import uuid
 
-    return f"\x01QE{uuid.uuid4().hex}\x01"
+    return f"\x01NV{uuid.uuid4().hex}\x01"
 
 ERR_TOO_FEW = "TooFewFields"
 ERR_TOO_MANY = "TooManyFields"
@@ -94,6 +93,12 @@ class CSVOptions:
     # whole-record rewrite-or-drop hook (parser.ts:205-216 onRecord),
     # expressed as a DataFrame -> DataFrame transform (filter + withColumns)
     on_record: "Callable[[DataFrame], DataFrame] | None" = None
+    # raw-text rewrite applied before parsing begins (parser.ts:203-209,
+    # 350-361 — the reference applies it to EVERY input, not just URLs).
+    # Driver-side by nature: the callback sees the whole text at once, so
+    # it is bounded by driver memory — a fidelity feature for single-file
+    # toolkit use, not a 100 TB path.
+    before_first_chunk: "Callable[[str], str] | None" = None
 
 
 class CSVReadError(ValueError):
@@ -359,6 +364,10 @@ def read_csv_with_errors(
     into Spark's PERMISSIVE mode)."""
     opts = opts or CSVOptions()
 
+    if opts.before_first_chunk is not None:
+        path = _apply_before_first_chunk(path, opts)
+        opts = _replace(opts, before_first_chunk=None)
+
     if opts.delimiter == "auto":
         sample = _head_bytes(spark, path, opts.encoding)
         opts = _replace(opts, delimiter=detect_delimiter(sample, quote=opts.quote_char)[0])
@@ -381,11 +390,61 @@ def _replace(opts: CSVOptions, **kw) -> CSVOptions:
     return dataclasses.replace(opts, **kw)
 
 
+def _apply_before_first_chunk(path: str, opts: CSVOptions) -> str:
+    """Run the beforeFirstChunk raw-text rewrite over a local file and
+    return the rewritten temp-file path (parser.ts:203-209, 350-361)."""
+    import tempfile
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    text = raw.decode(detect_encoding(raw) or opts.encoding, errors="replace")
+    text = opts.before_first_chunk(text)
+    tmp = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".csv", delete=False, prefix="bcsv_bfc_", encoding="utf-8"
+    )
+    tmp.write(text)
+    tmp.close()
+    return tmp.name
+
+
 def _head_bytes(spark: SparkSession, path: str, encoding: str, n: int = 8192) -> str:
-    """First ~8KB for delimiter sniffing — driver-side read via the text
-    source (works for any Hadoop-visible path, no collect of the file)."""
+    """First ~8KB for delimiter sniffing. Local paths are read directly on
+    the driver (no Spark job — the probe job was ~20% of a small-file
+    read's wall time); non-local paths fall back to the text source."""
+    head = _local_head_text(path, encoding, n)
+    if head is not None:
+        return head
     rows = spark.read.text(path).limit(12).collect()
     return "\n".join(r.value for r in rows)[:n]
+
+
+def _local_head_text(path: str, encoding: str, n: int = 65536) -> str | None:
+    """First ~n bytes of a local file (or the first part file of a local
+    directory), decoded; None when the path isn't locally readable (then
+    the caller probes through Spark instead)."""
+    import os
+
+    p = path[5:].lstrip("/") if path.startswith("file:") else path
+    if path.startswith("file:"):
+        p = "/" + p
+    if any(path.startswith(s) for s in ("hdfs:", "s3:", "s3a:", "abfs", "gs:")):
+        return None
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                x for x in os.listdir(p) if not x.startswith(("_", "."))
+            )
+            if not parts:
+                return None
+            p = os.path.join(p, parts[0])
+        if p.endswith((".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate")):
+            # compressed inputs: let Spark's text source decompress
+            return None
+        with open(p, "rb") as fh:
+            raw = fh.read(n)
+    except OSError:
+        return None
+    return raw.decode(detect_encoding(raw) or encoding, errors="replace")
 
 
 def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:
@@ -419,20 +478,30 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     # schema: without it Spark runs a schema/header discovery pass over the
     # files on EVERY action (~2x scan cost measured at sf0.1).
     # Spark's CSV reader skips comment and blank lines before the header,
-    # so the probe must too (a leading comment is not the header).
-    probe = spark.read.text(path)
-    if opts.comments:
-        probe = probe.filter(~F.col("value").startswith(opts.comments))
-    head = probe.filter(F.col("value") != "").limit(1).collect()
-    if not head:
+    # so the probe must too (a leading comment is not the header). Local
+    # paths probe driver-side with zero Spark jobs.
+    first_line = None
+    local = _local_head_text(path, opts.encoding)
+    if local is not None:
+        for ln in local.splitlines():
+            if ln == "" or (opts.comments and ln.startswith(opts.comments)):
+                continue
+            first_line = ln
+            break
+    else:
+        probe = spark.read.text(path)
+        if opts.comments:
+            probe = probe.filter(~F.col("value").startswith(opts.comments))
+        head = probe.filter(F.col("value") != "").limit(1).collect()
+        first_line = head[0]["value"] if head else None
+    if first_line is None:
         raise CSVReadError(f"empty CSV source {path!r}")
-    first_fields, _, _ = _tokenize_line(head[0]["value"], opts.delimiter, opts.quote_char)
+    first_fields, _, _ = _tokenize_line(first_line, opts.delimiter, opts.quote_char)
     n_cols = len(first_fields)
     schema = T.StructType(
         [T.StructField(f"_c{i}", T.StringType()) for i in range(n_cols)]
     )
 
-    sentinel = _empty_sentinel()
     reader = (
         spark.read.schema(schema)
         .option("sep", opts.delimiter)
@@ -443,11 +512,16 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
         .option("multiLine", str(opts.multiline).lower())
         .option("mode", "PERMISSIVE")
         # Reference null rule: unquoted empty -> NULL, quoted empty -> "".
-        # Spark's univocity reader maps BOTH to null; the only hook that
-        # distinguishes them is emptyValue, which substitutes a token for
-        # quoted-empty. Inject a sentinel, then rewrite it to "" post-read.
-        .option("nullValue", "")
-        .option("emptyValue", sentinel)
+        # With Spark defaults BOTH come out null (nullValue="" swallows the
+        # quoted empty too). Inverting the sentinel fixes it with ZERO
+        # post-read rewrite: nullValue is a token that never occurs, so
+        # nothing is nulled by comparison; an unquoted empty is null at
+        # the univocity layer already, and emptyValue="" lets a quoted
+        # empty through as the empty string. (The earlier scheme —
+        # emptyValue=token + a per-column rewrite projection — cost ~25%
+        # scan throughput; this one is option-only.)
+        .option("nullValue", _null_sentinel())
+        .option("emptyValue", "")
     )
     if opts.comments:
         reader = reader.option("comment", opts.comments)
@@ -457,12 +531,6 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
         # divergence; exact path preserves them as all-null rows.
         pass
     df = reader.csv(path)
-    df = df.withColumns(
-        {
-            c: F.when(F.col(c) == sentinel, F.lit("")).otherwise(F.col(c))
-            for c in df.columns
-        }
-    )
 
     if opts.has_header:
         names = [h if h is not None else "" for h in first_fields]
@@ -487,6 +555,33 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
 # -- exact path --------------------------------------------------------------
 
 
+def _first_surviving_line(path: str, opts: CSVOptions) -> tuple[str | None, int]:
+    """Driver-side twin of the exact path's line filters: the first line
+    (and its raw 0-based index) that survives skipFirstNLines, comment,
+    and empty-row skipping — resolved from the local head chunk when
+    possible. Returns (None, -1) when the path isn't local or no
+    qualifying line sits inside the chunk (caller probes via Spark)."""
+    n = 65536
+    head = _local_head_text(path, opts.encoding, n)
+    if head is None:
+        return None, -1
+    complete = len(head.encode("utf-8", errors="replace")) < n
+    lines = head.splitlines()
+    if not complete and lines:
+        lines = lines[:-1]  # last line may be cut mid-way
+    for idx, ln in enumerate(lines):
+        if idx < opts.skip_first_n_lines:
+            continue
+        if opts.comments and ln.startswith(opts.comments):
+            continue
+        if opts.skip_empty_rows and (
+            ln.strip() == "" if opts.skip_empty_rows == "greedy" else ln == ""
+        ):
+            continue
+        return ln, idx
+    return None, -1
+
+
 def _read_exact(
     spark: SparkSession, path: str, opts: CSVOptions
 ) -> tuple[DataFrame, DataFrame]:
@@ -495,12 +590,20 @@ def _read_exact(
     from bun_csv_spark.operators.util import with_file_order_index
 
     # deterministic file-order line numbers, all JVM-side: partition order
-    # comes from the file source's _metadata.file_block_start, the global
-    # offset from a tiny per-partition count aggregation (SURVEY §4.3.4) —
-    # no .rdd, no Python round-trip of the data
+    # comes from the file source's (_metadata.file_path, file_block_start)
+    # — path first so multi-file directories order by name, offset second
+    # so splits of one file order by position — and the global offset from
+    # a tiny per-partition count aggregation (SURVEY §4.3.4). No .rdd, no
+    # Python round-trip of the data. Note: a multi-file directory is
+    # indexed as one concatenated stream; only the FIRST file's first line
+    # is treated as the header (per-part headers belong to the native
+    # path, which skips them per file).
     lines = spark.read.text(path).select(
         F.col("value").alias("line"),
-        F.col("_metadata.file_block_start").alias("__blk"),
+        F.struct(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_block_start").alias("s"),
+        ).alias("__blk"),
     )
     df = with_file_order_index(lines, ROW_IDX, order_col="__blk").drop("__blk")
 
@@ -514,20 +617,24 @@ def _read_exact(
             blank = F.trim(F.col("line")) == ""
         df = df.filter(~blank)
 
-    # header row = first surviving line
+    # header row = first surviving line. Local files resolve it driver-side
+    # from the head chunk (no Spark probe jobs — each costs a full job on
+    # the indexed frame); non-local or head-exhausted inputs fall back.
+    probe_line, probe_idx = _first_surviving_line(path, opts)
+    if probe_line is None:
+        probed = df.orderBy(ROW_IDX).limit(1).collect()
+        if probed:
+            probe_line, probe_idx = probed[0]["line"], probed[0][ROW_IDX]
     if opts.has_header:
-        head = df.orderBy(ROW_IDX).limit(1).collect()
-        if not head:
+        if probe_line is None:
             raise CSVReadError(f"no header row found in {path}")
-        header_idx = head[0][ROW_IDX]
-        raw_names, _, _ = _tokenize_line(head[0]["line"], opts.delimiter, opts.quote_char)
+        raw_names, _, _ = _tokenize_line(probe_line, opts.delimiter, opts.quote_char)
         names = [h if h is not None else "" for h in raw_names]
-        df = df.filter(F.col(ROW_IDX) > header_idx)
+        df = df.filter(F.col(ROW_IDX) > probe_idx)
     else:
-        probe = df.orderBy(ROW_IDX).limit(1).collect()
         width = (
-            len(_tokenize_line(probe[0]["line"], opts.delimiter, opts.quote_char)[0])
-            if probe
+            len(_tokenize_line(probe_line, opts.delimiter, opts.quote_char)[0])
+            if probe_line is not None
             else 0
         )
         names = opts.columns or [f"col{i}" for i in range(width)]

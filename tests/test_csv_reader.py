@@ -117,6 +117,29 @@ def test_preview_composes_with_from_line(spark, write_csv_file):
     assert sorted(r.a for r in df.collect()) == ["v2", "v3"]
 
 
+def test_before_first_chunk_file_source(spark, write_csv_file):
+    # beforeFirstChunk applies to file-path inputs too (parser.ts:203-209,
+    # 350-361; reference phase4-features.test.ts): the raw text is
+    # rewritten before parsing begins, on both physical paths.
+    path = write_csv_file("GARBAGE PROLOGUE\na,b\n1,2\n3,4\n")
+    opts = CSVOptions(
+        before_first_chunk=lambda text: text.split("\n", 1)[1]
+    )
+    df = read_csv(spark, path, opts)
+    assert df.columns == ["a", "b"]
+    assert sorted(r.a for r in df.collect()) == ["1", "3"]
+    # exact path (row index forces it) sees the rewritten text as well
+    df2 = read_csv(
+        spark,
+        path,
+        CSVOptions(
+            before_first_chunk=lambda text: text.split("\n", 1)[1],
+            with_row_index=True,
+        ),
+    )
+    assert sorted(r.b for r in df2.collect()) == ["2", "4"]
+
+
 def test_skip_empty_rows_greedy(spark, write_csv_file):
     path = write_csv_file("a,b\n1,2\n   \n\n3,4\n")
     df = read_csv(spark, path, CSVOptions(skip_empty_rows="greedy", with_row_index=True))

@@ -19,14 +19,19 @@ from bun_csv_spark.testing import SeededRandom, fuzz_csv, generate_csv
 
 
 def test_lcg_exact_sequence():
-    # the reference LCG: seed=(seed*1103515245+12345)&0x7fffffff
+    # the reference LCG runs in JS float64: seed*1103515245 rounds away
+    # low bits once the product exceeds 2^53, BEFORE & 0x7fffffff. These
+    # values are the verified JS sequence for seed 42 (node: 1250496027,
+    # 1116302080, 1964818176) — exact integer math would give 1116302264
+    # at the second draw.
     rng = SeededRandom(42)
     seeds = []
     for _ in range(3):
         rng.next()
         seeds.append(rng.seed)
+    assert seeds == [1250496027, 1116302080, 1964818176]
+    # first draw is below 2^53 so it equals the exact-math value too
     assert seeds[0] == (42 * 1103515245 + 12345) & 0x7FFFFFFF
-    assert seeds[1] == (seeds[0] * 1103515245 + 12345) & 0x7FFFFFFF
 
 
 def test_generate_csv_deterministic():

@@ -70,3 +70,17 @@ def test_knn_join(vecs):
     for qid in (0, 1, 2):
         top = [r for r in rows if r[0] == qid and r[2] == 1]
         assert top[0][1] == qid  # rank-1 neighbor is self
+
+
+def test_neardup_pairs_embedding_finds_clone(vecs):
+    # vec 999 is a planted clone of vec 0: every band bucket matches, so
+    # the pair must survive bucketing and score cosine ~1; unrelated
+    # random pairs fall under the threshold
+    from bun_csv_spark.operators.dedup import neardup_pairs_embedding
+
+    out = neardup_pairs_embedding(
+        vecs, "vec_id", "embedding", dim=16, threshold=0.95, bands=4, n_planes=4
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert (0, 999) in pairs
+    assert pairs[(0, 999)] >= 0.99
