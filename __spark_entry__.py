@@ -1191,6 +1191,153 @@ def q_streaming_dedup(spark, sf_dir):
     return run_stream_to_table(spark, path, transform, output_mode="append")
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) — the retrieval-grade upgrade of
+    TF-IDF, same 100 TB shape: doc length as a window sum, avgdl as a
+    broadcast 1-row aggregate, vocabulary join AQE-decided."""
+    from bun_csv_spark.functions.text import tokens
+
+    k1, b = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    totals = tf.agg((F.sum("tf") / F.lit(float(n_docs))).alias("avgdl"))
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    # literal 2.2, not k1+1: the float sum 1.2+1 need not equal the SQL
+    # literal 2.2 bit-for-bit, and the oracle must mirror exactly
+    score = F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 6)
+    scored = (
+        tf.join(dfc, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "token", score.alias("bm25"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-metadata plumbing: opaque payload -> Arrow-batched header
+    decode (stubbed deterministically; sample rate/count/duration)."""
+    from bun_csv_spark.multimodal.binary import extract_audio_meta
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return extract_audio_meta(docs, "doc_id", "payload")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame (row-explosion
+    inside mapInPandas — the shape a real video decoder uses)."""
+    from bun_csv_spark.multimodal.binary import sample_frames
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return sample_frames(docs, "doc_id", "payload", every_ms=500, max_frames=8)
+
+
+def q_streaming_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) on the
+    REAL engine: per-user running count + value sum. The final state per
+    user equals the batch aggregate; max_by picks each user's last
+    emitted row, so the gate holds even if the replay splits into
+    multiple micro-batches."""
+    import os as _os
+
+    from bun_csv_spark.streaming.windows import (
+        run_stream_to_table,
+        stateful_user_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        return stateful_user_counts(stream.select("user_id", "value"))
+
+    out = run_stream_to_table(spark, path, transform, output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (beyond the reference, SURVEY §2.3 'no as-of joins'):
+    each purchase is attributed to the user's nearest prior-or-equal
+    click, via the union-and-carry pattern (one shuffle, no theta-join).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from bun_csv_spark.functions.timefmt import ns_to_string
+    from bun_csv_spark.operators.temporal import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts",
+                    right_cols=["click_ts", "click_id"])
+
+    from bun_csv_spark.functions.timefmt import ns_div
+
+    # truncate EACH ts to micros first (the nanos parquet carries
+    # sub-micro digits; micros-level engines truncate per timestamp),
+    # with exact integral division — double round-trips are off-by-one
+    # at 1e18 magnitude
+    gap = ns_div("ts", 1000) - ns_div("click_ts", 1000)
+    return out.select(
+        "event_id",
+        "user_id",
+        ns_to_string("ts").alias("ts_s"),
+        "click_id",
+        gap.alias("gap_us"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded range join (beyond the reference): clicks falling in the 30
+    minutes before each purchase, via bucketed interval join (fan-out
+    bounded by interval/bucket width — no theta-join)."""
+    from bun_csv_spark.operators.temporal import range_join_buckets
+
+    ev = read_events(spark, sf_dir)
+    half_hour_ns = 1800 * 1_000_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - half_hour_ns).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = range_join_buckets(
+        clicks, purchases, key="user_id", point_ts="c_ts",
+        start="w_start", end="w_end", bucket_width=half_hour_ns,
+    )
+    counts = joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        purchases.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH banded buckets (portable
     md5-derived planes) -> capped bucket self-join -> exact cosine verify.
@@ -1350,6 +1497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "stratified_sample": q_stratified_sample,
         "dedup_embedding": q_dedup_embedding,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "bm25": q_bm25,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
+        "streaming_stateful": q_streaming_stateful,
         "tfidf": q_tfidf,
         "window_lag_lead": q_window_lag_lead,
         "window_rank_family": q_window_rank_family,
@@ -2360,6 +2513,106 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_embedding"] = _dedup_embedding_sql()
+
+    sql["bm25"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*)::BIGINT AS tf
+          FROM tok GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+        dfc AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        t AS (SELECT sum(tf)::DOUBLE / (SELECT n_docs FROM n) AS avgdl FROM tf),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round(ln((n.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / t.avgdl)),
+                       6) AS bm25
+          FROM tf
+          JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN dfc ON tf.token = dfc.token, n, t)
+        SELECT doc_id, token, bm25, rnk FROM (
+          SELECT doc_id, token, bm25,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY bm25 DESC, token) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+    """
+
+    # the audio/frame "decode" is a deterministic header stub (md5-derived
+    # — multimodal/binary.py); the oracle replays the same arithmetic
+    sql["multimodal_audio"] = """
+        WITH a AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 4 AS ri,
+                 CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 100000
+                   + octet_length(encode(text)) AS ns
+          FROM documents)
+        SELECT doc_id,
+               (CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS sample_rate,
+               ns::BIGINT AS n_samples,
+               ((ns * 1000) // (CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END))::BIGINT
+                 AS duration_ms
+        FROM a
+    """
+
+    sql["multimodal_frames"] = """
+        WITH a AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 4 AS ri,
+                 CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 100000
+                   + octet_length(encode(text)) AS ns
+          FROM documents),
+        d AS (
+          SELECT doc_id, h,
+                 least(((ns * 1000) // (CASE ri WHEN 0 THEN 8000
+                        WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                        ELSE 44100 END)) // 500 + 1, 8) AS n_frames
+          FROM a),
+        f AS (SELECT doc_id, h, unnest(generate_series(0, n_frames - 1)) AS i
+              FROM d)
+        SELECT doc_id, i::BIGINT AS frame_idx, (i * 500)::BIGINT AS frame_ts_ms,
+               md5(h || ':' || i) AS frame_hash
+        FROM f
+    """
+
+    # the stateful operator's final per-user state equals the batch agg
+    sql["streaming_stateful"] = """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """
+
+    sql["asof_join"] = """
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, event_id AS click_id FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               c.click_id,
+               (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    sql["range_join"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, count(c.user_id)::BIGINT AS n_clicks
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id
+    """
 
     return sql
 

@@ -91,6 +91,92 @@ def resize_dims(width, height, max_dim: int = 256):
     )
 
 
+def decode_audio_stub(payload: bytes) -> "object":
+    """Where a real audio decoder (ffmpeg/soundfile) would run.
+    Deliberately unimplemented — no audio library ships in this
+    environment; the Spark-side plumbing is extract_audio_meta."""
+    raise NotImplementedError(
+        "audio decode requires an audio library (ffmpeg/soundfile); "
+        "wire it here — the Spark-side plumbing is extract_audio_meta"
+    )
+
+
+AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def extract_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio-metadata decode stub: sample rate / sample count / duration
+    derived deterministically from the payload md5 and byte length — a
+    real decoder reads the container header here. Arrow-batched
+    mapInPandas; output (id, sample_rate, n_samples, duration_ms)."""
+
+    out_schema = f"{id_col} long, sample_rate long, n_samples long, duration_ms long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hexes = pdf[payload_col].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            rates = hexes.map(lambda h: AUDIO_RATES[int(h[:2], 16) % 4])
+            n_samples = (
+                hexes.map(lambda h: int(h[8:12], 16) % 100_000)
+                + pdf[payload_col].map(len)
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": rates.astype("int64"),
+                    "n_samples": n_samples,
+                    "duration_ms": (n_samples * 1000 // rates).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 500,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame —
+    (id, frame_idx, frame_ts_ms, frame_hash). The 'video duration' comes
+    from the same deterministic header-stub as extract_audio_meta; a real
+    implementation decodes and emits actual frame tensors/bytes in the
+    same one-in-many-out Arrow batch shape (the row-explosion plumbing is
+    the production part)."""
+
+    out_schema = f"{id_col} long, frame_idx long, frame_ts_ms long, frame_hash string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, hashes = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                h = hashlib.md5(b).hexdigest()
+                rate = AUDIO_RATES[int(h[:2], 16) % 4]
+                n_samples = int(h[8:12], 16) % 100_000 + len(b)
+                duration_ms = n_samples * 1000 // rate
+                n_frames = min(duration_ms // every_ms + 1, max_frames)
+                for i in range(n_frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    hashes.append(hashlib.md5(f"{h}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def extract_binary_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Temporal joins the reference lacks entirely (SURVEY §2.3: single
+equi-key only) but any event/timeseries pipeline needs: as-of join and
+bounded range join, both shaped for 100 TB.
+
+As-of join (nearest prior match) is NOT expressed as a theta-join — that
+explodes into a per-key cross product. The scalable plan is the
+union-and-carry pattern:
+
+1. tag both inputs and union them (no join at all);
+2. one shuffle on the key; within each key, sort by (ts, side) and carry
+   the latest right-side values forward with ``last(..., ignorenulls)``
+   over an unbounded-preceding running window;
+3. keep only left rows — each now holds the most recent right row with
+   ``right.ts <= left.ts`` (left-join semantics: NULLs when no prior).
+
+Cost: ONE shuffle + per-partition sort, independent of match fan-out.
+Skewed keys can reuse operators.skew salting.
+
+Range join (left.ts in [right.start, right.end]) uses bucketing: each
+interval explodes to the fixed-width buckets it covers, point events land
+in exactly one bucket, and the equi-join on (key, bucket) + exact range
+filter bounds the fan-out to interval_width/bucket_width copies instead
+of a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``ts`` <= left ``ts`` for the same ``key`` (ties include
+    equal timestamps — right side sorts first at the same instant).
+
+    ``right`` must carry ``key``, ``ts``, and ``right_cols`` (the payload
+    to attach; include a copy of the right timestamp if the caller needs
+    the gap). ``tolerance`` (same unit as ``ts``) drops matches older
+    than ``left.ts - tolerance``, like pandas ``merge_asof``.
+
+    Returns all left columns + ``right_cols`` (NULL when unmatched)."""
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (key, ts)
+        ],
+        *[F.col(c) for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    w = Window.partitionBy(key).orderBy(ts, "__side")
+    carried = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols]
+    )
+    out = carried.filter(F.col("__side") == 1)
+    matched = {c: F.col(f"__m_{c}") for c in right_cols}
+    if tolerance is not None:
+        # a match only counts when its carried timestamp is close enough;
+        # callers pass the right-ts copy as the FIRST entry of right_cols
+        rts = F.col(f"__m_{right_cols[0]}")
+        in_range = rts >= F.col(ts) - F.lit(tolerance)
+        matched = {
+            c: F.when(in_range, F.col(f"__m_{c}")) for c in right_cols
+        }
+    return out.select(
+        key, ts, *[c for c in lcols if c not in (key, ts)],
+        *[matched[c].alias(c) for c in right_cols],
+    )
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join point events onto intervals containing them:
+    ``points.point_ts`` in [``intervals.start``, ``intervals.end``], same
+    ``key``. All timestamp columns share one numeric unit (e.g. epoch
+    nanos) and ``bucket_width`` is in that unit.
+
+    Each interval is exploded to ceil(width/bucket_width)+1 bucket copies;
+    each point lands in exactly ONE bucket, so the (key, bucket) equi-join
+    bounds fan-out by the interval width — no theta-join, no cross
+    product, one shuffle per side. Returns inner-join rows with all
+    columns from both inputs."""
+    b = F.lit(bucket_width)
+
+    def _bk(c):
+        # integer floor-divide on longs (no double round-trip)
+        return ((F.col(c) - F.col(c) % b) / b).cast("long")
+
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(_bk(start), _bk(end)))
+    )
+    pt = points.withColumn("__bucket", _bk(point_ts))
+    return (
+        pt.join(iv, [key, "__bucket"])
+        .filter((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end)))
+        .drop("__bucket")
+    )

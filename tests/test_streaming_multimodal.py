@@ -71,3 +71,50 @@ def test_multimodal_feature_extraction(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_audio_meta_deterministic(spark):
+    import hashlib
+
+    from bun_csv_spark.multimodal.binary import (
+        AUDIO_RATES,
+        decode_audio_stub,
+        extract_audio_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some audio bytes"), (2, "x")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in extract_audio_meta(
+            attach_binary_payload(docs, "text", "payload"), "doc_id", "payload"
+        ).collect()
+    }
+    b = b"some audio bytes"
+    h = hashlib.md5(b).hexdigest()
+    rate = AUDIO_RATES[int(h[:2], 16) % 4]
+    n = int(h[8:12], 16) % 100_000 + len(b)
+    assert out[1].sample_rate == rate
+    assert out[1].n_samples == n
+    assert out[1].duration_ms == n * 1000 // rate
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"RIFF")
+
+
+def test_frame_sampling_explodes_rows(spark):
+    from bun_csv_spark.multimodal.binary import sample_frames
+
+    docs = spark.createDataFrame([(7, "video payload")], "doc_id long, text string")
+    frames = sample_frames(
+        attach_binary_payload(docs, "text", "payload"),
+        "doc_id",
+        "payload",
+        every_ms=500,
+        max_frames=8,
+    ).collect()
+    assert 1 <= len(frames) <= 8
+    idxs = sorted(r.frame_idx for r in frames)
+    assert idxs == list(range(len(frames)))  # contiguous frame indices
+    assert all(r.frame_ts_ms == r.frame_idx * 500 for r in frames)
+    assert len({r.frame_hash for r in frames}) == len(frames)  # distinct frames

@@ -35,6 +35,11 @@ EXPECTATIONS = {
     "ann_cosine_topk": (0, ["TakeOrderedAndProject"], []),
     "groupby_reference_aggs": (2, ["HashAggregate"], []),  # partial+final
     "dedup_exact": (1, ["HashAggregate"], []),
+    # as-of join is union-and-carry: ONE key shuffle for the window (+1 if
+    # the final project reorders) — and NEVER a nested-loop/cartesian join
+    "asof_join": (2, ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "range_join": (4, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "dedup_embedding": (6, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
