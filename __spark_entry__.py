@@ -1191,6 +1191,65 @@ def q_streaming_dedup(spark, sf_dir):
     return run_stream_to_table(spark, path, transform, output_mode="append")
 
 
+def q_text_chunks(spark, sf_dir):
+    """Long-document chunking for fixed-context training: overlapping
+    64-token windows (stride 56), built as array expressions and exploded
+    once at the end."""
+    from bun_csv_spark.functions.text import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(chunk_tokens("text", max_tokens=64, overlap=8)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone numbers -> typed tokens) over
+    text with deterministically planted PII — chained regexp_replace,
+    engine-portable patterns."""
+    from bun_csv_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 or +1 555 010 "),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", redact_pii(planted).alias("clean"))
+
+
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing: contiguous fill of 512-token packs within
+    explicit shards (window arithmetic, one shuffle — the pre-loader step
+    of a training pipeline)."""
+    from bun_csv_spark.functions.text import token_count
+    from bun_csv_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("long").alias("shard"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    out = pack_sequences(
+        counted, "n_tok", budget=512, order_col="doc_id", shard_col="shard"
+    )
+    return out.select("doc_id", "shard", "n_tok", "pack_id", "pack_pos")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranking (k1=1.2, b=0.75) — the retrieval-grade upgrade of
     TF-IDF, same 100 TB shape: doc length as a window sum, avgdl as a
@@ -1500,6 +1559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "bm25": q_bm25,
+        "text_chunks": q_text_chunks,
+        "pii_redact": q_pii_redact,
+        "seq_packing": q_seq_packing,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
         "streaming_stateful": q_streaming_stateful,
@@ -2513,6 +2575,62 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_embedding"] = _dedup_embedding_sql()
+
+    sql["text_chunks"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        d AS (
+          SELECT doc_id, toks,
+                 greatest(ceil((len(toks) - 8) / 56.0)::INT, 1) AS n_chunks
+          FROM t),
+        f AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, n_chunks - 1)) AS i FROM d)
+        SELECT doc_id, i::BIGINT AS chunk_idx,
+               array_to_string(list_slice(toks, i * 56 + 1, i * 56 + 64), ' ')
+                 AS chunk_text,
+               least(len(toks) - i * 56, 64)::BIGINT AS n_tokens
+        FROM f
+    """
+
+    sql["pii_redact"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || doc_id || '@example.com from 10.0.'
+                        || (doc_id % 200) || '.7 or +1 555 010 '
+                        || (doc_id % 9000 + 1000)
+                 ELSE text END AS b
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(b,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+        FROM base
+    """
+
+    sql["seq_packing"] = r"""
+        WITH c AS (
+          SELECT doc_id, (doc_id % 16)::BIGINT AS shard,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> ''))::BIGINT AS n_tok
+          FROM documents),
+        w AS (
+          SELECT *, coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM c)
+        SELECT doc_id, shard, n_tok, (cum // 512)::BIGINT AS pack_id,
+               (row_number() OVER (PARTITION BY shard, cum // 512
+                                   ORDER BY doc_id) - 1)::BIGINT AS pack_pos
+        FROM w
+    """
 
     sql["bm25"] = r"""
         WITH tok AS (

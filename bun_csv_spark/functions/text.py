@@ -145,3 +145,61 @@ def detect_language(col: Column | str) -> Column:
     )
     best = F.array_max(pairs)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation: chunking, redaction
+# ---------------------------------------------------------------------------
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB/others): no backreferences, no lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d -]{7,}\d"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub common PII spans (emails, IPv4 addresses, +international
+    phone numbers) with typed placeholder tokens — a standard
+    training-data hygiene pass. Pure chained ``regexp_replace`` (codegen,
+    no UDF); patterns are engine-portable. Order matters: emails first so
+    their host parts aren't half-eaten by the IP rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def chunk_tokens(
+    col: Column | str, max_tokens: int = 128, overlap: int = 16
+) -> Column:
+    """Split a document into overlapping token-window chunks — the
+    standard long-document preparation for a fixed-context trainer.
+
+    Returns ``array<struct<chunk_idx, chunk_text, n_tokens>>`` built
+    entirely from array expressions (sequence + slice + array_join): no
+    explode here, so callers decide when to flatten (keeping the per-doc
+    work a pure map until then). Chunk i starts at token
+    ``i * (max_tokens - overlap)``; the final chunk may be short; empty
+    docs yield one empty chunk."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = tokens(col)
+    n = F.size(toks)
+    stride = max_tokens - overlap
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(max_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )

@@ -167,3 +167,56 @@ def test_detect_language(spark):
     assert out[2] == "de"
     assert out[3] == "es"
     assert out[4] == "und"
+
+
+def test_chunk_tokens_overlap(spark):
+    from bun_csv_spark.functions.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(text,), ("",)], "t string")
+    out = [r.c for r in df.select(chunk_tokens("t", 4, 1).alias("c")).collect()]
+    chunks = [(c["chunk_idx"], c["chunk_text"], c["n_tokens"]) for c in out[0]]
+    # stride 3, ceil((10-1)/3)=3 chunks at offsets 0,3,6 — all tokens covered
+    assert chunks[0] == (0, "w0 w1 w2 w3", 4)
+    assert chunks[1] == (1, "w3 w4 w5 w6", 4)
+    assert chunks[-1] == (2, "w6 w7 w8 w9", 4)
+    assert len(chunks) == 3
+    # consecutive chunks share exactly the overlap token
+    assert chunks[0][1].split()[-1] == chunks[1][1].split()[0]
+    # empty doc -> one empty chunk
+    assert [(c["chunk_idx"], c["chunk_text"], c["n_tokens"]) for c in out[1]] == [
+        (0, "", 0)
+    ]
+
+
+def test_redact_pii(spark):
+    from bun_csv_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-ample.org, ip 192.168.0.1, call +44 20 7946 0958 now",)],
+        "t string",
+    )
+    out = df.select(redact_pii("t").alias("r")).first().r
+    assert out == "mail <EMAIL>, ip <IP>, call <PHONE> now"
+
+
+def test_pack_sequences(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.operators.packing import pack_sequences
+
+    rows = [(i, 0, 300) for i in range(6)]  # 300 tokens each, one shard
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tok long")
+    out = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in pack_sequences(
+            df, "n_tok", budget=512, order_col="doc_id", shard_col="shard"
+        ).collect()
+    }
+    # offsets 0,300,600,900,1200,1500 -> packs 0,0,1,1,2,2
+    assert out == {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0), 5: (2, 1)}
+    # default hash sharding still covers every row exactly once
+    n = pack_sequences(
+        df.drop("shard"), "n_tok", budget=512, order_col="doc_id"
+    ).count()
+    assert n == 6
