@@ -119,6 +119,33 @@ def write_csv(
     out.write.mode(mode).option("lineSep", newline).text(path)
 
 
+def append_csv_file(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    quote: str = '"',
+    quote_style: str = "minimal",
+    newline: str = "\n",
+) -> None:
+    """Append rows to an existing SINGLE local CSV file — the reference
+    writer's ``append`` flag (writer.ts:41-202 opens the target with the
+    append mode and never rewrites the header).
+
+    Spark's own ``mode("append")`` appends part files to a DIRECTORY,
+    which is the right call at scale; this shim exists for the
+    single-file toolkit use case: rows serialize distributed
+    (``csv_line_expr``), the final byte-append is a driver-side local
+    write. Writes no header (the target file already has one). Bounded
+    by the appended batch size, not the target file size."""
+    line = csv_line_expr(
+        df, delimiter=delimiter, quote=quote, quote_style=quote_style
+    )
+    rows = df.select(line.alias("value")).collect()
+    with open(path, "a", encoding="utf-8", newline="") as fh:
+        for r in rows:
+            fh.write(r["value"] + newline)
+
+
 def unparse(
     data: Iterable[Mapping] | Iterable[Sequence] | DataFrame,
     columns: Sequence[str] | None = None,

@@ -87,3 +87,16 @@ def test_unparse_dataframe(spark, df):
     text = unparse(df.orderBy("id"), newline="\n")
     assert text.splitlines()[0] == "id,s,v"
     assert len(text.splitlines()) == 4
+
+
+def test_append_csv_file(spark, tmp_path):
+    from bun_csv_spark.sources.csv_writer import append_csv_file
+
+    p = tmp_path / "target.csv"
+    p.write_text("a,b\n1,x\n")
+    df = spark.createDataFrame([("2", "y"), ("3", 'q"z')], "a string, b string")
+    append_csv_file(df.orderBy("a"), str(p))
+    text = p.read_text()
+    assert text.startswith("a,b\n1,x\n")  # existing content untouched
+    assert "2,y\n" in text and '3,"q""z"\n' in text  # quoting applied
+    assert text.count("a,b") == 1  # header not repeated
