@@ -111,8 +111,9 @@ def csv_parse_throughput(spark, sf_dir: str) -> float:
         force(df.select(F.sum(F.length("l_returnflag")).alias("s")))
 
     parse_all()  # warmup
+    parse_all()  # second warmup: the first run still JITs codegen paths
     best = float("inf")
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.time()
         parse_all()
         best = min(best, time.time() - t0)

@@ -220,3 +220,52 @@ def test_pack_sequences(spark):
         df.drop("shard"), "n_tok", budget=512, order_col="doc_id"
     ).count()
     assert n == 6
+
+
+def test_chunk_tokens_covers_every_token(spark):
+    """Property: for any doc length, every token index is covered by some
+    chunk, chunk starts advance by the stride, and no chunk exceeds
+    max_tokens."""
+    from bun_csv_spark.functions.text import chunk_tokens
+
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 40)]
+    df = spark.createDataFrame(rows, "n long, t string")
+    out = df.select("n", chunk_tokens("t", 7, 2).alias("c")).collect()
+    stride = 5
+    for r in out:
+        covered = set()
+        for c in r.c:
+            toks = c["chunk_text"].split() if c["chunk_text"] else []
+            assert len(toks) == c["n_tokens"] <= 7
+            start = c["chunk_idx"] * stride
+            assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+            covered.update(range(start, start + len(toks)))
+        assert covered == set(range(r.n))  # nothing dropped, nothing invented
+
+
+def test_pack_sequences_invariants(spark):
+    """Property: contiguous fill — pack_id is nondecreasing in order
+    within a shard, positions are dense per pack, and a pack's starting
+    offset is below its budget boundary."""
+    from bun_csv_spark.operators.packing import pack_sequences
+
+    rows = [(i, i % 3, (i * 37) % 400 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tok long")
+    out = pack_sequences(
+        df, "n_tok", budget=1000, order_col="doc_id", shard_col="shard"
+    ).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        packs = {}
+        last_pack = 0
+        for r in shard_rows:
+            assert r.pack_id == cum // 1000  # start offset rule
+            assert r.pack_id >= last_pack
+            last_pack = r.pack_id
+            packs.setdefault(r.pack_id, []).append(r.pack_pos)
+            cum += r.n_tok
+        for poss in packs.values():
+            assert sorted(poss) == list(range(len(poss)))  # dense positions
