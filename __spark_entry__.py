@@ -1532,6 +1532,71 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher/MassiveText repetition heuristics per document: duplicate
+    word / 2-gram / 3-gram fractions, top-2-gram share, and the combined
+    keep flag. Pure Column expressions — zero shuffles, linear scan; the
+    n-gram arrays are staged once (lambda exprs don't CSE)."""
+    from bun_csv_spark.operators.corpus import repetition_table
+
+    return repetition_table(_t(spark, sf_dir, "documents"))
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the eval split (doc_id % 19 == 0 plays the benchmark
+    suite). Eval grams broadcast (bounded by the benchmark, not the
+    corpus); training side is one explode + semi-join + count."""
+    from bun_csv_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    return decontaminate(train, eval_docs, n=5)
+
+
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus dedup: drop docs whose normalized fingerprint appears
+    in the previous snapshot (doc_id % 4 == 0 plays the old crawl). LEFT
+    ANTI join on md5 — one shuffle on a 32-byte key."""
+    from bun_csv_spark.operators.corpus import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    snapshot = docs.filter(F.col("doc_id") % 4 == 0).select("text")
+    return dedup_against(docs, snapshot).select("doc_id", "lang", "source")
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Per-source mixture statistics (doc/token shares, mean length) —
+    the aggregation a mixture-weight decision reads. One shuffle."""
+    from bun_csv_spark.operators.corpus import mixture_stats
+
+    return mixture_stats(_t(spark, sf_dir, "documents"), by="source")
+
+
+def q_oversample_epochs(spark, sf_dir):
+    """Mixture control by deterministic integer oversampling: each source
+    repeats 1-3 times (factor derived from the source id, no RNG), rows
+    multiplied map-side via explode(sequence) — no shuffle."""
+    from bun_csv_spark.operators.corpus import oversample_by_factor
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    factor = (
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("int") % 3 + 1
+    )
+    return oversample_by_factor(docs, factor)
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Deterministic k-means (k=8, 2 Lloyd iterations) over the embedding
+    corpus — semantic clustering for curation. Every arbitrary choice is
+    pinned (smallest-id init, 6-dp rounding, id tiebreaks) so the DuckDB
+    oracle replays the identical trajectory."""
+    from bun_csv_spark.operators.clustering import kmeans
+
+    return kmeans(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1545,6 +1610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bring up the rear where a capped run can least afford to miss.
     return {
         # -- no oracle verdict yet / new this round -------------------------
+        "repetition_filter": q_repetition_filter,
+        "decontamination": q_decontamination,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "corpus_mixture": q_corpus_mixture,
+        "oversample_epochs": q_oversample_epochs,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "edit_overlay": q_edit_overlay,
         "csv_roundtrip": q_csv_roundtrip,
         "csv_opts_comments": q_csv_opts_comments,
@@ -2731,6 +2802,156 @@ def oracle_sql() -> dict[str, str]:
          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         GROUP BY p.event_id, p.user_id
     """
+
+    # --- corpus-hygiene operators (operators/corpus.py) -------------------
+    # word tokens / strict n-grams exactly as the Spark expressions build
+    # them: split trimmed text on \s+, n-grams empty when tokens < n
+    _TOKS_SQL = r"""
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    """
+
+    def _grams_sql(n: int, src: str = "t") -> str:
+        return (
+            f"CASE WHEN len({src}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({src}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({src}, i, i + {n - 1}), ' ')) "
+            f"ELSE [] END"
+        )
+
+    sql["repetition_filter"] = (
+        "WITH toks AS (" + _TOKS_SQL + "),"
+        + f"""
+        g AS (
+          SELECT doc_id, t,
+                 {_grams_sql(2)} AS g2,
+                 {_grams_sql(3)} AS g3
+          FROM toks),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) > 0
+                      THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+                      ELSE 0.0 END AS dup_word_frac,
+                 CASE WHEN len(g2) > 0
+                      THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                      ELSE 0.0 END AS dup_2gram_frac,
+                 CASE WHEN len(g3) > 0
+                      THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+                      ELSE 0.0 END AS dup_3gram_frac,
+                 CASE WHEN len(g2) > 0
+                      THEN list_max(list_transform(list_distinct(g2),
+                             d -> len(list_filter(g2, x -> x = d))))::DOUBLE
+                           / len(g2)
+                      ELSE 0.0 END AS top_2gram_frac
+          FROM g)
+        SELECT doc_id,
+               round(dup_word_frac, 6) AS dup_word_frac,
+               round(dup_2gram_frac, 6) AS dup_2gram_frac,
+               round(dup_3gram_frac, 6) AS dup_3gram_frac,
+               round(top_2gram_frac, 6) AS top_2gram_frac,
+               (dup_2gram_frac <= 0.04 AND top_2gram_frac <= 0.05) AS keep
+        FROM m
+        """
+    )
+
+    sql["decontamination"] = (
+        "WITH toks AS (" + _TOKS_SQL + "),"
+        + f"""
+        g AS (SELECT doc_id, list_distinct({_grams_sql(5)}) AS g5 FROM toks),
+        ev AS (SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 19 = 0),
+        tg AS (SELECT doc_id, unnest(g5) AS gram FROM g WHERE doc_id % 19 <> 0),
+        hits AS (
+          SELECT tg.doc_id, count(*) AS n_hits
+          FROM tg JOIN ev USING (gram) GROUP BY tg.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 19 <> 0
+        """
+    )
+
+    sql["cross_corpus_dedup"] = r"""
+        WITH fp AS (
+          SELECT doc_id, lang, source,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+          FROM documents),
+        snap AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 = 0)
+        SELECT doc_id, lang, source FROM fp
+        WHERE f NOT IN (SELECT f FROM snap)
+    """
+
+    sql["corpus_mixture"] = r"""
+        WITH per AS (
+          SELECT source,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> ''))::BIGINT AS nt,
+                 len(text) AS nc
+          FROM documents),
+        agg AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(nt)::BIGINT AS n_tokens,
+                 round(avg(nc), 4) AS mean_chars
+          FROM per GROUP BY source),
+        tot AS (SELECT sum(n_docs) AS nd, sum(n_tokens) AS nt FROM agg)
+        SELECT source, n_docs, n_tokens, mean_chars,
+               round(n_docs::DOUBLE / tot.nd, 6) AS doc_share,
+               round(n_tokens::DOUBLE / tot.nt, 6) AS token_share
+        FROM agg, tot
+    """
+
+    sql["oversample_epochs"] = """
+        SELECT doc_id, source,
+               unnest(generate_series(
+                 1, CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3 + 1
+               ))::BIGINT AS epoch
+        FROM documents
+    """
+
+    # k-means oracle: replays the exact pinned trajectory — smallest-id
+    # init, round(dist, 6) argmin with id tiebreak, round(avg, 6) centroid
+    # updates — two (assign, update) rounds then the final assignment
+    _KM_ASSIGN = """
+        SELECT id, v, cid, d FROM (
+          SELECT p.id, p.v, c.cid,
+                 round(list_distance(p.v, c.c), 6) AS d,
+                 row_number() OVER (
+                   PARTITION BY p.id
+                   ORDER BY round(list_distance(p.v, c.c), 6), c.cid) AS rn
+          FROM pts p CROSS JOIN {cen} c) WHERE rn = 1
+    """
+    _KM_UPDATE = """
+        SELECT cid, list(m ORDER BY pos) AS c FROM (
+          SELECT cid, pos, round(avg(x), 6) AS m FROM (
+            SELECT cid, unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM {asg})
+          GROUP BY cid, pos)
+        GROUP BY cid
+    """
+    sql["kmeans_embeddings"] = (
+        """
+        WITH pts AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY id) AS cid,
+                 list_transform(v, x -> round(x, 6)) AS c
+          FROM (SELECT * FROM pts ORDER BY id LIMIT 8)),
+        """
+        + "a1 AS (" + _KM_ASSIGN.format(cen="c0") + "),"
+        + "c1 AS (" + _KM_UPDATE.format(asg="a1") + "),"
+        + "a2 AS (" + _KM_ASSIGN.format(cen="c1") + "),"
+        + "c2 AS (" + _KM_UPDATE.format(asg="a2") + "),"
+        + "af AS (" + _KM_ASSIGN.format(cen="c2") + ")"
+        + """
+        SELECT id::BIGINT AS vec_id, cid::BIGINT AS cluster, d AS dist
+        FROM af
+        """
+    )
 
     return sql
 

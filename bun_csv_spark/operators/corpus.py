@@ -1,0 +1,273 @@
+"""Corpus-hygiene operators for training-data pipelines: repetition
+filters, eval-set decontamination, cross-corpus dedup, mixture
+statistics, and deterministic oversampling.
+
+Extension surface beyond the reference (the reference stops at CSV-level
+dedup; these are the document-level passes a 100 TB pretraining pipeline
+runs between ingest and tokenization — the Gopher/MassiveText repetition
+heuristics, benchmark decontamination, and mixture control).
+
+Scale notes (SCALE.md has the table form):
+
+- Repetition features are pure per-row Column expressions over token
+  arrays — zero shuffles, whole-stage codegen, linear in corpus size.
+  The top-n-gram mode count is O(u·g) per document (u distinct grams,
+  g total) — bounded by document length, never by corpus size.
+- Decontamination joins the corpus's exploded n-grams against the EVAL
+  set's grams. The eval side is a fixed benchmark suite — bounded by the
+  benchmark, not the corpus — so ``broadcast()`` is correct there (unlike
+  corpus-sized builds, which this module never broadcasts).
+- Cross-corpus dedup is a LEFT ANTI join on the md5 fingerprint: one
+  shuffle on a 32-byte key, no payload movement; at 100 TB pre-bucket
+  both corpora by fingerprint (operators.bucketing) and the anti join is
+  shuffle-free.
+- Oversampling is ``explode(sequence(1, k))`` — a map-side row
+  multiplier, no shuffle; the deterministic hash-downsample half reuses
+  ``operators.util.stratified_sample_hash`` (filter pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.text import fingerprint, tokens
+
+__all__ = [
+    "word_ngrams_strict",
+    "dup_fraction",
+    "top_gram_fraction",
+    "repetition_features",
+    "repetition_keep",
+    "decontaminate",
+    "dedup_against",
+    "mixture_stats",
+    "oversample_by_factor",
+]
+
+
+def word_ngrams_strict(col: Column | str, n: int) -> Column:
+    """Word n-gram array; docs with fewer than ``n`` tokens yield an
+    EMPTY array (unlike ``functions.text.word_ngrams``, which degrades to
+    a whole-text gram for Jaccard's benefit). Repetition statistics need
+    the strict form: a 2-token doc has no 3-grams, and pretending it has
+    one would count it as 100% duplicated."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    ``1 - distinct/total`` (0.0 for empty arrays). The MassiveText
+    duplicate-line / duplicate-n-gram fraction, on whatever unit the
+    caller tokenized into (lines, words, n-grams)."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def top_gram_fraction(arr: Column) -> Column:
+    """Fraction of occurrences claimed by the single most frequent
+    element — the Gopher "top n-gram character fraction" simplified to
+    occurrence counts (engine-portable; the character-weighted variant
+    multiplies by gram length). Computed as a per-row array fold: count
+    each DISTINCT gram's occurrences, take the max. O(u·g) in document
+    size, constant in corpus size."""
+    n = F.size(arr)
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda g: F.size(F.filter(arr, lambda x: x == g)),
+    )
+    return F.when(
+        n > 0, F.array_max(counts).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_features(col: Column | str) -> dict[str, Column]:
+    """The repetition-filter feature set (MassiveText §A1.1 shape, on
+    word units — the synthetic corpus has no newlines, so lines don't
+    discriminate; callers with multi-line text add
+    ``dup_fraction(F.split(c, '\\n'))`` the same way):
+
+    - ``dup_word_frac``   fraction of tokens that repeat an earlier token
+    - ``dup_2gram_frac``  fraction of word 2-grams that are repeats
+    - ``dup_3gram_frac``  fraction of word 3-grams that are repeats
+    - ``top_2gram_frac``  share of the most frequent 2-gram
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "dup_word_frac": dup_fraction(tokens(c)),
+        "dup_2gram_frac": dup_fraction(word_ngrams_strict(c, 2)),
+        "dup_3gram_frac": dup_fraction(word_ngrams_strict(c, 3)),
+        "top_2gram_frac": top_gram_fraction(word_ngrams_strict(c, 2)),
+    }
+
+
+def repetition_keep(
+    col: Column | str,
+    max_dup_2gram: float = 0.04,
+    max_top_2gram: float = 0.05,
+) -> Column:
+    """Boolean keep-flag combining the repetition thresholds — documents
+    above either bound are boilerplate/spam candidates. Defaults sit at
+    the synthetic corpus's ~median so the flag actually discriminates in
+    tests (MassiveText's production bounds are looser — 0.2 duplicate
+    2-gram, 0.08 top 2-gram on web text); production pipelines tune
+    per-source."""
+    f = repetition_features(col)
+    return (f["dup_2gram_frac"] <= max_dup_2gram) & (
+        f["top_2gram_frac"] <= max_top_2gram
+    )
+
+
+def repetition_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_2gram: float = 0.04,
+    max_top_2gram: float = 0.05,
+) -> DataFrame:
+    """Per-document repetition report: the ``repetition_features`` set
+    (rounded to 6 dp) plus the ``keep`` flag, computed from STAGED token
+    and n-gram arrays.
+
+    Staging matters: Catalyst does not subexpression-eliminate across
+    lambda (higher-order) expressions, so composing
+    ``repetition_features`` + ``repetition_keep`` directly re-inlines the
+    n-gram construction into every consumer — ~10× codegen/compile and
+    runtime blowup measured at sf0.01. Building the arrays once behind a
+    projection boundary keeps each array materialized per row and every
+    metric a cheap scan over it."""
+    c = F.col(text_col)
+    staged = docs.select(
+        id_col,
+        tokens(c).alias("__t"),
+        word_ngrams_strict(c, 2).alias("__g2"),
+        word_ngrams_strict(c, 3).alias("__g3"),
+    )
+    raw = staged.select(
+        id_col,
+        dup_fraction(F.col("__t")).alias("__dw"),
+        dup_fraction(F.col("__g2")).alias("__d2"),
+        dup_fraction(F.col("__g3")).alias("__d3"),
+        top_gram_fraction(F.col("__g2")).alias("__t2"),
+    )
+    return raw.select(
+        id_col,
+        F.round("__dw", 6).alias("dup_word_frac"),
+        F.round("__d2", 6).alias("dup_2gram_frac"),
+        F.round("__d3", 6).alias("dup_3gram_frac"),
+        F.round("__t2", 6).alias("top_2gram_frac"),
+        ((F.col("__d2") <= max_dup_2gram) & (F.col("__t2") <= max_top_2gram)).alias(
+            "keep"
+        ),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: count, per training document, how many
+    of its word ``n``-grams appear anywhere in the eval set; a document
+    with any hit is flagged ``contaminated``.
+
+    Plan shape: both sides explode to DISTINCT (doc, gram) rows; the
+    eval side collapses to a distinct gram set and is broadcast — eval
+    suites are fixed-size (thousands of docs), NOT corpus-scaled, so the
+    broadcast is bounded regardless of training-corpus size. The corpus
+    side then left-joins (one pass, no shuffle of the corpus beyond the
+    explode aggregation).
+
+    Returns (id_col, n_hits bigint, contaminated boolean).
+    """
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_strict(text_col, n))).alias("gram"),
+    )
+    eval_grams = F.broadcast(grams(eval_docs).select("gram").distinct())
+    hits = (
+        grams(docs)
+        .join(eval_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def dedup_against(
+    corpus: DataFrame,
+    reference_corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus deduplication: drop every document whose normalized
+    fingerprint already appears in ``reference_corpus`` (e.g. dedup a new
+    crawl against the previous snapshot, or training data against a
+    held-out set). LEFT ANTI join on the md5 fingerprint — one shuffle on
+    a 32-byte key; bucket both sides by fingerprint at write time
+    (operators.bucketing) to make it shuffle-free at 100 TB."""
+    fp = fingerprint(text_col)
+    ref = reference_corpus.select(fp.alias("__fp")).distinct()
+    return corpus.withColumn("__fp", fp).join(ref, "__fp", "left_anti").drop("__fp")
+
+
+def mixture_stats(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus composition: document share, token share, mean
+    document length — the numbers a mixture-weight decision is made from.
+    One wide aggregation pass (single shuffle on the stratum key)."""
+    toks = F.size(tokens(text_col)).cast("long")
+    per = docs.select(F.col(by), toks.alias("__t"), F.length(text_col).alias("__c"))
+    agg = per.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        F.round(F.avg("__c"), 4).alias("mean_chars"),
+    )
+    tot = agg.agg(
+        F.sum("n_docs").alias("__nd"), F.sum("n_tokens").alias("__nt")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        "n_tokens",
+        "mean_chars",
+        F.round(F.col("n_docs") / F.col("__nd"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("__nt"), 6).alias("token_share"),
+    )
+
+
+def oversample_by_factor(
+    docs: DataFrame,
+    factor_col: Column,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Mixture control by integer oversampling: repeat each row
+    ``factor`` times, tagging the copy index (1-based ``epoch``) — how a
+    pipeline upweights a small high-quality source without fractional
+    sampling. ``explode(sequence(...))`` is a map-side row multiplier:
+    no shuffle, and the multiplied rows never materialize on the driver.
+    Rows with factor < 1 are dropped (factor 0 = exclude the source)."""
+    return docs.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(1), factor_col.cast("int")))
+    ).withColumn(epoch_col, F.col(epoch_col).cast("long"))
