@@ -1462,18 +1462,15 @@ def q_quality_filter(spark, sf_dir):
 
 
 def q_label_centroids(spark, sf_dir):
-    """Per-label embedding centroid (elementwise mean) — posexplode +
-    two-level agg, re-assembled in position order."""
+    """Per-label embedding centroid (elementwise mean) — posexplode + agg.
+    Emitted as flat (label, pos, m) rows: the driver's canonicalizer sorts
+    the pandas frame, so array columns are unhashable — flat scalars keep
+    the oracle gate exact while `label_centroids_array` (library form,
+    operators/clustering.py) re-assembles the vector for callers."""
     emb = _t(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-    per_pos = exploded.groupBy("label", "pos").agg(
-        F.avg(F.col("x").cast("double")).alias("m")
-    )
-    return per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda p: F.round(p["m"], 4),
-        ).alias("centroid")
+    return exploded.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.round(F.avg(F.col("x").cast("double")), 4).alias("m")
     )
 
 
@@ -1504,16 +1501,16 @@ def q_schema_apply(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (xxhash64-based — no portable oracle, driver
-    records the rows-only check)."""
+    """SimHash fingerprints — md5-derived 64-bit shingle hashes, so the
+    DuckDB oracle replays the exact bit pattern (_simhash_sql)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (hyperplanes derived in-plan from xxhash64 — no
-    portable oracle; rows-only check; recall vs brute force is asserted in
-    tests/test_similarity.py)."""
+    """LSH-bucketed ANN: md5-derived integer hyperplanes as plan literals
+    (same family as dedup_embedding) — full oracle via _ann_lsh_sql; recall
+    vs brute force is additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ann_lsh_topk(emb, list(qvec), k=10, dim=64, n_planes=6)
@@ -1742,6 +1739,69 @@ def _minhash_sql(src: str, n_hashes: int = 8, k: int = 5) -> str:
   )
   GROUP BY doc_id
 """
+
+
+def _simhash_sql(src: str = "documents", k: int = 4) -> str:
+    """DuckDB twin of ``simhash64``: one md5 per character shingle, bits
+    0-31 from hex chars 1-8, bits 32-63 from hex chars 9-16, +1/-1 votes
+    per bit, majority sign packed back into a signed BIGINT (bit 63 is the
+    sign bit, emitted as -2^63)."""
+    return f"""
+  WITH sh AS (
+    SELECT doc_id, md5(substr(text, i, {k})) AS m
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
+          FROM {src})),
+  h AS (
+    SELECT doc_id,
+           CAST('0x' || substr(m, 1, 8) AS BIGINT) AS h1,
+           CAST('0x' || substr(m, 9, 8) AS BIGINT) AS h2
+    FROM sh),
+  v AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((CASE WHEN b < 32 THEN h1 ELSE h2 END) >> (b % 32)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS votes
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    GROUP BY doc_id, b)
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN
+               CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << b) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM v GROUP BY doc_id
+"""
+
+
+def _ann_lsh_sql(
+    n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 10
+) -> str:
+    """DuckDB twin of ``ann_lsh_topk``: the SAME md5-derived integer plane
+    constants (embedding_planes) as SQL literals; bucket bit i = sign of
+    round(dot, 6); query = vec_id 0's embedding."""
+    from bun_csv_spark.operators.dedup import embedding_planes
+
+    planes = embedding_planes(seed, 1, n_planes, dim)[0]
+
+    def bucket_expr(v: str) -> str:
+        bits = []
+        for i in range(n_planes):
+            arr = "[" + ",".join(str(p) for p in planes[i]) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product({v}, {arr}), 6) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")::BIGINT"
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e),
+        qb AS (SELECT {bucket_expr('qv')} AS bucket FROM q)
+        SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cosine_sim
+        FROM b, q, qb WHERE b.bucket = qb.bucket
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT {k}
+    """
 
 
 def _bands_sql(bands: int = 4, rows: int = 2) -> str:
@@ -2223,6 +2283,10 @@ def oracle_sql() -> dict[str, str]:
         "WITH sig AS (" + _minhash_sql("documents") + ") SELECT * FROM sig"
     )
 
+    sql["simhash"] = _simhash_sql("documents")
+
+    sql["ann_lsh"] = _ann_lsh_sql()
+
     sql["neardup_pairs"] = (
         "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
         + _minhash_sql("corpus")
@@ -2589,11 +2653,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT label,
                  unnest(embedding)::DOUBLE AS x,
                  unnest(generate_series(1, len(embedding))) AS pos
-          FROM embeddings),
-        p AS (
-          SELECT label, pos, avg(x) AS m FROM e GROUP BY label, pos)
-        SELECT label, list(round(m, 4) ORDER BY pos) AS centroid
-        FROM p GROUP BY label
+          FROM embeddings)
+        SELECT label, (pos - 1)::BIGINT AS pos, round(avg(x), 4) AS m
+        FROM e GROUP BY label, pos
     """
 
     # reader option-matrix gates: the fixture is nation serialized with

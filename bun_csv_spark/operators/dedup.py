@@ -379,28 +379,60 @@ def neardup_pairs_embedding(
 def simhash64(col, shingle_k: int = 4):
     """64-bit SimHash expression over character shingles.
 
-    Each shingle hashes to 64 bits (xxhash64 — JVM built-in); bit b votes
-    +1/-1; the sign vector packs back into a BIGINT. Built as a fold over
-    the shingle array; no explode, no UDF, so it runs per-row in codegen.
+    Each shingle hashes to 64 bits taken from md5 — the top 8 hex chars
+    give bits 0-31 (h1), the next 8 give bits 32-63 (h2). md5 (not
+    xxhash64) keeps the fingerprint bit-for-bit portable across engines so
+    the DuckDB oracle can replay it. Bit b votes +1/-1; the sign vector
+    packs back into a BIGINT. Built as a fold over the shingle array; no
+    explode, no UDF, so it runs per-row in codegen. The md5 is computed
+    once per shingle (separate transform stage) — Catalyst does not CSE
+    inside lambda bodies.
 
-    Bit masks are a literal array (bit 63 wraps to the sign bit as a
-    negative long) because Spark's shift functions only take Python-int
-    shift amounts, not Columns."""
+    Bit masks are a literal struct array (the packed bit 63 wraps to the
+    sign bit as a negative long) because Spark's shift functions only take
+    Python-int shift amounts, not Columns."""
     sh = char_shingles(col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    masks = F.array(*[F.lit(m).cast("long") for m in mask_vals])
-    # votes[b] = sum over shingles of (bit b set ? 1 : -1)
+    md5s = F.transform(sh, lambda s: F.md5(s))
+    halves = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    # per-bit vote masks: bit b tests (b < 32 ? h1 : h2) & (1 << (b % 32))
+    mask_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(1 << (b % 32)).cast("long").alias("m"),
+            )
+            for b in range(64)
+        ]
+    )
     votes = F.aggregate(
-        hashes,
+        halves,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
-            masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            mask_structs,
+            lambda a, ms: a
+            + F.when(
+                F.when(ms["b"] < 32, h["h1"])
+                .otherwise(h["h2"])
+                .bitwiseAND(ms["m"])
+                != 0,
+                1,
+            ).otherwise(-1),
         ),
     )
+    out_masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
     signed = F.zip_with(
-        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        votes, out_masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

@@ -8,8 +8,10 @@ Extension surface (BASELINE.json north star). Two tiers:
   is verified against.
 - ``ann_lsh_buckets`` / ``ann_lsh_topk``: random-hyperplane LSH. Query and
   corpus hash to sign-bit buckets; only same-bucket rows are scored. The
-  hyperplanes derive deterministically from a seed via xxhash64, so the
-  index is reproducible without storing plane matrices.
+  hyperplanes are deterministic md5-derived integer components
+  (``embedding_planes``) emitted as plan literals, so the index is
+  reproducible without storing plane matrices AND the bucketing is
+  bit-for-bit replayable by the DuckDB oracle.
 - ``knn_join_brute``: all-pairs top-k per query row for a (small,
   broadcastable) query set.
 
@@ -46,35 +48,31 @@ def ann_brute_force(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
-def _plane_sign(vec_col, plane_idx: int, dim: int, seed: int):
-    """Sign bit of <vec, plane_i> with deterministic pseudo-random plane.
-
-    plane_i[j] = xxhash64(seed, plane_idx, j) scaled to [-1, 1). Derived
-    in-plan — no plane matrix to ship or store."""
-    components = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(seed), F.lit(plane_idx), j).cast("double")
-            / F.lit(float(2**63))
-        ),
-    )
-    proj = F.aggregate(
-        F.zip_with(vec_col, components, lambda x, p: x.cast("double") * p),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-
-
 def lsh_bucket(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
-    """Pack n_planes sign bits into an integer bucket id."""
+    """Pack n_planes hyperplane sign bits into an integer bucket id.
+
+    Planes are deterministic md5-derived integer components
+    (``embedding_planes(seed, 1, n_planes, dim)``) emitted as literals —
+    the per-row work is plain multiply-adds, and the same constants go
+    into oracle SQL. The projection sign is taken on ``round(proj, 6)``
+    so accumulation-order ULPs can't flip a bit between engines. Bit i of
+    the bucket is plane i's sign (LSB-first, matching
+    ``neardup_pairs_embedding``)."""
+    from bun_csv_spark.operators.dedup import embedding_planes
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
+    planes = embedding_planes(seed, 1, n_planes, dim)[0]
+    bucket = F.lit(0)
     for i in range(n_planes):
-        bucket = F.shiftleft(bucket, 1).bitwiseOR(
-            _plane_sign(c, i, dim, seed).cast("long")
+        arr = F.array(*[F.lit(float(p)) for p in planes[i]])
+        proj = F.aggregate(
+            F.zip_with(c, arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    return bucket
+        bit = F.when(F.round(proj, 6) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket.cast("long")
 
 
 def ann_lsh_topk(
@@ -91,11 +89,8 @@ def ann_lsh_topk(
     """LSH-pruned cosine top-k: score only rows in the query's bucket.
 
     Recall < 1 by design; verify against ann_brute_force in tests."""
-    import math
-
-    # driver-side bucket of the query (same plane derivation, mirrored in
-    # plain python through the same xxhash64 — computed via a 1-row plan to
-    # avoid re-implementing xxhash in python)
+    # the query's bucket comes from the SAME expression over a 1-row plan,
+    # so Spark's float math decides the sign bits, not Python's
     spark = df.sparkSession
     qdf = spark.range(1).select(
         F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
