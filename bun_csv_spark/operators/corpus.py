@@ -267,7 +267,13 @@ def oversample_by_factor(
     pipeline upweights a small high-quality source without fractional
     sampling. ``explode(sequence(...))`` is a map-side row multiplier:
     no shuffle, and the multiplied rows never materialize on the driver.
-    Rows with factor < 1 are dropped (factor 0 = exclude the source)."""
-    return docs.withColumn(
-        epoch_col, F.explode(F.sequence(F.lit(1), factor_col.cast("int")))
-    ).withColumn(epoch_col, F.col(epoch_col).cast("long"))
+    Rows with factor < 1 are dropped (factor 0 = exclude the source):
+    ``sequence(1, n)`` with n < 1 auto-steps DOWNWARD in Spark (1,0,... —
+    it would RE-EMIT the row), so the sequence is gated behind
+    ``factor >= 1`` and ``explode`` of the resulting NULL drops the row,
+    matching ``generate_series(1, n)``'s empty result in the oracle."""
+    fac = factor_col.cast("int")
+    seq = F.when(fac >= 1, F.sequence(F.lit(1), fac))
+    return docs.withColumn(epoch_col, F.explode(seq)).withColumn(
+        epoch_col, F.col(epoch_col).cast("long")
+    )

@@ -26,6 +26,7 @@ The row identity column is the reader's file-order ``__row_idx``
 from __future__ import annotations
 
 import bisect
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -41,8 +42,12 @@ class EditLog:
     cell_edits: dict[tuple[int, str], str | None] = field(default_factory=dict)
     deleted: set[int] = field(default_factory=set)
     inserts: dict[int, list] = field(default_factory=dict)  # output pos -> values
-    # get_cell contiguity memo: (id(df), row_col) -> min index or None
-    _contig_base: dict = field(default_factory=dict, repr=False)
+    # get_cell contiguity memo: df -> {row_col -> min index or None}.
+    # Weak-keyed on the DataFrame itself: id(df) would be reusable after
+    # gc, letting a new frame inherit a stale contiguity base.
+    _contig_base: "weakref.WeakKeyDictionary" = field(
+        default_factory=weakref.WeakKeyDictionary, repr=False
+    )
 
     def set_cell(self, row: int, column: str, value) -> None:
         self.cell_edits[(row, column)] = value
@@ -170,16 +175,16 @@ class EditLog:
             return self.cell_edits[(row, column)]
         if row in self.deleted:
             return None
-        key = (id(df), row_col)
-        if key not in self._contig_base:
+        per_df = self._contig_base.setdefault(df, {})
+        if row_col not in per_df:
             b = df.agg(
                 F.min(row_col).alias("mn"),
                 F.max(row_col).alias("mx"),
                 F.count(F.lit(1)).alias("n"),
             ).first()
             contiguous = b["n"] > 0 and b["mx"] - b["mn"] + 1 == b["n"]
-            self._contig_base[key] = b["mn"] if contiguous else None
-        base = self._contig_base[key]
+            per_df[row_col] = b["mn"] if contiguous else None
+        base = per_df[row_col]
         if base is not None:
             hit = df.filter(F.col(row_col) == base + row).select(column).collect()
         else:

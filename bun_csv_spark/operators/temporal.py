@@ -36,6 +36,7 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     tolerance: int | None = None,
+    right_ts_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, the right row with the
     greatest ``ts`` <= left ``ts`` for the same ``key`` (ties include
@@ -44,10 +45,39 @@ def asof_join(
     ``right`` must carry ``key``, ``ts``, and ``right_cols`` (the payload
     to attach; include a copy of the right timestamp if the caller needs
     the gap). ``tolerance`` (same unit as ``ts``) drops matches older
-    than ``left.ts - tolerance``, like pandas ``merge_asof``.
+    than ``left.ts - tolerance``, like pandas ``merge_asof``; it requires
+    ``right_ts_col`` — the name of the right-timestamp copy inside
+    ``right_cols`` the check compares against (an explicit parameter: the
+    old first-entry positional convention silently compared an arbitrary
+    payload column when callers ordered right_cols differently).
 
     Returns all left columns + ``right_cols`` (NULL when unmatched)."""
     lcols = left.columns
+    missing = [c for c in right_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"right_cols not in right DataFrame: {missing}")
+    clashes = [c for c in right_cols if c in lcols]
+    if clashes:
+        raise ValueError(
+            f"right_cols collide with left columns {clashes}; "
+            "alias the right payload before joining"
+        )
+    if tolerance is not None:
+        if right_ts_col is None:
+            raise ValueError("tolerance requires right_ts_col")
+        if right_ts_col not in right_cols:
+            raise ValueError(
+                f"right_ts_col {right_ts_col!r} must be one of right_cols"
+            )
+        import pyspark.sql.types as T
+
+        rts_type = right.schema[right_ts_col].dataType
+        if not isinstance(rts_type, (T.NumericType, T.TimestampType,
+                                     T.TimestampNTZType, T.DateType)):
+            raise ValueError(
+                f"right_ts_col {right_ts_col!r} is {rts_type.simpleString()}; "
+                "expected a numeric/timestamp column"
+            )
     tagged_left = left.select(
         F.col(key),
         F.col(ts),
@@ -75,9 +105,8 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     matched = {c: F.col(f"__m_{c}") for c in right_cols}
     if tolerance is not None:
-        # a match only counts when its carried timestamp is close enough;
-        # callers pass the right-ts copy as the FIRST entry of right_cols
-        rts = F.col(f"__m_{right_cols[0]}")
+        # a match only counts when its carried timestamp is close enough
+        rts = F.col(f"__m_{right_ts_col}")
         in_range = rts >= F.col(ts) - F.lit(tolerance)
         matched = {
             c: F.when(in_range, F.col(f"__m_{c}")) for c in right_cols

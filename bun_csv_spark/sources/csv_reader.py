@@ -287,6 +287,9 @@ def read_csv_url(
     )
     tmp.write(text)
     tmp.close()
+    # the temp file is UTF-8 regardless of the source encoding — reset it
+    # so the distributed read doesn't re-decode with the original codec
+    opts = _replace(opts or CSVOptions(), encoding="UTF-8")
     return read_csv(spark, tmp.name, opts)
 
 
@@ -366,7 +369,8 @@ def read_csv_with_errors(
 
     if opts.before_first_chunk is not None:
         path = _apply_before_first_chunk(path, opts)
-        opts = _replace(opts, before_first_chunk=None)
+        # the rewritten temp file is UTF-8 whatever the source encoding was
+        opts = _replace(opts, before_first_chunk=None, encoding="UTF-8")
 
     if opts.delimiter == "auto":
         sample = _head_bytes(spark, path, opts.encoding)
@@ -540,8 +544,10 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     df = df.toDF(*names)
 
     if opts.skip_empty_rows == "greedy":
+        # JS String.trim semantics (all whitespace, parser.ts:70-71) — not
+        # F.trim, which strips ASCII spaces only and would keep tab-only cells
         non_blank = [
-            (F.col(c).isNotNull() & (F.trim(F.col(c)) != "")) for c in names
+            (F.col(c).isNotNull() & ~F.col(c).rlike(r"^\s*$")) for c in names
         ]
         pred = non_blank[0]
         for p in non_blank[1:]:
@@ -575,7 +581,12 @@ def _first_surviving_line(path: str, opts: CSVOptions) -> tuple[str | None, int]
         if opts.comments and ln.startswith(opts.comments):
             continue
         if opts.skip_empty_rows and (
-            ln.strip() == "" if opts.skip_empty_rows == "greedy" else ln == ""
+            # ASCII-whitespace strip: the distributed filter's Java-regex \s
+            # is [ \t\n\x0B\f\r]; Python's bare strip() also eats unicode
+            # spaces and the two probes could disagree on e.g. \xa0-only lines
+            ln.strip(" \t\n\x0b\x0c\r") == ""
+            if opts.skip_empty_rows == "greedy"
+            else ln == ""
         ):
             continue
         return ln, idx
@@ -614,7 +625,8 @@ def _read_exact(
     if opts.skip_empty_rows:
         blank = F.col("line") == ""
         if opts.skip_empty_rows == "greedy":
-            blank = F.trim(F.col("line")) == ""
+            # JS-trim semantics; must match _first_surviving_line's probe
+            blank = F.col("line").rlike(r"^\s*$")
         df = df.filter(~blank)
 
     # header row = first surviving line. Local files resolve it driver-side

@@ -146,6 +146,21 @@ def test_skip_empty_rows_greedy(spark, write_csv_file):
     assert sorted(r.a for r in df.collect()) == ["1", "3"]
 
 
+def test_skip_empty_rows_greedy_tab_only_line(spark, write_csv_file):
+    # a tab-only line is blank to JS trim; the driver header probe and the
+    # distributed filter must agree on it. Pre-header whitespace-only lines
+    # are exact-path-only (Spark's native reader picks its own header line)
+    path = write_csv_file("\t\na,b\n1,2\n\t\t\n3,4\n")
+    df = read_csv(spark, path, CSVOptions(skip_empty_rows="greedy", with_row_index=True))
+    assert ["a", "b"] == [c for c in df.columns if c in ("a", "b")]
+    assert sorted(r.a for r in df.collect()) == ["1", "3"]
+    # native path: tab-only DATA line drops under greedy
+    path2 = write_csv_file("a,b\n1,2\n\t\t\n3,4\n")
+    df_native = read_csv(spark, path2, CSVOptions(skip_empty_rows="greedy"))
+    assert df_native.columns == ["a", "b"]
+    assert sorted(r.a for r in df_native.collect()) == ["1", "3"]
+
+
 def test_trim(spark, write_csv_file):
     path = write_csv_file("a,b\n  x  , y\n")
     out = rows_as_dicts(read_csv(spark, path, CSVOptions(trim=True)))

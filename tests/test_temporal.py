@@ -42,7 +42,8 @@ def test_asof_tolerance(trades, quotes):
     out = {
         r.trade_id: r.px
         for r in asof_join(
-            trades, q, key="sym", ts="ts", right_cols=["qts", "px"], tolerance=4
+            trades, q, key="sym", ts="ts", right_cols=["qts", "px"],
+            tolerance=4, right_ts_col="qts",
         ).collect()
     }
     assert out["t1"] == 1.5  # gap 0 <= 4
@@ -64,3 +65,27 @@ def test_range_join_bucketed(spark):
     assert got == [("i1", 14), ("i2", 5), ("i2", 14), ("i2", 25)]
     # each (interval, point) pair appears exactly once despite bucket explode
     assert len(got) == len(set(got))
+
+
+def test_asof_join_validation(trades, quotes):
+    q = quotes.select("sym", "ts", F.col("ts").alias("qts"), "px")
+    with pytest.raises(ValueError, match="requires right_ts_col"):
+        asof_join(trades, q, key="sym", ts="ts",
+                  right_cols=["px", "qts"], tolerance=4)
+    with pytest.raises(ValueError, match="must be one of right_cols"):
+        asof_join(trades, q, key="sym", ts="ts",
+                  right_cols=["px"], tolerance=4, right_ts_col="qts")
+    with pytest.raises(ValueError, match="not in right DataFrame"):
+        asof_join(trades, q, key="sym", ts="ts", right_cols=["nope"])
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(trades, quotes.select("sym", "ts", F.col("px").alias("trade_id")),
+                  key="sym", ts="ts", right_cols=["trade_id"])
+    # payload-first ordering now works when right_ts_col is explicit
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, q, key="sym", ts="ts", right_cols=["px", "qts"],
+            tolerance=4, right_ts_col="qts",
+        ).collect()
+    }
+    assert out["t1"] == 1.5 and out["t2"] is None

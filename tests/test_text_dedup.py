@@ -269,3 +269,20 @@ def test_pack_sequences_invariants(spark):
             cum += r.n_tok
         for poss in packs.values():
             assert sorted(poss) == list(range(len(poss)))  # dense positions
+
+
+def test_oversample_factor_zero_and_negative(spark):
+    """factor < 1 must DROP the row: sequence(1, 0) auto-steps downward in
+    Spark and would re-emit it without the factor >= 1 gate."""
+    from bun_csv_spark.operators.corpus import oversample_by_factor
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0), (4, -1)], "doc_id long, fac int"
+    )
+    out = oversample_by_factor(df, F.col("fac")).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert sorted(per_doc[1]) == [1, 2, 3]
+    assert per_doc[2] == [1]
+    assert 3 not in per_doc and 4 not in per_doc
