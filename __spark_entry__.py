@@ -1284,21 +1284,30 @@ def q_bm25(spark, sf_dir):
 
 
 def q_multimodal_audio(spark, sf_dir):
-    """Audio-metadata plumbing: opaque payload -> Arrow-batched header
-    decode (stubbed deterministically; sample rate/count/duration)."""
-    from bun_csv_spark.multimodal.binary import extract_audio_meta
+    """Audio metadata through a REAL RIFF/WAVE header: the fixture builds
+    an actual 8-bit PCM WAV per doc (rate = AUDIO_RATES[doc_id % 4],
+    frames = UTF-8 text bytes) and extract_audio_meta parses it with the
+    stdlib wave reader — the oracle restates rate/frames from (doc_id,
+    text) without touching bytes."""
+    from bun_csv_spark.multimodal.binary import attach_wav_payload, extract_audio_meta
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    docs = attach_wav_payload(_t(spark, sf_dir, "documents"), "doc_id", "text", "payload")
     return extract_audio_meta(docs, "doc_id", "payload")
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling plumbing: one row per sampled frame (row-explosion
-    inside mapInPandas — the shape a real video decoder uses)."""
-    from bun_csv_spark.multimodal.binary import sample_frames
+    """Frame-sampling plumbing over REAL WAV containers: duration comes
+    from the parsed header; the frame hash keys off the DECODED sample
+    data (= the original text bytes), so the oracle replays it as
+    md5(text) — one row per sampled frame (row-explosion inside
+    mapInPandas, the shape a real video decoder uses)."""
+    from bun_csv_spark.multimodal.binary import attach_wav_payload, sample_frames
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
-    return sample_frames(docs, "doc_id", "payload", every_ms=500, max_frames=8)
+    # every_ms=10: real WAV durations here are 1-70 ms (text-sized
+    # payloads), so a 10 ms stride keeps the gate exercising genuine
+    # multi-frame explosion (1-8 rows per doc)
+    docs = attach_wav_payload(_t(spark, sf_dir, "documents"), "doc_id", "text", "payload")
+    return sample_frames(docs, "doc_id", "payload", every_ms=10, max_frames=8)
 
 
 def q_streaming_stateful(spark, sf_dir):
@@ -1517,11 +1526,17 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Image pipeline plumbing: payload -> md5-derived dims (Arrow-batched
-    decode stub) -> aspect-preserving thumbnail geometry (JVM exprs)."""
-    from bun_csv_spark.multimodal.binary import extract_image_meta, resize_dims
+    """Image pipeline through a REAL PNG IHDR: the fixture builds an
+    actual PNG header per doc (dims = 1 + doc_id*37%512 / 1 + doc_id*53%512),
+    extract_image_meta parses it (pure-stdlib header decode), then
+    aspect-preserving thumbnail geometry runs as JVM exprs."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_png_payload,
+        extract_image_meta,
+        resize_dims,
+    )
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    docs = attach_png_payload(_t(spark, sf_dir, "documents"), "doc_id", "payload")
     meta = extract_image_meta(docs, "doc_id", "payload")
     new_w, new_h = resize_dims("width", "height", 256)
     return meta.select(
@@ -2383,8 +2398,8 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_resize"] = """
         WITH dims AS (
           SELECT doc_id,
-                 1 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 512 AS width,
-                 1 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 512 AS height
+                 1 + (doc_id * 37) % 512 AS width,
+                 1 + (doc_id * 53) % 512 AS height
           FROM documents)
         SELECT doc_id, width, height,
                CASE WHEN greatest(width, height) <= 256 THEN width
@@ -2799,10 +2814,8 @@ def oracle_sql() -> dict[str, str]:
     # — multimodal/binary.py); the oracle replays the same arithmetic
     sql["multimodal_audio"] = """
         WITH a AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 4 AS ri,
-                 CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 100000
-                   + octet_length(encode(text)) AS ns
+          SELECT doc_id, doc_id % 4 AS ri,
+                 octet_length(encode(text)) AS ns
           FROM documents)
         SELECT doc_id,
                (CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
@@ -2816,20 +2829,18 @@ def oracle_sql() -> dict[str, str]:
 
     sql["multimodal_frames"] = """
         WITH a AS (
-          SELECT doc_id, md5(text) AS h,
-                 CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 4 AS ri,
-                 CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 100000
-                   + octet_length(encode(text)) AS ns
+          SELECT doc_id, md5(text) AS h, doc_id % 4 AS ri,
+                 octet_length(encode(text)) AS ns
           FROM documents),
         d AS (
           SELECT doc_id, h,
                  least(((ns * 1000) // (CASE ri WHEN 0 THEN 8000
                         WHEN 1 THEN 16000 WHEN 2 THEN 22050
-                        ELSE 44100 END)) // 500 + 1, 8) AS n_frames
+                        ELSE 44100 END)) // 10 + 1, 8) AS n_frames
           FROM a),
         f AS (SELECT doc_id, h, unnest(generate_series(0, n_frames - 1)) AS i
               FROM d)
-        SELECT doc_id, i::BIGINT AS frame_idx, (i * 500)::BIGINT AS frame_ts_ms,
+        SELECT doc_id, i::BIGINT AS frame_idx, (i * 10)::BIGINT AS frame_ts_ms,
                md5(h || ':' || i) AS frame_hash
         FROM f
     """

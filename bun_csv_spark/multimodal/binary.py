@@ -5,11 +5,14 @@ Design (BASELINE.json north star): image/audio/video cells are opaque
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so the bytes never round-trip through Python row objects.
 
-The decode step is STUBBED — the image/audio libraries are not in this
-container. ``extract_binary_features`` is the real, tested plumbing
-(schema, partitioning, batch shape, Arrow transfer) with a deterministic
-fake "decode" (byte length + md5). ``decode_image_stub`` marks where a real
-decoder (PIL/libvips/ffmpeg) plugs in.
+Container-header METADATA decoding is REAL and pure-stdlib:
+``parse_image_dims`` reads PNG IHDR / GIF logical-screen / JPEG SOF
+headers, ``parse_wav_meta`` reads RIFF/WAVE headers (``wave`` + struct).
+PIXEL/SAMPLE decoding is stubbed — no imaging/audio codec ships in this
+container; ``decode_image_stub`` / ``decode_audio_stub`` mark where
+PIL/libvips/ffmpeg plug in. Payloads that are not a recognized container
+fall back to a deterministic md5-derived fake so the plumbing stays
+testable on arbitrary bytes.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -20,6 +23,10 @@ possible so column pruning keeps it out of unrelated scans.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -37,6 +44,99 @@ def attach_binary_payload(
     return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+# -- real stdlib container-header parsers ------------------------------------
+
+
+def parse_image_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG / GIF / JPEG header, or None.
+
+    Pure stdlib: PNG IHDR (bytes 16-24 after the 8-byte signature), GIF
+    logical screen descriptor (4 LE bytes after 'GIF8xa'), JPEG SOF0-SOF15
+    frame header (marker scan; DHT/JPG/DAC excluded). No pixel decode."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # padding / standalone markers carry no length
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return int(w), int(h)
+                return None
+            i += 2 + seglen
+    return None
+
+
+def parse_wav_meta(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_frames) from a RIFF/WAVE header, or None.
+
+    Uses the stdlib ``wave`` reader over an in-memory buffer — fmt/data
+    chunk walking, compression-code validation, frame accounting for
+    free."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError, struct.error):
+        return None
+
+
+# -- synthetic container builders (tests + gate fixtures) --------------------
+
+
+def make_wav_payload(data: bytes, sample_rate: int) -> bytes:
+    """A real 8-bit PCM mono WAV file around ``data`` (1 byte = 1 frame)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def make_png_payload(width: int, height: int) -> bytes:
+    """A real PNG signature + IHDR chunk (valid CRC; no pixel data)."""
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def make_gif_payload(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def make_jpeg_payload(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + 1-component SOF0 frame header + EOI."""
+    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + b"\xff\xd9"
+    )
+
+
 def decode_image_stub(payload: bytes) -> "object":
     """Where a real image decoder would run. Deliberately unimplemented —
     no imaging library ships in this environment."""
@@ -49,24 +149,30 @@ def decode_image_stub(payload: bytes) -> "object":
 def extract_image_meta(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Image-metadata decode stub: width/height derived deterministically
-    from the payload's md5 (1 + first/second 16 bits mod 512) — a real
-    decoder reads the codec header here; the Arrow-batched shape is the
-    production plumbing."""
-    import pandas as pd
+    """Image metadata via REAL header parsing: PNG IHDR / GIF logical
+    screen / JPEG SOF (``parse_image_dims``, pure stdlib). Payloads that
+    are not a recognized image container fall back to deterministic
+    md5-derived dims (1 + first/second 16 bits mod 512) so arbitrary
+    bytes still flow through the Arrow-batched plumbing."""
 
     out_schema = f"{id_col} long, width long, height long"
 
+    def one(b) -> tuple[int, int]:
+        raw = bytes(b)
+        dims = parse_image_dims(raw)
+        if dims is None:
+            h = hashlib.md5(raw).hexdigest()
+            dims = (1 + int(h[:4], 16) % 512, 1 + int(h[4:8], 16) % 512)
+        return dims
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hexes = pdf[payload_col].map(
-                lambda b: hashlib.md5(bytes(b)).hexdigest()
-            )
+            dims = pdf[payload_col].map(one)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "width": hexes.map(lambda h: 1 + int(h[:4], 16) % 512),
-                    "height": hexes.map(lambda h: 1 + int(h[4:8], 16) % 512),
+                    "width": dims.map(lambda d: d[0]).astype("int64"),
+                    "height": dims.map(lambda d: d[1]).astype("int64"),
                 }
             )
 
@@ -91,6 +197,60 @@ def resize_dims(width, height, max_dim: int = 256):
     )
 
 
+def attach_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Materialize a REAL WAV container per row: 8-bit PCM mono, sample
+    rate = AUDIO_RATES[id % 4], frame data = the UTF-8 bytes of
+    ``text_col`` (1 byte = 1 frame). Gives the audio-metadata operators a
+    genuine RIFF/WAVE header to parse while keeping every field derivable
+    from (id, text) — which is what lets the SQL oracle state the expected
+    values without building bytes."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def wav(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_wav_payload(t.encode("utf-8"), AUDIO_RATES[int(i) % 4])
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    return df.withColumn(payload_col, wav(F.col(id_col), F.col(text_col)))
+
+
+def attach_png_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    w_mult: int = 37,
+    h_mult: int = 53,
+    mod: int = 512,
+) -> DataFrame:
+    """Materialize a REAL PNG header per row with deterministic dims
+    width = 1 + (id*w_mult) % mod, height = 1 + (id*h_mult) % mod — a
+    genuine IHDR for ``extract_image_meta`` to parse, with dims the SQL
+    oracle can restate from ``id`` alone."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def png(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_png_payload(
+                    1 + int(i) * w_mult % mod, 1 + int(i) * h_mult % mod
+                )
+                for i in ids
+            ]
+        )
+
+    return df.withColumn(payload_col, png(F.col(id_col)))
+
+
 def decode_audio_stub(payload: bytes) -> "object":
     """Where a real audio decoder (ffmpeg/soundfile) would run.
     Deliberately unimplemented — no audio library ships in this
@@ -104,28 +264,36 @@ def decode_audio_stub(payload: bytes) -> "object":
 AUDIO_RATES = (8000, 16000, 22050, 44100)
 
 
+def _audio_meta_one(b) -> tuple[int, int]:
+    """(sample_rate, n_samples): REAL RIFF/WAVE header when the payload is
+    a WAV file, md5-derived deterministic fallback otherwise."""
+    raw = bytes(b)
+    meta = parse_wav_meta(raw)
+    if meta is None:
+        h = hashlib.md5(raw).hexdigest()
+        meta = (AUDIO_RATES[int(h[:2], 16) % 4], int(h[8:12], 16) % 100_000 + len(raw))
+    return meta
+
+
 def extract_audio_meta(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Audio-metadata decode stub: sample rate / sample count / duration
-    derived deterministically from the payload md5 and byte length — a
-    real decoder reads the container header here. Arrow-batched
+    """Audio metadata via REAL header parsing: RIFF/WAVE sample rate and
+    frame count (``parse_wav_meta``, stdlib ``wave``). Non-WAV payloads
+    fall back to deterministic md5-derived values. Arrow-batched
     mapInPandas; output (id, sample_rate, n_samples, duration_ms)."""
 
     out_schema = f"{id_col} long, sample_rate long, n_samples long, duration_ms long"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hexes = pdf[payload_col].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            rates = hexes.map(lambda h: AUDIO_RATES[int(h[:2], 16) % 4])
-            n_samples = (
-                hexes.map(lambda h: int(h[8:12], 16) % 100_000)
-                + pdf[payload_col].map(len)
-            ).astype("int64")
+            meta = pdf[payload_col].map(_audio_meta_one)
+            rates = meta.map(lambda m: m[0]).astype("int64")
+            n_samples = meta.map(lambda m: m[1]).astype("int64")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "sample_rate": rates.astype("int64"),
+                    "sample_rate": rates,
                     "n_samples": n_samples,
                     "duration_ms": (n_samples * 1000 // rates).astype("int64"),
                 }
@@ -142,11 +310,12 @@ def sample_frames(
     max_frames: int = 8,
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame —
-    (id, frame_idx, frame_ts_ms, frame_hash). The 'video duration' comes
-    from the same deterministic header-stub as extract_audio_meta; a real
-    implementation decodes and emits actual frame tensors/bytes in the
-    same one-in-many-out Arrow batch shape (the row-explosion plumbing is
-    the production part)."""
+    (id, frame_idx, frame_ts_ms, frame_hash). The media duration comes
+    from the REAL container header when the payload is a WAV file
+    (``parse_wav_meta`` via ``_audio_meta_one``), else the deterministic
+    md5 stub; a real implementation decodes and emits actual frame
+    tensors/bytes in the same one-in-many-out Arrow batch shape (the
+    row-explosion plumbing is the production part)."""
 
     out_schema = f"{id_col} long, frame_idx long, frame_ts_ms long, frame_hash string"
 
@@ -155,9 +324,15 @@ def sample_frames(
             ids, idxs, tss, hashes = [], [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                h = hashlib.md5(b).hexdigest()
-                rate = AUDIO_RATES[int(h[:2], 16) % 4]
-                n_samples = int(h[8:12], 16) % 100_000 + len(b)
+                rate, n_samples = _audio_meta_one(b)
+                # the frame hash keys off the DECODED sample data (WAV
+                # frames), not the container bytes — container metadata
+                # doesn't change frame content; non-containers hash whole
+                data = b
+                if parse_wav_meta(b) is not None:
+                    with wave.open(io.BytesIO(b)) as w:
+                        data = w.readframes(w.getnframes())
+                h = hashlib.md5(data).hexdigest()
                 duration_ms = n_samples * 1000 // rate
                 n_frames = min(duration_ms // every_ms + 1, max_frames)
                 for i in range(n_frames):

@@ -118,3 +118,76 @@ def test_frame_sampling_explodes_rows(spark):
     assert idxs == list(range(len(frames)))  # contiguous frame indices
     assert all(r.frame_ts_ms == r.frame_idx * 500 for r in frames)
     assert len({r.frame_hash for r in frames}) == len(frames)  # distinct frames
+
+
+def test_parse_image_dims_real_headers():
+    from bun_csv_spark.multimodal.binary import (
+        make_gif_payload,
+        make_jpeg_payload,
+        make_png_payload,
+        parse_image_dims,
+    )
+
+    assert parse_image_dims(make_png_payload(640, 480)) == (640, 480)
+    assert parse_image_dims(make_gif_payload(13, 7)) == (13, 7)
+    assert parse_image_dims(make_jpeg_payload(320, 200)) == (320, 200)
+    # JPEG with a padding FF and a restart marker before SOF still parses
+    jpg = make_jpeg_payload(31, 17)
+    padded = jpg[:2] + b"\xff" + b"\xff\xd0" + jpg[2:]
+    assert parse_image_dims(padded) == (31, 17)
+    assert parse_image_dims(b"not an image at all") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n tooshort") is None
+
+
+def test_parse_wav_meta_real_header():
+    from bun_csv_spark.multimodal.binary import make_wav_payload, parse_wav_meta
+
+    data = bytes(range(256)) * 10
+    wav = make_wav_payload(data, 22050)
+    assert parse_wav_meta(wav) == (22050, len(data))
+    assert parse_wav_meta(b"RIFFxxxxWAVEgarbage") is None
+    assert parse_wav_meta(b"plain bytes") is None
+
+
+def test_extract_meta_parses_real_containers(spark):
+    from bun_csv_spark.multimodal.binary import (
+        extract_audio_meta,
+        extract_image_meta,
+        make_png_payload,
+        make_wav_payload,
+    )
+
+    rows = [
+        (1, make_png_payload(800, 600)),
+        (2, b"opaque fallback bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: (r.width, r.height) for r in extract_image_meta(df).collect()}
+    assert out[1] == (800, 600)
+    assert 1 <= out[2][0] <= 512 and 1 <= out[2][1] <= 512  # md5 fallback
+
+    arows = [(1, make_wav_payload(b"x" * 16000, 16000))]
+    adf = spark.createDataFrame(arows, "doc_id long, payload binary")
+    meta = extract_audio_meta(adf).collect()[0]
+    assert (meta.sample_rate, meta.n_samples, meta.duration_ms) == (16000, 16000, 1000)
+
+
+def test_sample_frames_hashes_decoded_data(spark):
+    """A WAV container and the raw data bytes yield the SAME frame hashes —
+    the hash keys off decoded samples, not container framing."""
+    import hashlib
+
+    from bun_csv_spark.multimodal.binary import make_wav_payload, sample_frames
+
+    data = b"hello frames" * 100
+    wav = make_wav_payload(data, 8000)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    got = sorted(
+        (r.frame_idx, r.frame_hash) for r in sample_frames(df).collect()
+    )
+    h = hashlib.md5(data).hexdigest()
+    n = len(data) * 1000 // 8000 // 500 + 1
+    expect = sorted(
+        (i, hashlib.md5(f"{h}:{i}".encode()).hexdigest()) for i in range(min(n, 8))
+    )
+    assert got == expect
