@@ -64,7 +64,10 @@ class CSVOptions:
     delimiter: str = ","  # "auto" -> sample-and-score detection
     quote_char: str = '"'
     has_header: bool = True
-    encoding: str = "UTF-8"
+    # "auto" = reference default (parser.ts:78-79): BOM + content heuristic
+    # via detect_encoding; any non-UTF-8 source is transcoded driver-side
+    # before the distributed parse (the reference's whole-buffer iconv)
+    encoding: str = "auto"
     comments: str | None = None  # comment-prefix char (parser.ts:72-73)
     skip_empty_rows: bool | str = True  # True | False | "greedy" (parser.ts:70-71)
     from_line: int | None = None  # 1-based record range (parser.ts:170-181)
@@ -278,8 +281,8 @@ def read_csv_url(
     req = urllib.request.Request(url, headers=request_headers or {})
     with urllib.request.urlopen(req) as resp:  # noqa: S310 (explicit shim)
         raw = resp.read()
-    encoding = (opts.encoding if opts else None) or "UTF-8"
-    text = raw.decode(detect_encoding(raw) or encoding, errors="replace")
+    encoding = (opts.encoding if opts else None) or "auto"
+    text = raw.decode(_head_codec(raw, encoding), errors="replace")
     if before_first_chunk is not None:
         text = before_first_chunk(text)
     tmp = tempfile.NamedTemporaryFile(
@@ -335,26 +338,87 @@ def reader_meta(
 
 
 def detect_encoding(head: bytes) -> str | None:
-    """BOM detection + a light heuristic (iconv.zig:42-74, 150-187).
-
-    Returns a codec name or None (caller falls back to its configured
-    encoding)."""
+    """Faithful port of the reference detectEncoding (iconv.zig:42-74,
+    150-187): BOM first; then over a 1 KB window — more than 1/3 NUL
+    bytes → UTF-16 (byte order from the first two bytes, LE default);
+    any high bytes → UTF-8 when the window validates, else windows-1252
+    (the reference returns .windows1252, NOT latin-1 — they differ on
+    0x80-0x9F); pure ASCII → UTF-8. Truncation behavior is also the
+    reference's: a multibyte char split at the window edge fails
+    isValidUtf8 there too."""
     for bom, name in _BOMS:
         if head.startswith(bom):
             return name
-    sample = head[:4096]
+    sample = head[:1024]
     if not sample:
         return None
-    # interleaved NULs suggest UTF-16 without BOM
-    if sample[1::2].count(0) > len(sample) // 4:
+    if sample.count(0) * 3 > len(sample):
+        if len(sample) >= 2:
+            if sample[0] != 0 and sample[1] == 0:
+                return "utf-16-le"
+            if sample[0] == 0 and sample[1] != 0:
+                return "utf-16-be"
         return "utf-16-le"
-    if sample[0::2].count(0) > len(sample) // 4:
-        return "utf-16-be"
-    try:
-        sample.decode("utf-8")
-        return "utf-8"
-    except UnicodeDecodeError:
-        return "latin-1"  # the reference's fallback family (windows-1252-ish)
+    if any(b > 127 for b in sample):
+        try:
+            sample.decode("utf-8")
+            return "utf-8"
+        except UnicodeDecodeError:
+            return "cp1252"
+    return "utf-8"
+
+
+def _head_codec(raw: bytes, encoding: str) -> str:
+    """Codec for decoding driver-side probes: BOM always wins, then an
+    explicit (non-auto) configured encoding, then the content heuristic."""
+    for bom, name in _BOMS:
+        if raw.startswith(bom):
+            return name
+    if encoding and encoding.lower() != "auto":
+        return encoding
+    return detect_encoding(raw) or "utf-8"
+
+
+_UTF8_NAMES = ("utf-8", "utf8", "ascii", "us-ascii", "utf-8-sig")
+
+
+def _resolve_encoding(path: str, opts: CSVOptions) -> tuple[str, CSVOptions]:
+    """Reference-parity encoding resolution (parser.ts:139,213 call
+    detectEncoding on every mapped buffer; iconv.zig transcodes to UTF-8).
+
+    Local single files: detect (or honor an explicit codec) and, when the
+    source is not plain UTF-8, decode the WHOLE file driver-side and
+    rewrite it as a UTF-8 temp file — the same single-node whole-buffer
+    transcode the reference performs. Bounded by driver memory by design
+    (a fidelity feature for toolkit use; at 100 TB store UTF-8 — the
+    distributed readers then never touch this path).
+
+    Remote/compressed/directory inputs: no transcode; an explicit
+    encoding is passed through to Spark, auto maps to UTF-8."""
+    enc = (opts.encoding or "auto").strip()
+    p = _local_file_path(path)
+    if p is None:
+        if enc.lower() == "auto":
+            return path, _replace(opts, encoding="UTF-8")
+        return path, opts
+    with open(p, "rb") as fh:
+        head = fh.read(8192)
+    codec = _head_codec(head, enc)
+    if codec.replace("_", "-").lower() in _UTF8_NAMES and not head.startswith(
+        _BOMS[0][0]
+    ):
+        return path, _replace(opts, encoding="UTF-8")
+    import tempfile
+
+    with open(p, "rb") as fh:
+        raw = fh.read()
+    text = raw.decode(codec, errors="replace")
+    tmp = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".csv", delete=False, prefix="bcsv_enc_", encoding="utf-8"
+    )
+    tmp.write(text)
+    tmp.close()
+    return tmp.name, _replace(opts, encoding="UTF-8")
 
 
 def read_csv_with_errors(
@@ -371,6 +435,10 @@ def read_csv_with_errors(
         path = _apply_before_first_chunk(path, opts)
         # the rewritten temp file is UTF-8 whatever the source encoding was
         opts = _replace(opts, before_first_chunk=None, encoding="UTF-8")
+
+    # reference parity: encoding defaults to auto-detect, and non-UTF-8
+    # sources are transcoded before the distributed parse
+    path, opts = _resolve_encoding(path, opts)
 
     if opts.delimiter == "auto":
         sample = _head_bytes(spark, path, opts.encoding)
@@ -401,7 +469,7 @@ def _apply_before_first_chunk(path: str, opts: CSVOptions) -> str:
 
     with open(path, "rb") as fh:
         raw = fh.read()
-    text = raw.decode(detect_encoding(raw) or opts.encoding, errors="replace")
+    text = raw.decode(_head_codec(raw, opts.encoding), errors="replace")
     text = opts.before_first_chunk(text)
     tmp = tempfile.NamedTemporaryFile(
         mode="w", suffix=".csv", delete=False, prefix="bcsv_bfc_", encoding="utf-8"
@@ -420,6 +488,19 @@ def _head_bytes(spark: SparkSession, path: str, encoding: str, n: int = 8192) ->
         return head
     rows = spark.read.text(path).limit(12).collect()
     return "\n".join(r.value for r in rows)[:n]
+
+
+def _local_file_path(path: str) -> str | None:
+    """Filesystem path when ``path`` is a local single uncompressed file;
+    None for remote schemes, directories, and compressed inputs."""
+    import os
+
+    if any(path.startswith(s) for s in ("hdfs:", "s3:", "s3a:", "abfs", "gs:")):
+        return None
+    p = "/" + path[5:].lstrip("/") if path.startswith("file:") else path
+    if p.endswith((".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate")):
+        return None
+    return p if os.path.isfile(p) else None
 
 
 def _local_head_text(path: str, encoding: str, n: int = 65536) -> str | None:
@@ -448,7 +529,7 @@ def _local_head_text(path: str, encoding: str, n: int = 65536) -> str | None:
             raw = fh.read(n)
     except OSError:
         return None
-    return raw.decode(detect_encoding(raw) or encoding, errors="replace")
+    return raw.decode(_head_codec(raw, encoding), errors="replace")
 
 
 def _post_read_column_ops(df: DataFrame, opts: CSVOptions) -> DataFrame:

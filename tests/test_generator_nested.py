@@ -110,11 +110,39 @@ def test_reader_on_record_hook(spark, write_csv_file):
         (b"\xef\xbb\xbfabc", "utf-8-sig"),
         (b"\xff\xfea\x00b\x00", "utf-16-le"),
         (b"\xfe\xff\x00a\x00b", "utf-16-be"),
+        # BOM-less UTF-16: >1/3 NULs, byte order from the first pair
+        # (iconv.zig:166-176)
+        (b"a\x00b\x00c\x00d\x00", "utf-16-le"),
+        (b"\x00a\x00b\x00c\x00d", "utf-16-be"),
         (b"plain ascii text", "utf-8"),
         ("héllo wörld".encode("utf-8"), "utf-8"),
-        ("héllo".encode("latin-1") * 10, "latin-1"),
+        # invalid-UTF-8 high bytes -> windows-1252, the reference's
+        # fallback (iconv.zig:179-185) — cp1252, not latin-1
+        ("héllo".encode("latin-1") * 10, "cp1252"),
+        ("curly “quote”".encode("cp1252"), "cp1252"),
         (b"", None),
     ],
 )
 def test_detect_encoding(data, expected):
     assert detect_encoding(data) == expected
+
+
+def test_non_utf8_file_transcode_roundtrip(spark, tmp_path):
+    """BOM-less cp1252 and shift_jis files read byte-correctly: the
+    resolver detects (or honors) the codec and transcodes driver-side
+    before the distributed parse (iconv.zig whole-buffer parity)."""
+    p1 = tmp_path / "cp1252.csv"
+    p1.write_bytes("name,phrase\nno1,caf\xe9 “deluxe”\n".encode("cp1252"))
+    rows = read_csv(spark, str(p1)).collect()  # encoding defaults to auto
+    assert rows[0].phrase == "caf\xe9 “deluxe”"
+
+    p2 = tmp_path / "sjis.csv"
+    p2.write_bytes("name,phrase\nno1,日本語のテキスト\n".encode("shift_jis"))
+    rows = read_csv(spark, str(p2), CSVOptions(encoding="shift_jis")).collect()
+    assert rows[0].phrase == "日本語のテキスト"
+
+    # BOM-less UTF-16LE auto-detects via the NUL-ratio heuristic
+    p3 = tmp_path / "u16.csv"
+    p3.write_bytes("a,b\nx,ünïcode\n".encode("utf-16-le"))
+    rows = read_csv(spark, str(p3)).collect()
+    assert rows[0].b == "ünïcode"
