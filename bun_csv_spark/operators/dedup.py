@@ -129,28 +129,25 @@ def minhash_signatures(
     )
 
 
-def neardup_pairs_minhash(
+def _band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 8,
-    bands: int = 4,
-    shingle_k: int = 5,
-    repartition: int | None = None,
-    max_bucket: int | None = 64,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    repartition: int | None,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
-    min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
+    """(id, band, bucket) LSH banding table with the degenerate-bucket cap
+    applied — the shared head of both neardup candidate strategies.
 
-    The self-join is on the band bucket key — Catalyst shuffles both sides
-    by (band, bucket) so comparisons stay within buckets.
-
-    ``max_bucket`` is the degenerate-bucket guard: any (band, bucket)
-    holding more than this many docs is dropped before the join (one
-    bucket of B docs contributes B²/2 candidate pairs — a single
-    10k-identical-docs bucket would add 5·10⁷ pairs and stall the stage).
-    The size count is a window over the SAME (band, bucket) key the join
-    shuffles on, so the cap adds no extra exchange. ``None`` disables."""
+    ``max_bucket``: any (band, bucket) holding more than this many docs is
+    dropped before any join (one bucket of B docs contributes B²/2
+    candidate pairs — a single 10k-identical-docs bucket would add 5·10⁷
+    pairs and stall the stage). The size count is a window over the SAME
+    (band, bucket) key later joins use, so the cap adds no extra
+    exchange. ``None`` disables."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, repartition)
     band_cols = []
@@ -172,13 +169,16 @@ def neardup_pairs_minhash(
             .filter(F.col("__bsz") <= max_bucket)
             .drop("__bsz")
         )
+    return buckets
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
+
+def _bucket_pairs(a: DataFrame, b: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b), id_a < id_b, sharing any (band, bucket)."""
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -187,7 +187,64 @@ def neardup_pairs_minhash(
         )
         .distinct()
     )
-    return pairs
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    repartition: int | None = None,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
+    min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    The self-join is on the band bucket key — Catalyst shuffles both sides
+    by (band, bucket) so comparisons stay within buckets. See
+    ``neardup_pairs_minhash_bucketed`` for the materialized variant that
+    removes even that exchange when the banding table is reused."""
+    buckets = _band_buckets(
+        df, id_col, text_col, n_hashes, bands, shingle_k, repartition, max_bucket
+    )
+    return _bucket_pairs(buckets, buckets, id_col)
+
+
+def neardup_pairs_minhash_bucketed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    repartition: int | None = None,
+    max_bucket: int | None = 64,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """100 TB near-dup path (SCALE.md): materialize the banding table ONCE
+    as a parquet table bucketed+sorted by (band, bucket), then run the
+    candidate self-join against the bucketed layout — the join reads
+    co-located buckets and plans WITHOUT a shuffle Exchange (asserted in
+    tests/test_bucketing_stateful.py).
+
+    Why it matters at scale: the in-flight variant shuffles the banding
+    rows (n_docs × bands) on every run; a recurring dedup job over a
+    slowly-growing corpus pays that shuffle every time. Writing the
+    intermediate bucketed amortizes it to one write, and every rerun —
+    or any downstream join on (band, bucket) — is exchange-free."""
+    from bun_csv_spark.operators.bucketing import write_bucketed
+
+    buckets = _band_buckets(
+        df, id_col, text_col, n_hashes, bands, shingle_k, repartition, max_bucket
+    )
+    write_bucketed(
+        buckets, table, ["band", "bucket"], n_buckets, sort_cols=["band", "bucket"]
+    )
+    persisted = df.sparkSession.table(table)
+    return _bucket_pairs(persisted, persisted, id_col)
 
 
 def ngram_jaccard_pairs(

@@ -125,3 +125,49 @@ def test_stateful_user_counts(spark, user_events_parquet):
     assert rows[100] == (3, 5.0)
     assert rows[200] == (1, 10.0)
     assert rows[300] == (1, 4.0)
+
+
+def test_neardup_bucketed_join_has_no_shuffle(spark):
+    """The materialized near-dup path: candidate self-join over the
+    bucketed-by-(band,bucket) banding table plans without an Exchange
+    below the join, and returns the same pairs as the in-flight variant."""
+    import re
+
+    from bun_csv_spark.operators.dedup import (
+        neardup_pairs_minhash,
+        neardup_pairs_minhash_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog " * 3)
+          + ("" if i % 2 == 0 else f"variant {i}"))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = neardup_pairs_minhash_bucketed(
+            docs, "doc_id", "text", table="bk_neardup", max_bucket=64
+        )
+        plan = plan_of(pairs)
+        tree = plan.split("== Physical Plan ==", 1)[1]
+        tree = tree.split("(1) Scan", 1)[0]
+        assert "SortMergeJoin" in tree, plan
+        # formatted plans print top-down: anything AFTER the join line is
+        # below it in the tree. The only allowed Exchange is the final
+        # distinct()'s, which sits above the join (before it in the text).
+        below_join = tree.split("SortMergeJoin", 1)[1]
+        assert not re.search(r"Exchange\b", below_join), plan
+        assert len(re.findall(r"\+- Exchange|:- Exchange", tree)) <= 1, plan
+        got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+        expect = sorted(
+            (r.id_a, r.id_b)
+            for r in neardup_pairs_minhash(
+                docs, "doc_id", "text", max_bucket=64
+            ).collect()
+        )
+        assert got == expect and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_neardup")
