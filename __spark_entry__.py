@@ -474,7 +474,7 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
-def q_session_window(spark, sf_dir):
+def q_session_window_native(spark, sf_dir):
     """Native session_window operator (gap-merged sessions). Spark closes
     a session when the next event is >= gap away (window end exclusive),
     so the oracle's lag-based rewrite uses >= too. Full microsecond
@@ -1615,64 +1615,20 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered RISKIEST-FIRST: round 1's correctness run covered exactly the
-    # first 50 registry entries, so the queries without a prior oracle
-    # verdict (plus this round's new gates) lead, and the long-stable
-    # trivial ones (simple filters/limits/set ops, all green in round 1)
-    # bring up the rear where a capped run can least afford to miss.
+    # Ordered FRESHNESS-FIRST: the driver's capped run covers the first 50
+    # registry entries, so the three rows that were not hash-green in round
+    # 2 lead (all reworked this round: label_centroids reshaped, simhash /
+    # ann_lsh given md5-portable oracles), followed by every query whose
+    # last oracle verdict is a full round old (round 1), then one slot for
+    # multimodal_audio whose implementation changed this round (real WAV
+    # parsing). The remaining round-2-green entries — including the other
+    # queries touched this round — bring up the rear.
     return {
-        # -- no oracle verdict yet / new this round -------------------------
-        "repetition_filter": q_repetition_filter,
-        "decontamination": q_decontamination,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "corpus_mixture": q_corpus_mixture,
-        "oversample_epochs": q_oversample_epochs,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "edit_overlay": q_edit_overlay,
-        "csv_roundtrip": q_csv_roundtrip,
-        "csv_opts_comments": q_csv_opts_comments,
-        "csv_opts_fromto": q_csv_opts_fromto,
-        "csv_opts_relax": q_csv_opts_relax,
-        "csv_opts_errors": q_csv_opts_errors,
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "streaming_dedup": q_streaming_dedup,
-        "stratified_sample": q_stratified_sample,
-        "dedup_embedding": q_dedup_embedding,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "bm25": q_bm25,
-        "text_chunks": q_text_chunks,
-        "pii_redact": q_pii_redact,
-        "seq_packing": q_seq_packing,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_frames": q_multimodal_frames,
-        "streaming_stateful": q_streaming_stateful,
-        "tfidf": q_tfidf,
-        "window_lag_lead": q_window_lag_lead,
-        "window_rank_family": q_window_rank_family,
-        "percentiles": q_percentiles,
-        "semi_anti_join": q_semi_anti_join,
-        "having_subquery": q_having_subquery,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "case_bucketing": q_case_bucketing,
-        "pivot_native": q_pivot_native,
-        "events_sliding": q_events_sliding,
-        "dynamic_typing_struct": q_dynamic_typing_struct,
-        "embedding_norms": q_embedding_norms,
+        # -- not hash-green in round 2, all fixed this round ----------------
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
-        "ivf_ann": q_ivf_ann,
-        "top_tokens": q_top_tokens,
-        "quality_filter": q_quality_filter,
         "label_centroids": q_label_centroids,
-        "schema_apply": q_schema_apply,
-        # -- green in round 1, heavier pipelines ----------------------------
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "groupby_reference_aggs": q_groupby_reference_aggs,
+        # -- last verdict is round 1 (aged a full round of churn) -----------
         "groupby_concat": q_groupby_concat,
         "agg_ungrouped": q_agg_ungrouped,
         "minhash_signatures": q_minhash_signatures,
@@ -1687,7 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
-        "session_window_native": q_session_window,
+        "session_window_native": q_session_window_native,
         "skew_salted_agg": q_skew_salted_agg,
         "events_pivot": q_events_pivot,
         "rollup_agg": q_rollup_agg,
@@ -1704,7 +1660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coercion_pipeline": q_coercion_pipeline,
         "stats_columns": q_stats_columns,
         "unparse_lines": q_unparse_lines,
-        # -- green in round 1, simple & stable ------------------------------
         "join_inner": q_join_inner,
         "join_left": q_join_left,
         "join_right": q_join_right,
@@ -1720,6 +1675,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_rows": q_count_rows,
         "distinct_values": q_distinct_values,
         "set_ops": q_set_ops,
+        # -- slot 50: implementation changed this round ---------------------
+        "multimodal_audio": q_multimodal_audio,
+        # -- round-2-green; entries touched this round first ----------------
+        "multimodal_frames": q_multimodal_frames,
+        "oversample_epochs": q_oversample_epochs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "edit_overlay": q_edit_overlay,
+        "csv_roundtrip": q_csv_roundtrip,
+        "csv_opts_comments": q_csv_opts_comments,
+        "csv_opts_fromto": q_csv_opts_fromto,
+        "csv_opts_relax": q_csv_opts_relax,
+        "csv_opts_errors": q_csv_opts_errors,
+        "repetition_filter": q_repetition_filter,
+        "decontamination": q_decontamination,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "corpus_mixture": q_corpus_mixture,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
+        "streaming_dedup": q_streaming_dedup,
+        "stratified_sample": q_stratified_sample,
+        "dedup_embedding": q_dedup_embedding,
+        "bm25": q_bm25,
+        "text_chunks": q_text_chunks,
+        "pii_redact": q_pii_redact,
+        "seq_packing": q_seq_packing,
+        "streaming_stateful": q_streaming_stateful,
+        "tfidf": q_tfidf,
+        "window_lag_lead": q_window_lag_lead,
+        "window_rank_family": q_window_rank_family,
+        "percentiles": q_percentiles,
+        "semi_anti_join": q_semi_anti_join,
+        "having_subquery": q_having_subquery,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "case_bucketing": q_case_bucketing,
+        "pivot_native": q_pivot_native,
+        "events_sliding": q_events_sliding,
+        "dynamic_typing_struct": q_dynamic_typing_struct,
+        "embedding_norms": q_embedding_norms,
+        "ivf_ann": q_ivf_ann,
+        "top_tokens": q_top_tokens,
+        "quality_filter": q_quality_filter,
+        "schema_apply": q_schema_apply,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "groupby_reference_aggs": q_groupby_reference_aggs,
     }
 
 
