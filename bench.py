@@ -55,13 +55,15 @@ def main() -> None:
     # warmup: JIT codegen + parquet footer caches on a small query
     force(queries["count_rows"](spark, sf_dir))
 
-    # per-query: one warmup + best-of-2 timed runs — the reference's own
-    # harness methodology (test/benchmark.ts: warmup + N iterations)
+    # per-query: one warmup + best-of-3 timed runs — the reference's own
+    # harness methodology (test/benchmark.ts: warmup + N iterations);
+    # single runs carry ±25% JIT/GC noise, n=3 makes round-over-round
+    # deltas attributable
     timings: dict[str, float] = {}
     for name in HEADLINE:
         force(queries[name](spark, sf_dir))  # warmup (codegen/JIT per plan)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             force(queries[name](spark, sf_dir))
             best = min(best, time.time() - t0)
