@@ -1599,6 +1599,78 @@ def q_oversample_epochs(spark, sf_dir):
     return oversample_by_factor(docs, factor)
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (CC-pipeline 'max N docs per host'):
+    deterministic first-15-by-doc_id per source — one shuffle on the
+    group key."""
+    from bun_csv_spark.operators.corpus import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", 15)
+
+
+def q_quality_percentile(spark, sf_dir):
+    """Adaptive quality threshold: keep the top 25% of docs by token
+    count — the exact corpus percentile travels as a 1-row broadcast,
+    never a collect (approx_percentile swaps in at 100 TB)."""
+    from bun_csv_spark.functions.text import tokens
+    from bun_csv_spark.operators.corpus import quality_percentile_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    score = F.size(tokens(F.col("text"))).cast("double")
+    kept = quality_percentile_filter(docs, score, keep_top_fraction=0.25)
+    return kept.select("doc_id", F.col("__score").cast("long").alias("n_tokens"))
+
+
+def q_length_histogram(spark, sf_dir):
+    """Token-budget accounting: width-10 token-length histogram with doc
+    and token shares (histogram-sized broadcast for the totals)."""
+    from bun_csv_spark.operators.corpus import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"), "text", 10)
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Corpus min-max int8 quantization of the embedding column: bounds
+    via ONE combinable 2·dim-scalar aggregate (no posexplode shuffle),
+    then a map-only quantize against the broadcast bounds. Flat
+    (vec_id, pos, q) output — oracle-hashable."""
+    from bun_csv_spark.functions.vectors import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Shannon char entropy per doc (low-entropy spam tell) — pure
+    per-row fold, zero shuffles. The char array is STAGED behind a
+    projection so the O(u·n) count fold scans a materialized array
+    instead of re-deriving it per distinct char (lambda-CSE gap)."""
+    from bun_csv_spark.functions.text import array_entropy, char_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", char_shingles(F.col("text"), 1).alias("__chars")
+    )
+    return staged.select(
+        "doc_id", F.round(array_entropy(F.col("__chars")), 6).alias("entropy")
+    )
+
+
+def q_boilerplate_prefix(spark, sf_dir):
+    """Template/boilerplate detection: groups of 2+ docs sharing an
+    identical 64-char prefix. Corpus = documents + suffix-modified
+    copies (same trick as the near-dup gates), so prefix collisions
+    genuinely occur; one shuffle on the md5 key."""
+    from bun_csv_spark.operators.corpus import boilerplate_prefix_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+    )
+    return boilerplate_prefix_groups(docs.unionAll(copies), "doc_id", "text", 64)
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Deterministic k-means (k=8, 2 Lloyd iterations) over the embedding
     corpus — semantic clustering for curation. Every arbitrary choice is
@@ -1628,6 +1700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "label_centroids": q_label_centroids,
+        # -- NEW this round (no verdict yet) --------------------------------
+        "domain_cap": q_domain_cap,
+        "quality_percentile": q_quality_percentile,
+        "length_histogram": q_length_histogram,
+        "embedding_quantize": q_embedding_quantize,
+        "char_entropy": q_char_entropy,
+        "boilerplate_prefix": q_boilerplate_prefix,
+        # -- semantics changed this round (real WAV containers) -------------
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
         # -- last verdict is round 1 (aged a full round of churn) -----------
         "groupby_concat": q_groupby_concat,
         "agg_ungrouped": q_agg_ungrouped,
@@ -1668,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_project": q_select_project,
         "filter_numeric": q_filter_numeric,
         "filter_compound": q_filter_compound,
+        # -- below the 50-per-round line: r1-green TRIVIAL stable gates
+        # deferred to make room for the new/changed entries above ----------
         "filter_string_ops": q_filter_string_ops,
         "filter_matches": q_filter_matches,
         "sort_topk": q_sort_topk,
@@ -1675,10 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_rows": q_count_rows,
         "distinct_values": q_distinct_values,
         "set_ops": q_set_ops,
-        # -- slot 50: implementation changed this round ---------------------
-        "multimodal_audio": q_multimodal_audio,
         # -- round-2-green; entries touched this round first ----------------
-        "multimodal_frames": q_multimodal_frames,
         "oversample_epochs": q_oversample_epochs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2305,6 +2386,74 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash"] = _simhash_sql("documents")
 
     sql["ann_lsh"] = _ann_lsh_sql()
+
+    sql["domain_cap"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 15
+    """
+
+    sql["quality_percentile"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> ''))::DOUBLE AS sc
+          FROM documents),
+        t AS (SELECT quantile_cont(sc, 0.75) AS thr FROM s)
+        SELECT doc_id, sc::BIGINT AS n_tokens FROM s, t WHERE sc >= thr
+    """
+
+    sql["length_histogram"] = r"""
+        WITH per AS (
+          SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '')) AS n
+          FROM documents),
+        hist AS (
+          SELECT (n - n % 10)::BIGINT AS bucket_lo,
+                 count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens
+          FROM per GROUP BY 1),
+        tot AS (SELECT sum(n_docs) AS nd, sum(total_tokens) AS nt FROM hist)
+        SELECT bucket_lo, n_docs, total_tokens,
+               round(n_docs / nd, 6) AS doc_share,
+               round(total_tokens / nt, 6) AS token_share
+        FROM hist, tot
+    """
+
+    sql["embedding_quantize"] = """
+        WITH e AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings),
+        b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos)
+        SELECT e.vec_id, (e.pos - 1)::BIGINT AS pos,
+               (CASE WHEN b.mx = b.mn THEN 0
+                     ELSE floor((e.x - b.mn) * 255 / (b.mx - b.mn) + 0.5)
+                END)::BIGINT AS q
+        FROM e JOIN b USING (pos)
+    """
+
+    sql["char_entropy"] = """
+        WITH ch AS (
+          SELECT doc_id, substr(text, i, 1) AS c
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text), 1))) AS i
+                FROM documents)),
+        cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY doc_id, c),
+        n AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+        SELECT cnt.doc_id,
+               round(-sum((k / n.n) * log2(k / n.n)), 6) AS entropy
+        FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id
+    """
+
+    sql["boilerplate_prefix"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL + """
+        SELECT md5(substr(text, 1, 64)) AS prefix_fp,
+               count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id
+        FROM corpus GROUP BY 1 HAVING count(*) >= 2
+    """
+    )
 
     sql["neardup_pairs"] = (
         "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("

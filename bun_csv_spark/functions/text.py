@@ -203,3 +203,36 @@ def chunk_tokens(
             .alias("n_tokens"),
         ),
     )
+
+
+def array_entropy(arr: Column) -> Column:
+    """Shannon entropy (bits/element) of an array's element distribution:
+    per-distinct-element counts as an O(u·n) fold (u = distinct values),
+    then -Σ (c/n)·log2(c/n). Empty array -> 0.0.
+
+    Pass a MATERIALIZED column (stage the array in a prior select):
+    Catalyst does not CSE across lambda bodies, so handing in a derived
+    expression re-computes it once per distinct element."""
+    n = F.size(arr)
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda ch: F.size(F.filter(arr, lambda x: x == ch)),
+    )
+    terms = F.transform(
+        counts,
+        lambda cnt: (cnt.cast("double") / n) * F.log2(cnt.cast("double") / n),
+    )
+    ent = -F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    low-entropy tell for keyboard-mash, padding, and generated spam
+    (Gopher-family quality signal). Zero shuffles.
+
+    Convenience composition; for hot paths stage the char array once and
+    call ``array_entropy`` on the staged column (see q_char_entropy) —
+    composing inline re-derives the char array per distinct char."""
+    c = F.col(col) if isinstance(col, str) else col
+    return array_entropy(char_shingles(c, 1))

@@ -277,3 +277,98 @@ def oversample_by_factor(
     return docs.withColumn(epoch_col, F.explode(seq)).withColumn(
         epoch_col, F.col(epoch_col).cast("long")
     )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_col: str, cap: int
+) -> DataFrame:
+    """Per-domain document cap — the CommonCrawl-pipeline rule "at most N
+    documents per host" that stops one boilerplate-heavy domain from
+    dominating a training mixture. Deterministic: keeps the first ``cap``
+    rows per group in ``order_col`` order (pass a unique column).
+
+    One shuffle on the group key (the same exchange a groupBy would take);
+    the window never materializes a group in memory beyond the sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    score: Column,
+    keep_top_fraction: float,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep the top ``keep_top_fraction`` of documents by ``score`` —
+    percentile thresholding, the adaptive form of a fixed quality cutoff
+    (a threshold that tracks the corpus instead of hard-coding 0.x).
+
+    The score is a map-side expression; the threshold is ONE corpus-wide
+    percentile aggregate brought back as a 1-row broadcast (never a
+    corpus-sized collect). ``exact=True`` uses the sort-based exact
+    percentile (oracle-replayable, single-reducer for the agg — fine to
+    sf-scale); at 100 TB pass ``exact=False`` for t-digest
+    ``approx_percentile``, which is map-side combinable."""
+    scored = df.withColumn("__score", score)
+    p = F.lit(1.0) - F.lit(keep_top_fraction)
+    thr_expr = (
+        F.percentile("__score", p) if exact else F.approx_percentile("__score", p)
+    )
+    thr = scored.agg(thr_expr.alias("__thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("__score") >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", bucket_width: int = 10
+) -> DataFrame:
+    """Token-length histogram + corpus shares — the token-budget
+    accounting a training run plans against (how much of the corpus sits
+    in each sequence-length band). One shuffle on the bucket key; the
+    totals are a broadcast 1-row aggregate over the (tiny) histogram, not
+    the corpus. Returns (bucket_lo, n_docs, total_tokens, doc_share,
+    token_share)."""
+    n = F.size(tokens(text_col)).cast("long")
+    per = df.select((n - n % bucket_width).alias("bucket_lo"), n.alias("__n"))
+    hist = per.groupBy("bucket_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__n").alias("total_tokens")
+    )
+    tot = hist.agg(
+        F.sum("n_docs").alias("__nd"), F.sum("total_tokens").alias("__nt")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.col("__nd"), 6).alias("doc_share"),
+        F.round(F.col("total_tokens") / F.col("__nt"), 6).alias("token_share"),
+    )
+
+
+def boilerplate_prefix_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 64,
+) -> DataFrame:
+    """Template/boilerplate detection: documents sharing an identical
+    first-``prefix_chars`` span (md5'd) — the cheap tell for scraped
+    page templates, license headers, and mirrored articles that full
+    near-dup may miss or spend bands on. One shuffle on a 32-byte key.
+    Returns (prefix_fp, n_docs, keep_id) for groups of 2+ only."""
+    fp = F.md5(F.substring(F.col(text_col), 1, prefix_chars))
+    return (
+        df.select(F.col(id_col), fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

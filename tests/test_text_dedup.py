@@ -286,3 +286,72 @@ def test_oversample_factor_zero_and_negative(spark):
     assert sorted(per_doc[1]) == [1, 2, 3]
     assert per_doc[2] == [1]
     assert 3 not in per_doc and 4 not in per_doc
+
+
+def test_cap_per_group(spark):
+    from bun_csv_spark.operators.corpus import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out = cap_per_group(df, "source", "doc_id", 4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.doc_id)
+    for s, ids in per.items():
+        assert len(ids) == 4
+        # deterministic: the 4 SMALLEST doc_ids per source
+        assert sorted(ids) == sorted(r for r in range(30) if f"s{r % 3}" == s)[:4]
+
+
+def test_quality_percentile_filter(spark):
+    from bun_csv_spark.operators.corpus import quality_percentile_filter
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    kept = quality_percentile_filter(df, F.col("v"), keep_top_fraction=0.25)
+    ids = sorted(r.id for r in kept.collect())
+    # exact p75 of 0..99 = 74.25 -> keep v >= 74.25 -> ids 75..99
+    assert ids == list(range(75, 100))
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from bun_csv_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "id long, t string",
+    )
+    out = {r.id: r.e for r in df.select("id", char_entropy("t").alias("e")).collect()}
+    assert out[1] == 0.0          # single symbol
+    assert abs(out[2] - 1.0) < 1e-9   # two symbols, uniform
+    assert abs(out[3] - 2.0) < 1e-9   # four symbols, uniform
+    assert out[4] == 0.0          # empty text
+
+
+def test_quantize_int8_roundtrip(spark):
+    from bun_csv_spark.functions.vectors import quantize_int8
+
+    rows = [(0, [0.0, -1.0, 5.0]), (1, [1.0, 1.0, 5.0]), (2, [2.0, 3.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.vec_id, r.pos): r.q for r in quantize_int8(df, "vec_id", "embedding", 3).collect()}
+    # dim 0 spans [0,2] -> 0, 127.5->128(floor(127.5+0.5)=128), 255
+    assert (out[(0, 0)], out[(1, 0)], out[(2, 0)]) == (0, 128, 255)
+    # dim 1 spans [-1,3]
+    assert (out[(0, 1)], out[(1, 1)], out[(2, 1)]) == (0, 128, 255)
+    # degenerate dim (constant) -> 0
+    assert {out[(i, 2)] for i in range(3)} == {0}
+    assert all(0 <= q <= 255 for q in out.values())
+
+
+def test_boilerplate_prefix_groups(spark):
+    from bun_csv_spark.operators.corpus import boilerplate_prefix_groups
+
+    base = "x" * 70
+    df = spark.createDataFrame(
+        [(1, base + " tail one"), (2, base + " other tail"), (3, "unique " + "y" * 70)],
+        "doc_id long, text string",
+    )
+    out = boilerplate_prefix_groups(df, "doc_id", "text", 64).collect()
+    assert len(out) == 1 and out[0].n_docs == 2 and out[0].keep_id == 1
