@@ -1671,6 +1671,23 @@ def q_boilerplate_prefix(spark, sf_dir):
     return boilerplate_prefix_groups(docs.unionAll(copies), "doc_id", "text", 64)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact shared-substring dedup (Lee et al. suffix-array
+    approximation): strided 50-char anchor windows, md5 equi-join with the
+    ubiquity cap. Corpus = documents + suffix-modified copies so verbatim
+    long spans genuinely exist across distinct ids."""
+    from bun_csv_spark.operators.dedup import shared_substring_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+    )
+    return shared_substring_pairs(
+        docs.unionAll(copies), "doc_id", "text", window=50, stride=10
+    )
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Deterministic k-means (k=8, 2 Lloyd iterations) over the embedding
     corpus — semantic clustering for curation. Every arbitrary choice is
@@ -1707,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "char_entropy": q_char_entropy,
         "boilerplate_prefix": q_boilerplate_prefix,
+        "substring_dedup": q_substring_dedup,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1749,9 +1767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cross": q_join_cross,
         "select_project": q_select_project,
         "filter_numeric": q_filter_numeric,
-        "filter_compound": q_filter_compound,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "filter_compound": q_filter_compound,
         "filter_string_ops": q_filter_string_ops,
         "filter_matches": q_filter_matches,
         "sort_topk": q_sort_topk,
@@ -2452,6 +2470,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(substr(text, 1, 64)) AS prefix_fp,
                count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
+    """
+    )
+
+    sql["substring_dedup"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL + """,
+        w AS (
+          SELECT doc_id, md5(substr(text, i, 50)) AS h
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 49)) AS i
+                FROM corpus WHERE length(text) >= 50)
+          WHERE CAST('0x' || substr(md5(substr(text, i, 8)), 1, 8) AS BIGINT)
+                  % 10 = 0),
+        c AS (
+          SELECT doc_id, h FROM (
+            SELECT *, count(*) OVER (PARTITION BY h) AS hc FROM w)
+          WHERE hc <= 64)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
     )
 

@@ -493,3 +493,82 @@ def simhash64(col, shingle_k: int = 4):
         votes, out_masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def shared_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    stride: int = 10,
+    max_per_hash: int | None = 64,
+) -> DataFrame:
+    """Exact shared-substring detection — the scalable approximation of
+    suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): two docs sharing a verbatim ``window``-char
+    span are caught by hashing anchor windows and equi-joining the hashes.
+
+    Anchors are CONTENT-DEFINED, not fixed-stride: position p is an anchor
+    iff an 8-char prefix hash gates to 0 mod ``stride`` (Rabin-style
+    chunking). Fixed offsets (p = 1, 1+s, ...) would silently miss a copy
+    whose absolute position shifts by a non-multiple of the stride;
+    content-defined gating picks the SAME offsets inside identical spans
+    wherever they sit, so a shared span of length L >= window is caught
+    with probability ~1-(1-1/s)^(L-window+1) (≈98% at L = window + 3s) and
+    expected anchor density stays 1/stride. Deterministic md5 gating keeps
+    it engine-portable for the oracle.
+
+    Plan: per-doc gated positions + window hashes built as one
+    filter/transform/explode (docs shorter than ``window`` contribute
+    nothing — explode of the gated NULL drops them); one shuffle on the
+    md5 anchor key; ``max_per_hash`` drops ubiquitous windows (licence
+    boilerplate) before the self-join — the same degenerate-bucket cap as
+    the LSH pipeline, over the SAME join key so it adds no exchange.
+    Returns (id_a, id_b, n_shared) with id_a < id_b, n_shared = number of
+    matching anchor-window pairs."""
+    c = F.col(text_col)
+    n = F.length(c)
+    gate = lambda p: (  # noqa: E731 — gate hash on the window's 8-char prefix
+        F.conv(F.substring(F.md5(F.substring(c, p, 8)), 1, 8), 16, 10).cast("long")
+        % stride
+        == 0
+    )
+    positions = F.filter(F.sequence(F.lit(1), n - window + 1), gate)
+    anchors = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= window,
+                F.transform(
+                    positions,
+                    lambda p: F.struct(
+                        p.cast("long").alias("pos"),
+                        F.md5(F.substring(c, p, window)).alias("h"),
+                    ),
+                ),
+            )
+        ).alias("a"),
+    ).select(id_col, F.col("a.pos").alias("pos"), F.col("a.h").alias("h"))
+
+    if max_per_hash is not None:
+        from pyspark.sql import Window
+
+        wh = Window.partitionBy("h")
+        anchors = (
+            anchors.withColumn("__hc", F.count(F.lit(1)).over(wh))
+            .filter(F.col("__hc") <= max_per_hash)
+            .drop("__hc")
+        )
+
+    a, b = anchors.alias("a"), anchors.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

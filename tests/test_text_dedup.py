@@ -355,3 +355,27 @@ def test_boilerplate_prefix_groups(spark):
     )
     out = boilerplate_prefix_groups(df, "doc_id", "text", 64).collect()
     assert len(out) == 1 and out[0].n_docs == 2 and out[0].keep_id == 1
+
+
+def test_shared_substring_pairs(spark):
+    from bun_csv_spark.operators.dedup import shared_substring_pairs
+
+    span = "this exact sentence is copied verbatim between two documents and is quite long"
+    # prefixes of length 19 and 22: offsets differ by a NON-multiple of the
+    # stride — fixed-stride anchors would never align; content-defined
+    # anchors pick the same offsets inside the span regardless
+    df = spark.createDataFrame(
+        [
+            (1, "intro text before. " + span + " trailing words here"),
+            (2, "different beginning... " + span + " and another ending"),
+            (3, "completely unrelated content with no overlap at all " + "z" * 60),
+        ],
+        "doc_id long, text string",
+    )
+    out = shared_substring_pairs(df, "doc_id", "text", window=30, stride=5).collect()
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # the copied span is caught
+    assert all(k == (1, 2) for k in pairs)  # doc 3 matches nothing
+    # short docs contribute nothing (explode of gated NULL drops them)
+    tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
+    assert shared_substring_pairs(tiny, "doc_id", "text").count() == 0
