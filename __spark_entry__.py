@@ -1671,6 +1671,18 @@ def q_boilerplate_prefix(spark, sf_dir):
     return boilerplate_prefix_groups(docs.unionAll(copies), "doc_id", "text", 64)
 
 
+def q_ann_quantized(spark, sf_dir):
+    """Quantized-scan ANN + exact re-rank (scalar-quantization FAISS
+    pattern): int8 codes from the corpus min-max bounds (1-row broadcast),
+    approximate cosine over dequantized codes picks 50 candidates, exact
+    float cosine re-ranks to top-10. Query = vec_id 3's embedding."""
+    from bun_csv_spark.operators.similarity import ann_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()["embedding"]
+    return ann_quantized_topk(emb, list(qvec), k=10, dim=64, rerank=50)
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact shared-substring dedup (Lee et al. suffix-array
     approximation): strided 50-char anchor windows, md5 equi-join with the
@@ -1725,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "boilerplate_prefix": q_boilerplate_prefix,
         "substring_dedup": q_substring_dedup,
+        "ann_quantized": q_ann_quantized,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1766,9 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full": q_join_full,
         "join_cross": q_join_cross,
         "select_project": q_select_project,
-        "filter_numeric": q_filter_numeric,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "filter_numeric": q_filter_numeric,
         "filter_compound": q_filter_compound,
         "filter_string_ops": q_filter_string_ops,
         "filter_matches": q_filter_matches,
@@ -2472,6 +2485,36 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
     )
+
+    sql["ann_quantized"] = """
+        WITH t AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings),
+        b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM t GROUP BY pos),
+        dq AS (
+          SELECT t.vec_id, t.pos,
+                 CASE WHEN b.mx = b.mn THEN b.mn
+                      ELSE b.mn + floor((t.x - b.mn) * 255 / (b.mx - b.mn) + 0.5)
+                             * (b.mx - b.mn) / 255
+                 END AS dx
+          FROM t JOIN b USING (pos)),
+        arrs AS (SELECT vec_id, list(dx ORDER BY pos) AS dv FROM dq GROUP BY vec_id),
+        qd AS (SELECT dv AS qv FROM arrs WHERE vec_id = 3),
+        cand AS (
+          SELECT a.vec_id,
+                 round(list_cosine_similarity(a.dv, qd.qv), 6) AS approx
+          FROM arrs a, qd
+          ORDER BY approx DESC, a.vec_id
+          LIMIT 50),
+        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3)
+        SELECT c.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6)
+                 AS cosine_sim
+        FROM cand c JOIN embeddings e USING (vec_id), qv
+        ORDER BY cosine_sim DESC, c.vec_id
+        LIMIT 10
+    """
 
     sql["substring_dedup"] = (
         "WITH " + _NEARDUP_CORPUS_SQL + """,

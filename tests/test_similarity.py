@@ -84,3 +84,24 @@ def test_neardup_pairs_embedding_finds_clone(vecs):
     pairs = {(r.id_a, r.id_b): r.cosine for r in out}
     assert (0, 999) in pairs
     assert pairs[(0, 999)] >= 0.99
+
+
+def test_ann_quantized_matches_brute_force(spark, vecs):
+    """Quantized-scan + exact re-rank: with rerank >> k the top-k should
+    equal brute force exactly (quantization error only reorders the
+    candidate tail), and scores are the exact float cosines."""
+    from bun_csv_spark.operators.similarity import (
+        ann_brute_force,
+        ann_quantized_topk,
+    )
+
+    qvec = list(vecs.filter("vec_id = 3").select("embedding").first()["embedding"])
+    brute = [
+        (r.vec_id, r.cosine_sim)
+        for r in ann_brute_force(vecs, qvec, k=10).collect()
+    ]
+    quant = [
+        (r.vec_id, r.cosine_sim)
+        for r in ann_quantized_topk(vecs, qvec, k=10, dim=16, rerank=50).collect()
+    ]
+    assert quant == brute
