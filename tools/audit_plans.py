@@ -40,6 +40,21 @@ EXPECTATIONS = {
     "asof_join": (2, ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "range_join": (4, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "dedup_embedding": (6, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r3 additions
+    # substring anchors: window cap + equi-join + count agg — never n²
+    "substring_dedup": (5, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # bounds are a 1-row combinable agg broadcast back — the only Exchange
+    # is the ungrouped agg's partial-state reduce (1 tiny row per task),
+    # NOT a posexplode shuffle of n·d rows
+    "embedding_quantize": (1, ["BroadcastExchange"], ["SortMergeJoin"]),
+    # per-row fold: zero shuffles
+    "char_entropy": (0, [], ["Exchange"]),
+    # candidate selection is a bounded TakeOrdered, then re-rank; the one
+    # Exchange is the bounds agg's 1-row reduce (as embedding_quantize)
+    "ann_quantized": (1, ["TakeOrderedAndProject"], ["SortMergeJoin"]),
+    # one window shuffle on the group key
+    "domain_cap": (1, ["Window"], []),
+    "quality_percentile": (1, ["BroadcastExchange"], ["SortMergeJoin"]),
 }
 
 
