@@ -912,6 +912,46 @@ def q_events_sliding(spark, sf_dir):
     )
 
 
+def q_streaming_join(spark, sf_dir):
+    """REAL stream-stream inner join: purchases and clicks are two
+    filtered streams off the same replayed source, joined per user with a
+    1-hour lookback range over watermarked event time (the range is what
+    bounds the join state — without it both sides buffer forever).
+    Append mode, availableNow; oracle = the identical batch join at
+    microsecond precision (epoch_us)."""
+    import os as _os
+
+    from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
+    from bun_csv_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_stream_join,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        src = stream.withColumn("ts_m", ns_to_ntz_micros("ts")).drop("ts")
+        p = src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts_m").alias("ts")
+        )
+        c = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_event"), "user_id",
+            F.col("ts_m").alias("ts"),
+        )
+        joined = stream_stream_join(p, c, "user_id", "ts", "1 hour", "2 hours")
+        return joined.select(
+            F.col("l.event_id").alias("event_id"),
+            F.col("r.click_event").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+            (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts")))
+            .cast("long")
+            .alias("gap_us"),
+        )
+
+    return run_stream_to_table(spark, path, transform, output_mode="append")
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """REAL Structured Streaming: replay events.parquet through readStream,
     hourly tumbling counts, drained synchronously to a memory sink. The
@@ -1738,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_prefix": q_boilerplate_prefix,
         "substring_dedup": q_substring_dedup,
         "ann_quantized": q_ann_quantized,
+        "streaming_join": q_streaming_join,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1778,9 +1819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_right": q_join_right,
         "join_full": q_join_full,
         "join_cross": q_join_cross,
-        "select_project": q_select_project,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "select_project": q_select_project,
         "filter_numeric": q_filter_numeric,
         "filter_compound": q_filter_compound,
         "filter_string_ops": q_filter_string_ops,
@@ -3083,6 +3124,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*)::BIGINT AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY user_id
+    """
+
+    sql["streaming_join"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, c.click_id, p.user_id,
+               (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+        FROM p JOIN c ON p.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
     """
 
     sql["asof_join"] = """

@@ -176,3 +176,42 @@ def run_stream_to_table(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each left event pairs with
+    the right events sharing its key whose timestamp falls in
+    ``[left.ts - lookback, left.ts]``.
+
+    Both sides carry a watermark and the join condition is a time-range
+    over the watermarked event-time columns — exactly what Structured
+    Streaming needs to BOUND the join state (without the range, both
+    sides buffer forever). State per key ≈ events inside
+    watermark + lookback; append output mode. The same plan works on
+    static frames, so a batch SQL oracle validates the streaming run.
+
+    Returns all left columns (aliased side 'l') joined to right ('r');
+    callers project/rename."""
+    from pyspark.sql import types as T
+
+    def prep(df):
+        if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        if df.isStreaming:
+            df = df.withWatermark(ts_col, watermark)
+        return df
+
+    l, r = prep(left).alias("l"), prep(right).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+    )
+    return l.join(r, cond, "inner")

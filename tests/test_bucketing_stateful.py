@@ -171,3 +171,34 @@ def test_neardup_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_neardup")
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join returns exactly the batch join's
+    pairs (bounded input, availableNow drains everything)."""
+    from bun_csv_spark.streaming.windows import run_stream_to_table, stream_stream_join
+
+    path = str(tmp_path / "ssj")
+    rows = [
+        (1, "p", 10, "2024-01-01 10:00:00"),
+        (2, "c", 10, "2024-01-01 09:30:00"),  # within 1h before p1
+        (3, "c", 10, "2024-01-01 08:59:00"),  # too old
+        (4, "c", 10, "2024-01-01 10:00:01"),  # after -> no
+        (5, "p", 20, "2024-01-01 12:00:00"),
+        (6, "c", 20, "2024-01-01 12:00:00"),  # equal ts -> yes
+    ]
+    df = spark.createDataFrame(rows, "eid long, kind string, uid long, ts_s string") \
+        .select("eid", "kind", "uid", F.to_timestamp_ntz("ts_s").alias("ts"))
+    df.write.mode("overwrite").parquet(path)
+
+    def transform(stream):
+        p = stream.filter(F.col("kind") == "p").select("eid", "uid", "ts")
+        c = stream.filter(F.col("kind") == "c").select(
+            F.col("eid").alias("ceid"), "uid", "ts"
+        )
+        j = stream_stream_join(p, c, "uid", "ts", "1 hour", "2 hours")
+        return j.select(F.col("l.eid").alias("p_id"), F.col("r.ceid").alias("c_id"))
+
+    out = run_stream_to_table(spark, path, transform, output_mode="append")
+    got = sorted((r.p_id, r.c_id) for r in out.collect())
+    assert got == [(1, 2), (5, 6)]
