@@ -1723,6 +1723,17 @@ def q_ann_quantized(spark, sf_dir):
     return ann_quantized_topk(emb, list(qvec), k=10, dim=64, rerank=50)
 
 
+def q_temperature_resample(spark, sf_dir):
+    """mT5-style α-temperature mixture resampling (α=0.5, target 50%):
+    per-source keep rates from one small histogram aggregate, md5-uniform
+    keep decisions — the corpus never shuffles."""
+    from bun_csv_spark.operators.corpus import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_resample(docs, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    return out.select("doc_id", "source")
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact shared-substring dedup (Lee et al. suffix-array
     approximation): strided 50-char anchor windows, md5 equi-join with the
@@ -1779,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "ann_quantized": q_ann_quantized,
         "streaming_join": q_streaming_join,
+        "temperature_resample": q_temperature_resample,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1818,9 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left": q_join_left,
         "join_right": q_join_right,
         "join_full": q_join_full,
-        "join_cross": q_join_cross,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "join_cross": q_join_cross,
         "select_project": q_select_project,
         "filter_numeric": q_filter_numeric,
         "filter_compound": q_filter_compound,
@@ -2526,6 +2538,20 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
     )
+
+    sql["temperature_resample"] = """
+        WITH h AS (SELECT source, count(*)::DOUBLE AS cnt FROM documents GROUP BY source),
+        t AS (SELECT sum(cnt) AS tot FROM h),
+        w AS (SELECT source, cnt, pow(cnt / t.tot, 0.5) AS w, t.tot AS tot FROM h, t),
+        r AS (
+          SELECT source,
+                 least(1.0, (w / sum(w) OVER ()) * 0.5 * tot / cnt) AS rate
+          FROM w)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15) AS BIGINT)::DOUBLE
+                / 1152921504606846976.0 < r.rate
+    """
 
     sql["ann_quantized"] = """
         WITH t AS (

@@ -372,3 +372,57 @@ def boilerplate_prefix_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/XLM-R α-weighting):
+    source s with corpus share p_s is kept at a rate proportional to
+    p_s^α / p_s — α < 1 upweights small sources, α = 1 preserves the
+    mixture, α = 0 equalizes. ``target_frac`` sets the overall kept
+    fraction; per-source rates cap at 1 (no upsampling here — compose
+    ``oversample_by_factor`` for that).
+
+    Deterministic: the keep decision is an md5-derived uniform per row
+    (engine-portable, rerun-stable), so the same corpus always yields the
+    same sample — a property shuffle-based samplers lose across Spark
+    versions. Plan: one small groupBy for shares, rates broadcast back,
+    filter map-side; the corpus itself never shuffles."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    rates = (
+        # whole-frame windows over the SOURCE HISTOGRAM (tens of rows),
+        # never the corpus
+        # NB: name resolution is case-insensitive by default — "__N" would
+        # silently resolve to "__n" (observed: rates all collapsed to
+        # w/sw·target), hence "__tot"
+        hist.withColumn("__tot", F.sum("__n").over(Window.partitionBy()))
+        .withColumn("__w", F.pow(F.col("__n") / F.col("__tot"), F.lit(alpha)))
+        .withColumn("__sw", F.sum("__w").over(Window.partitionBy()))
+        .select(
+            by,
+            F.least(
+                F.lit(1.0),
+                (F.col("__w") / F.col("__sw"))
+                * F.lit(target_frac)
+                * F.col("__tot")
+                / F.col("__n"),
+            ).alias("__rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(rates), by)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )

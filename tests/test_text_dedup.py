@@ -379,3 +379,26 @@ def test_shared_substring_pairs(spark):
     # short docs contribute nothing (explode of gated NULL drops them)
     tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
     assert shared_substring_pairs(tiny, "doc_id", "text").count() == 0
+
+
+def test_temperature_resample_upweights_small_sources(spark):
+    from bun_csv_spark.operators.corpus import temperature_resample
+
+    # 900 docs from 'big', 100 from 'small'
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    got = {r.source: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.source] += 1
+    # alpha=0.5 target shares: sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~ 0.75 of 500
+    # kept docs from big (rate ~0.42), ~0.25 from small (rate capped at 1.0
+    # -> everything kept). The md5 sampler is deterministic, so bounds are
+    # stable, not flaky.
+    assert got["small"] == 100          # capped rate keeps all
+    assert 300 <= got["big"] <= 450     # ~0.42 * 900 = 375 expected
+    # determinism: the exact same sample on re-run
+    again = temperature_resample(df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
