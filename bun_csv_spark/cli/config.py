@@ -17,7 +17,8 @@ ENV_PREFIX = "BCSV_"
 
 DEFAULTS: dict[str, Any] = {
     "delimiter": "auto",
-    "encoding": "UTF-8",
+    # reference default is auto-detect (parser.ts:78-79)
+    "encoding": "auto",
     "has_header": True,
     "format": "auto",
     "color": True,
