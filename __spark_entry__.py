@@ -1723,6 +1723,25 @@ def q_ann_quantized(spark, sf_dir):
     return ann_quantized_topk(emb, list(qvec), k=10, dim=64, rerank=50)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Full convert cycle: documents -> distributed JSONL sink ->
+    read_jsonl with an explicit schema (no sampling pass) -> values
+    intact. The oracle is the source table itself — a lossy step
+    anywhere in the cycle breaks the hash."""
+    import tempfile as _tf
+
+    from bun_csv_spark.sources.csv_writer import convert, read_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = _tf.mkdtemp(prefix="bcsv_jsonl_") + "/docs"
+    convert(docs, "jsonl", out)
+    return read_jsonl(spark, out, schema=docs.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def q_temperature_resample(spark, sf_dir):
     """mT5-style α-temperature mixture resampling (α=0.5, target 50%):
     per-source keep rates from one small histogram aggregate, md5-uniform
@@ -1791,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "streaming_join": q_streaming_join,
         "temperature_resample": q_temperature_resample,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1829,9 +1849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_inner": q_join_inner,
         "join_left": q_join_left,
         "join_right": q_join_right,
-        "join_full": q_join_full,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "join_full": q_join_full,
         "join_cross": q_join_cross,
         "select_project": q_select_project,
         "filter_numeric": q_filter_numeric,
@@ -2538,6 +2558,10 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
     )
+
+    sql["jsonl_roundtrip"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """
 
     sql["temperature_resample"] = """
         WITH h AS (SELECT source, count(*)::DOUBLE AS cnt FROM documents GROUP BY source),

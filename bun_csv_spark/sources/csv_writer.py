@@ -216,3 +216,27 @@ def convert(df: DataFrame, to: str, path: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).json(path)
     else:
         raise ValueError(f"unknown convert target {to!r}")
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON source — the read half of the reference's
+    csv↔json/jsonl conversion cycle (convert.ts:20-107 writes it; this
+    reads it back distributed).
+
+    An explicit ``schema`` skips Spark's sampling pass over the files
+    (one full extra scan on every action otherwise — same lesson as the
+    CSV reader's pre-probed header schema). ``multiline=True`` reads a
+    whole-file JSON array (the reference's "json" shape) instead of
+    one-object-per-line; array files are NOT splittable, so keep the
+    JSONL shape for anything large."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        return reader.option("multiLine", "true").json(path)
+    return reader.json(path)
