@@ -69,6 +69,11 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
             if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
                 i += 2  # padding / standalone markers carry no length
                 continue
+            if marker == 0xDA:
+                # SOS: entropy-coded data follows — a frame header past
+                # this point can't be trusted (0xFF bytes inside the scan
+                # would be misread as markers)
+                return None
             seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 <= n:

@@ -402,3 +402,13 @@ def test_temperature_resample_upweights_small_sources(spark):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in out.collect()
     )
+
+
+def test_quality_percentile_filter_approx_path(spark):
+    """exact=False (the 100 TB path) must run and approximate the same cut."""
+    from bun_csv_spark.operators.corpus import quality_percentile_filter
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id long, v double")
+    kept = quality_percentile_filter(df, F.col("v"), 0.25, exact=False)
+    ids = sorted(r.id for r in kept.collect())
+    assert 200 <= len(ids) <= 300 and min(ids) >= 700  # ~top quarter
