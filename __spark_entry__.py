@@ -684,6 +684,27 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_apply(spark, sf_dir):
+    """END-TO-END corpus dedup: LSH candidate pairs -> connected
+    components -> anti-join, keeping only each cluster's canonical
+    (min-id) member plus all untouched singletons — the complete "dedup
+    this corpus" pipeline a training run actually executes, composed
+    from the individual audited operators."""
+    from bun_csv_spark.operators.dedup import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = neardup_pairs_minhash(
+        corpus, "doc_id", "text",
+        n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+    labels = connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over the LSH candidate pairs."""
     corpus = _neardup_corpus(spark, sf_dir)
@@ -1811,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "temperature_resample": q_temperature_resample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "dedup_apply": q_dedup_apply,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1848,9 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unparse_lines": q_unparse_lines,
         "join_inner": q_join_inner,
         "join_left": q_join_left,
-        "join_right": q_join_right,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "join_right": q_join_right,
         "join_full": q_join_full,
         "join_cross": q_join_cross,
         "select_project": q_select_project,
@@ -2656,6 +2678,32 @@ def oracle_sql() -> dict[str, str]:
           SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b)
         SELECT node::BIGINT AS node, min(r)::BIGINT AS label
         FROM reach GROUP BY node
+        """
+    )
+
+    sql["dedup_apply"] = (
+        "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL
+        + ", sig AS (" + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + ", pairs AS ("
+        + """
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sym AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb, ida FROM pairs),
+        reach(node, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b),
+        labels AS (
+          SELECT node, min(r) AS label FROM reach GROUP BY node)
+        SELECT c.doc_id::BIGINT AS doc_id
+        FROM corpus c
+        WHERE NOT EXISTS (SELECT 1 FROM labels l
+                          WHERE l.node = c.doc_id AND l.node <> l.label)
         """
     )
 
