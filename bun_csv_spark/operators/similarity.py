@@ -296,3 +296,89 @@ def ann_quantized_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_cell_expr(vec, centroids: list[tuple[int, list[float]]]):
+    """Nearest-centroid cell id as an in-plan argmax over broadcast
+    centroid literals (shared by build and query sides)."""
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.array_max(sims)["c"]
+
+
+def ivf_write_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index as a Hive-partitioned store: one
+    directory per Voronoi cell. The build is a single map-only pass
+    (cell assignment is an in-plan argmax against broadcast centroid
+    literals) + a partitioned write. This is the 100 TB serving shape the
+    in-flight ``ann_ivf_topk`` docstring promises: queries then touch
+    only their nprobe cell directories via partition pruning — no full
+    scan, no index service."""
+    out = df.select(
+        id_col, vec_col, ivf_cell_expr(F.col(vec_col), centroids).alias("cell")
+    )
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ann_ivf_partitioned_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Query the partitioned IVF store: probe cells chosen by a 1-row
+    Spark plan (same float math as the build side), then a scan filtered
+    on the PARTITION column — the predicate lands in PartitionFilters and
+    prunes whole cell directories before any file opens (plan-asserted in
+    tests/test_similarity.py)."""
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+    )
+    ranked = qdf.select(
+        F.reverse(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            cosine_similarity(
+                                F.col("q"), F.array(*[F.lit(float(x)) for x in cv])
+                            ).alias("s"),
+                            F.lit(int(cid)).alias("c"),
+                        )
+                        for cid, cv in centroids
+                    ]
+                )
+            )
+        ).alias("r")
+    ).first()["r"]
+    probes = [row["c"] for row in ranked[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
