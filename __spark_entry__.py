@@ -1744,6 +1744,17 @@ def q_ann_quantized(spark, sf_dir):
     return ann_quantized_topk(emb, list(qvec), k=10, dim=64, rerank=50)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5 uniform vs cumulative
+    weights) + per-split counts — map-only, rerun- and engine-stable
+    (unlike randomSplit)."""
+    from bun_csv_spark.operators.util import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """Full convert cycle: documents -> distributed JSONL sink ->
     read_jsonl with an explicit schema (no sampling pass) -> values
@@ -1833,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_apply": q_dedup_apply,
+        "hash_split": q_hash_split,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1869,9 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_columns": q_stats_columns,
         "unparse_lines": q_unparse_lines,
         "join_inner": q_join_inner,
-        "join_left": q_join_left,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "join_left": q_join_left,
         "join_right": q_join_right,
         "join_full": q_join_full,
         "join_cross": q_join_cross,
@@ -2580,6 +2592,19 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
     )
+
+    sql["hash_split"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15)
+                      AS BIGINT)::DOUBLE / 1152921504606846976.0 AS r
+          FROM documents)
+        SELECT CASE WHEN r < 0.8 THEN 'train'
+                    WHEN r < 0.9 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n_docs
+        FROM u GROUP BY 1
+    """
 
     sql["jsonl_roundtrip"] = """
         SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -136,3 +136,42 @@ def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> D
     if files and total < small_bytes and parallelism > 4:
         return df.repartition(parallelism)
     return df
+
+
+def hash_split(
+    df,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+):
+    """Deterministic train/val/test assignment: split = the bucket an
+    md5-derived uniform of (salt, id) falls into, with cumulative-weight
+    boundaries. Engine-portable and rerun-stable — the same row always
+    lands in the same split, across Spark versions and engines (unlike
+    randomSplit, which reshuffles with partition layout). Map-only; adds
+    a ``split`` column."""
+    from pyspark.sql import functions as F
+
+    total = sum(weights.values())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 60)
+    )
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = u < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
