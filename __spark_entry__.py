@@ -1744,6 +1744,30 @@ def q_ann_quantized(spark, sf_dir):
     return ann_quantized_topk(emb, list(qvec), k=10, dim=64, rerank=50)
 
 
+def q_quality_score(spark, sf_dir):
+    """Model-based quality scoring: sigmoid of a fixed linear model over
+    the quality-feature set (the trained-classifier plumbing with
+    documented weights) — pure map, zero shuffles."""
+    from bun_csv_spark.operators.corpus import quality_score_linear
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score_linear("text"), 6).alias("quality_score")
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget subsample: hash-ordered greedy prefix whose running
+    token total stays within 15k — the 'sample N tokens from this source'
+    primitive. One ordering window at gate scale (per-partition budgets
+    at 100 TB, see docstring)."""
+    from bun_csv_spark.operators.corpus import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = token_budget_sample(docs, "text", "doc_id", budget=15_000)
+    return out.select("doc_id", F.col("__n_tok").alias("n_tokens"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (md5 uniform vs cumulative
     weights) + per-split counts — map-only, rerun- and engine-stable
@@ -1845,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_apply": q_dedup_apply,
         "hash_split": q_hash_split,
+        "quality_score": q_quality_score,
+        "token_budget": q_token_budget,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1879,10 +1905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "coercion_pipeline": q_coercion_pipeline,
         "stats_columns": q_stats_columns,
-        "unparse_lines": q_unparse_lines,
-        "join_inner": q_join_inner,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "unparse_lines": q_unparse_lines,
+        "join_inner": q_join_inner,
         "join_left": q_join_left,
         "join_right": q_join_right,
         "join_full": q_join_full,
@@ -2592,6 +2618,44 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
     )
+
+    sql["quality_score"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(t)::DOUBLE AS n_tokens,
+                 CASE WHEN len(t) > 0 THEN
+                   list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                 ELSE 0.0 END AS mtl,
+                 CASE WHEN len(t) > 0 THEN
+                   len(list_filter(t, x -> lower(x) IN
+                     (""" + _stopword_sql_list("en") + r""")))::DOUBLE / len(t)
+                 ELSE 0.0 END AS swr
+          FROM toks)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(-1.0 + n_tokens * 0.02
+                                        + mtl * 0.3 + swr * 1.5))), 6)
+                 AS quality_score
+        FROM m
+    """
+
+    sql["token_budget"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> ''))::BIGINT AS n_tok,
+                 md5('budget:' || doc_id::VARCHAR) AS u
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT doc_id, n_tok::BIGINT AS n_tokens FROM c WHERE cum <= 15000
+    """
 
     sql["hash_split"] = """
         WITH u AS (

@@ -426,3 +426,63 @@ def temperature_resample(
         .filter(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 1_000_000,
+    salt: str = "budget",
+) -> DataFrame:
+    """Take ~``budget`` tokens from the corpus: order docs by a
+    deterministic md5 uniform (so the sample is unbiased and
+    rerun-stable) and keep the prefix whose running token total stays
+    within budget — the "give me 1B tokens from this source" primitive a
+    mixture schedule executes.
+
+    Plan: token counts map-side; ONE global ordering window for the
+    running sum. At 100 TB replace the global window with per-partition
+    budgets (budget/n_partitions each, same hash ordering within) — the
+    greedy prefix then needs no global sort; the tail-off error is one
+    partition's worth of one doc."""
+    from pyspark.sql import Window
+
+    n = F.size(tokens(text_col)).cast("long")
+    u = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    staged = df.withColumn("__n_tok", n).withColumn("__u", u)
+    w = Window.orderBy("__u").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        staged.withColumn("__cum", F.sum("__n_tok").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__u", "__cum")
+    )
+
+
+QUALITY_WEIGHTS = {
+    # fixed, documented linear-model weights over quality_features — the
+    # pluggable stand-in for a trained fastText/logreg quality classifier
+    # (same feature plumbing, swap the weights)
+    "bias": -1.0,
+    "n_tokens": 0.02,
+    "mean_token_len": 0.3,
+    "stopword_ratio_en": 1.5,
+}
+
+
+def quality_score_linear(col: Column | str) -> Column:
+    """Model-based quality score: sigmoid of a fixed linear combination
+    of the ``quality_features`` set. Deterministic and engine-portable
+    (exp/round are IEEE-identical for identical inputs); production
+    swaps QUALITY_WEIGHTS for trained coefficients without touching the
+    plan shape. Pure per-row expression — zero shuffles."""
+    from bun_csv_spark.functions.text import quality_features
+
+    f = quality_features(col)
+    z = (
+        F.lit(QUALITY_WEIGHTS["bias"])
+        + f["n_tokens"].cast("double") * QUALITY_WEIGHTS["n_tokens"]
+        + f["mean_token_len"] * QUALITY_WEIGHTS["mean_token_len"]
+        + f["stopword_ratio_en"] * QUALITY_WEIGHTS["stopword_ratio_en"]
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
