@@ -973,6 +973,36 @@ def q_streaming_join(spark, sf_dir):
     return run_stream_to_table(spark, path, transform, output_mode="append")
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """REAL stream-static enrichment: the replayed event stream joins the
+    STATIC customer dimension per micro-batch (stateless — no watermark),
+    then aggregates spend per market segment. Oracle = the same batch
+    join+agg."""
+    import os as _os
+
+    from bun_csv_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_static_enrich,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def transform(stream):
+        enriched = stream_static_enrich(
+            stream.filter(F.col("event_type") == "purchase"), cust, "user_id"
+        )
+        return enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    return run_stream_to_table(spark, path, transform, output_mode="complete")
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """REAL Structured Streaming: replay events.parquet through readStream,
     hourly tumbling counts, drained synchronously to a memory sink. The
@@ -1628,6 +1658,18 @@ def q_decontamination(spark, sf_dir):
     return decontaminate(train, eval_docs, n=5)
 
 
+def q_decontamination_surgical(spark, sf_dir):
+    """Surgical decontamination: cut the eval-overlapping 5-gram spans,
+    keep the clean remainder (vs q_decontamination's doc-level flag).
+    Same eval split (doc_id % 19)."""
+    from bun_csv_spark.operators.corpus import decontaminate_surgical
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    return decontaminate_surgical(train, eval_docs, n=5)
+
+
 def q_cross_corpus_dedup(spark, sf_dir):
     """Cross-corpus dedup: drop docs whose normalized fingerprint appears
     in the previous snapshot (doc_id % 4 == 0 plays the old crawl). LEFT
@@ -1871,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quality_score": q_quality_score,
         "token_budget": q_token_budget,
+        "streaming_enrich": q_streaming_enrich,
+        "decontamination_surgical": q_decontamination_surgical,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1903,10 +1947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "window_topk_per_group": q_window_topk_per_group,
         "window_running_sum": q_window_running_sum,
-        "coercion_pipeline": q_coercion_pipeline,
-        "stats_columns": q_stats_columns,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "coercion_pipeline": q_coercion_pipeline,
+        "stats_columns": q_stats_columns,
         "unparse_lines": q_unparse_lines,
         "join_inner": q_join_inner,
         "join_left": q_join_left,
@@ -3306,6 +3350,16 @@ def oracle_sql() -> dict[str, str]:
         FROM f
     """
 
+    sql["streaming_enrich"] = """
+        WITH p AS (SELECT user_id, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_purchases,
+               round(sum(p.value), 2) AS total_value
+        FROM p LEFT JOIN customer c ON p.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """
+
     # the stateful operator's final per-user state equals the batch agg
     sql["streaming_stateful"] = """
         SELECT user_id, count(*)::BIGINT AS n_events,
@@ -3416,6 +3470,41 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         WHERE d.doc_id % 19 <> 0
+        """
+    )
+
+    sql["decontamination_surgical"] = (
+        "WITH toks AS (" + _TOKS_SQL + "),"
+        + f"""
+        g AS (SELECT doc_id, t, {_grams_sql(5)} AS g5 FROM toks),
+        ev AS (SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 19 = 0),
+        tg AS (
+          SELECT doc_id, i AS strt,
+                 array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+          FROM (SELECT doc_id, t FROM g WHERE doc_id % 19 <> 0),
+               unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)),
+        hits AS (SELECT DISTINCT doc_id, strt FROM tg JOIN ev USING (gram)),
+        covered AS (
+          SELECT DISTINCT doc_id, strt + o AS pos
+          FROM hits, unnest(generate_series(0, 4)) AS v(o)),
+        tok_rows AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM (SELECT doc_id, t FROM g WHERE doc_id % 19 <> 0),
+               unnest(generate_series(1, len(t))) AS w(i)),
+        clean AS (
+          SELECT tr.doc_id, tr.pos, tr.tok FROM tok_rows tr
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM clean GROUP BY doc_id)
+        SELECT g.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_kept, 0)::BIGINT AS n_tokens_kept,
+               (len(g.t) - coalesce(r.n_kept, 0))::BIGINT AS n_tokens_cut
+        FROM g LEFT JOIN rebuilt r ON r.doc_id = g.doc_id
+        WHERE g.doc_id % 19 <> 0
         """
     )
 

@@ -486,3 +486,85 @@ def quality_score_linear(col: Column | str) -> Column:
         + f["stopword_ratio_en"] * QUALITY_WEIGHTS["stopword_ratio_en"]
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def decontaminate_surgical(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Surgical decontamination: REMOVE the contaminated token spans
+    instead of dropping whole documents — the GPT/Llama-style treatment
+    that preserves the clean remainder of a long document whose one
+    paragraph quotes a benchmark.
+
+    Every token covered by any matching eval ``n``-gram is cut; the
+    survivors re-join in order. Plan: corpus n-grams with start positions
+    (one explode), semi-join against the broadcast eval gram set (bounded
+    by the benchmark suite, not the corpus), hit starts expand to covered
+    positions, token rows anti-join covered, and an ordered re-assembly
+    aggregate. Shuffles: the hit/covered aggregates and the final
+    per-doc groupBy — all keyed on doc id.
+
+    Returns (id, clean_text, n_tokens_kept, n_tokens_cut); fully
+    contaminated docs come back with empty clean_text, untouched docs
+    come back intact."""
+    toks_col = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks_col.alias("__t"))
+
+    cnt = F.size(F.col("__t"))
+    gram_structs = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.struct(
+                i.cast("long").alias("start"),
+                F.array_join(F.slice(F.col("__t"), i, n), " ").alias("gram"),
+            ),
+        ),
+    )
+    corpus_grams = base.select(
+        F.col(id_col), F.explode(gram_structs).alias("g")
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+
+    eval_grams = F.broadcast(
+        eval_docs.select(
+            F.explode(F.array_distinct(word_ngrams_strict(text_col, n))).alias("gram")
+        ).distinct()
+    )
+    hits = corpus_grams.join(eval_grams, "gram", "left_semi")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+    ).distinct()
+
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode(F.col("__t")).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    clean = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = clean.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size(F.col("__t")).cast("long").alias("__n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.col("__n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_cut"),
+        )
+    )

@@ -215,3 +215,18 @@ def stream_stream_join(
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
     )
     return l.join(r, cond, "inner")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a STATIC
+    dimension table — stateless (no watermark needed; the static side is
+    re-read per micro-batch, so slowly-changing dims pick up updates at
+    batch boundaries). The standard 'attach user/product attributes to an
+    event stream' shape; Catalyst broadcasts the dim side under the
+    session threshold exactly as in batch."""
+    return stream.join(dim, on, how)

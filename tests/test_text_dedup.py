@@ -412,3 +412,32 @@ def test_quality_percentile_filter_approx_path(spark):
     kept = quality_percentile_filter(df, F.col("v"), 0.25, exact=False)
     ids = sorted(r.id for r in kept.collect())
     assert 200 <= len(ids) <= 300 and min(ids) >= 700  # ~top quarter
+
+
+def test_decontaminate_surgical_cuts_exact_spans(spark):
+    from bun_csv_spark.operators.corpus import decontaminate_surgical
+
+    evald = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 5-gram "secret benchmark answer is forty"
+            (1, "intro words then the secret benchmark answer is forty two and more trailing text"),
+            (2, "totally clean document with no overlap whatsoever present"),
+            (3, "the secret benchmark answer is forty two"),  # fully covered? (all 5-grams match)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_surgical(train, evald, n=5).collect()}
+    # doc 1: tokens covered by matching 5-grams are removed, rest intact
+    r1 = out[1]
+    assert "secret" not in r1.clean_text and "benchmark" not in r1.clean_text
+    assert r1.clean_text.startswith("intro words then")
+    assert r1.clean_text.endswith("trailing text")
+    assert r1.n_tokens_kept + r1.n_tokens_cut == 14
+    # doc 2 untouched
+    assert out[2].n_tokens_cut == 0 and out[2].clean_text.startswith("totally clean")
+    # doc 3 is the eval text itself -> every token covered
+    assert out[3].clean_text == "" and out[3].n_tokens_kept == 0
