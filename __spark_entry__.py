@@ -973,6 +973,19 @@ def q_streaming_join(spark, sf_dir):
     return run_stream_to_table(spark, path, transform, output_mode="append")
 
 
+def q_user_sequences(spark, sf_dir):
+    """Behavioral training sequences: per-user time-ordered event strings
+    capped at the most recent 64 — the events→training-data bridge. One
+    shuffle on the user key."""
+    from bun_csv_spark.operators.packing import user_event_sequences
+
+    ev = read_events(spark, sf_dir)
+    # micros-truncate the nanos (engines that read the parquet at µs — the
+    # oracle included — drop the sub-micro digits; serialize what both see)
+    ev = ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000)
+    return user_event_sequences(ev, "user_id", "ts", "event_type", max_events=64)
+
+
 def q_streaming_enrich(spark, sf_dir):
     """REAL stream-static enrichment: the replayed event stream joins the
     STATIC customer dimension per micro-batch (stateless — no watermark),
@@ -1915,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "streaming_enrich": q_streaming_enrich,
         "decontamination_surgical": q_decontamination_surgical,
+        "user_sequences": q_user_sequences,
         # -- semantics changed this round (real WAV containers) -------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
@@ -1946,9 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "doc_fingerprint": q_doc_fingerprint,
         "window_topk_per_group": q_window_topk_per_group,
-        "window_running_sum": q_window_running_sum,
         # -- below the 50-per-round line: r1-green TRIVIAL stable gates
         # deferred to make room for the new/changed entries above ----------
+        "window_running_sum": q_window_running_sum,
         "coercion_pipeline": q_coercion_pipeline,
         "stats_columns": q_stats_columns,
         "unparse_lines": q_unparse_lines,
@@ -3348,6 +3362,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, i::BIGINT AS frame_idx, (i * 10)::BIGINT AS frame_ts_ms,
                md5(h || ':' || i) AS frame_hash
         FROM f
+    """
+
+    sql["user_sequences"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type AS et
+                   FROM events),
+        ranked AS (
+          SELECT user_id, tns, et,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY tns DESC, et DESC) AS rn
+          FROM e),
+        kept AS (SELECT * FROM ranked WHERE rn <= 64)
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               string_agg(et || '@' || tns::VARCHAR, ' ' ORDER BY tns, et) AS seq
+        FROM kept GROUP BY user_id
     """
 
     sql["streaming_enrich"] = """

@@ -54,3 +54,51 @@ def pack_sequences(
     return out.withColumn(
         "pack_pos", (F.row_number().over(w_pack) - 1).cast("long")
     )
+
+
+def user_event_sequences(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_events: int | None = 64,
+):
+    """Behavioral training sequences: each user's events, time-ordered and
+    serialized to one token string — the events-to-training-data bridge a
+    recommendation/agent corpus builds (the text twin of sequence
+    packing's token side).
+
+    One shuffle on the user key; the per-user collect is bounded by
+    ``max_events`` (most recent kept), so a bot account can't blow up a
+    task. Returns (user, n_events, seq) with seq = "type@ts type@ts ..."
+    in ascending time order, ties broken by event id order embedded in
+    ts uniqueness."""
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("__e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("__e")).alias("__seq")
+    )
+    if max_events is not None:
+        # keep the most RECENT max_events (suffix of the ascending sort)
+        per_user = per_user.withColumn(
+            "__seq",
+            F.when(
+                F.size("__seq") > max_events,
+                F.slice(F.col("__seq"), -max_events, max_events),
+            ).otherwise(F.col("__seq")),
+        )
+    return per_user.select(
+        user_col,
+        F.size("__seq").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.col("__seq"),
+                lambda e: F.concat(e["et"], F.lit("@"), e["ts"].cast("string")),
+            ),
+            " ",
+        ).alias("seq"),
+    )
