@@ -1929,12 +1929,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "decontamination_surgical": q_decontamination_surgical,
         "user_sequences": q_user_sequences,
-        # -- semantics changed this round (real WAV containers) -------------
+        # -- code paths changed this round: real WAV containers; reader
+        # encoding/trim/probe rework; edit-overlay memo; oversample gate;
+        # asof/range validation ---------------------------------------------
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
+        "csv_roundtrip": q_csv_roundtrip,
+        "csv_opts_comments": q_csv_opts_comments,
+        "csv_opts_fromto": q_csv_opts_fromto,
+        "csv_opts_relax": q_csv_opts_relax,
+        "csv_opts_errors": q_csv_opts_errors,
+        "edit_overlay": q_edit_overlay,
+        "oversample_epochs": q_oversample_epochs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # -- last verdict is round 1 (aged a full round of churn) -----------
-        "groupby_concat": q_groupby_concat,
-        "agg_ungrouped": q_agg_ungrouped,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1949,19 +1958,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "session_window_native": q_session_window_native,
         "skew_salted_agg": q_skew_salted_agg,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_detect": q_lang_detect,
+        "doc_fingerprint": q_doc_fingerprint,
+        "window_topk_per_group": q_window_topk_per_group,
+        # -- below the 50-per-round line: r1-green UNTOUCHED stable gates
+        # deferred to make room for the new/changed entries above ----------
+        "groupby_concat": q_groupby_concat,
+        "agg_ungrouped": q_agg_ungrouped,
         "events_pivot": q_events_pivot,
         "rollup_agg": q_rollup_agg,
         "distinct_agg": q_distinct_agg,
         "cube_agg": q_cube_agg,
         "json_extract": q_json_extract,
         "unpivot": q_unpivot,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "lang_detect": q_lang_detect,
-        "doc_fingerprint": q_doc_fingerprint,
-        "window_topk_per_group": q_window_topk_per_group,
-        # -- below the 50-per-round line: r1-green TRIVIAL stable gates
-        # deferred to make room for the new/changed entries above ----------
         "window_running_sum": q_window_running_sum,
         "coercion_pipeline": q_coercion_pipeline,
         "stats_columns": q_stats_columns,
@@ -1981,16 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_rows": q_count_rows,
         "distinct_values": q_distinct_values,
         "set_ops": q_set_ops,
-        # -- round-2-green; entries touched this round first ----------------
-        "oversample_epochs": q_oversample_epochs,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "edit_overlay": q_edit_overlay,
-        "csv_roundtrip": q_csv_roundtrip,
-        "csv_opts_comments": q_csv_opts_comments,
-        "csv_opts_fromto": q_csv_opts_fromto,
-        "csv_opts_relax": q_csv_opts_relax,
-        "csv_opts_errors": q_csv_opts_errors,
+        # -- round-2-green, untouched ---------------------------------------
         "repetition_filter": q_repetition_filter,
         "decontamination": q_decontamination,
         "cross_corpus_dedup": q_cross_corpus_dedup,
