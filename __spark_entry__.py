@@ -685,11 +685,14 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_apply(spark, sf_dir):
-    """END-TO-END corpus dedup: LSH candidate pairs -> connected
-    components -> anti-join, keeping only each cluster's canonical
-    (min-id) member plus all untouched singletons — the complete "dedup
-    this corpus" pipeline a training run actually executes, composed
-    from the individual audited operators."""
+    """END-TO-END corpus dedup: LSH candidate pairs -> EXACT word-3-gram
+    Jaccard verification (>= 0.5) -> connected components -> anti-join,
+    keeping only each cluster's canonical (min-id) member plus all
+    untouched singletons — the complete "dedup this corpus" pipeline a
+    training run actually executes. LSH candidates are allowed false
+    positives and transitive chaining amplifies them (round-3 ADVICE), so
+    the exact-verification stage between candidate generation and
+    clustering is load-bearing, not optional."""
     from bun_csv_spark.operators.dedup import connected_components
 
     corpus = _neardup_corpus(spark, sf_dir)
@@ -698,7 +701,10 @@ def q_dedup_apply(spark, sf_dir):
         n_hashes=8, bands=4, shingle_k=5,
         repartition=spark.sparkContext.defaultParallelism,
     )
-    labels = connected_components(pairs)
+    verified = ngram_jaccard_pairs(corpus, pairs, "doc_id", "text", n=3).filter(
+        F.round("jaccard", 6) >= 0.5
+    )
+    labels = connected_components(verified)
     drop = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
@@ -2839,10 +2845,28 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
           FROM bands_c a JOIN bands_c b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3 THEN
+                     list_transform(generate_series(1, len(t) - 2),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                   ELSE [array_to_string(t, ' ')] END) AS g
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM corpus)),
+        vpairs AS (
+          SELECT p.ida, p.idb
+          FROM pairs p
+          JOIN grams ga ON ga.doc_id = p.ida
+          JOIN grams gb ON gb.doc_id = p.idb
+          WHERE round(len(list_intersect(ga.g, gb.g))::DOUBLE /
+                      len(list_distinct(list_concat(ga.g, gb.g))), 6) >= 0.5),
         sym AS (
-          SELECT ida AS a, idb AS b FROM pairs
+          SELECT ida AS a, idb AS b FROM vpairs
           UNION
-          SELECT idb, ida FROM pairs),
+          SELECT idb, ida FROM vpairs),
         reach(node, r) AS (
           SELECT a, a FROM sym
           UNION

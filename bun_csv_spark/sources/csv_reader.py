@@ -368,18 +368,53 @@ def detect_encoding(head: bytes) -> str | None:
     return "utf-8"
 
 
+#: decode codecs that CONSUME a leading BOM (the reference strips bom_len
+#: before transcoding — parser.zig:135-137, iconv.zig BOM.detect; Python's
+#: endian-specific 'utf-16-le' etc. would keep U+FEFF in the first cell)
+_BOM_DECODE = {
+    "utf-8-sig": "utf-8-sig",
+    "utf-16-le": "utf-16",
+    "utf-16-be": "utf-16",
+    "utf-32-le": "utf-32",
+    "utf-32-be": "utf-32",
+}
+
+
 def _head_codec(raw: bytes, encoding: str) -> str:
-    """Codec for decoding driver-side probes: BOM always wins, then an
-    explicit (non-auto) configured encoding, then the content heuristic."""
+    """Codec for decoding driver-side probes.
+
+    Precedence mirrors the reference (parser.zig:133-141): BOM/content
+    detection runs only when the configured encoding is the auto/UTF-8
+    default; an explicit other encoding bypasses detection entirely (a
+    cp1252 file legitimately starting with 0xFF 0xFE stays cp1252). When a
+    BOM is detected the returned codec is one that consumes it."""
+    enc_norm = (encoding or "auto").replace("_", "-").lower()
+    if enc_norm != "auto" and enc_norm not in _UTF8_NAMES:
+        return encoding
     for bom, name in _BOMS:
         if raw.startswith(bom):
-            return name
-    if encoding and encoding.lower() != "auto":
+            return _BOM_DECODE[name]
+    if enc_norm != "auto":
         return encoding
     return detect_encoding(raw) or "utf-8"
 
 
 _UTF8_NAMES = ("utf-8", "utf8", "ascii", "us-ascii", "utf-8-sig")
+
+#: JS ``String.trim()`` whitespace — ECMA-262 WhiteSpace + LineTerminator
+#: (parser.ts:70-71 blanks rows via trim). Java's bare ``\s`` is ASCII-only
+#: ([ \t\n\x0B\f\r]), so an explicit class keeps the distributed filter,
+#: the driver probe, and the reference in exact agreement on e.g.
+#: NBSP-only or BOM-only lines.
+_JS_WS_CHARS = (
+    "\t\n\x0b\x0c\r \u00a0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+_JS_BLANK_RE = (
+    "^[\t\n\x0b\x0c\r \u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\ufeff]*$"
+)
 
 
 def _resolve_encoding(path: str, opts: CSVOptions) -> tuple[str, CSVOptions]:
@@ -625,10 +660,11 @@ def _read_native(spark: SparkSession, path: str, opts: CSVOptions) -> DataFrame:
     df = df.toDF(*names)
 
     if opts.skip_empty_rows == "greedy":
-        # JS String.trim semantics (all whitespace, parser.ts:70-71) — not
-        # F.trim, which strips ASCII spaces only and would keep tab-only cells
+        # JS String.trim semantics (all whitespace incl. NBSP/BOM,
+        # parser.ts:70-71) — not F.trim (ASCII space only) and not Java \s
+        # (ASCII class); _JS_BLANK_RE is the exact ECMA-262 set
         non_blank = [
-            (F.col(c).isNotNull() & ~F.col(c).rlike(r"^\s*$")) for c in names
+            (F.col(c).isNotNull() & ~F.col(c).rlike(_JS_BLANK_RE)) for c in names
         ]
         pred = non_blank[0]
         for p in non_blank[1:]:
@@ -662,10 +698,9 @@ def _first_surviving_line(path: str, opts: CSVOptions) -> tuple[str | None, int]
         if opts.comments and ln.startswith(opts.comments):
             continue
         if opts.skip_empty_rows and (
-            # ASCII-whitespace strip: the distributed filter's Java-regex \s
-            # is [ \t\n\x0B\f\r]; Python's bare strip() also eats unicode
-            # spaces and the two probes could disagree on e.g. \xa0-only lines
-            ln.strip(" \t\n\x0b\x0c\r") == ""
+            # must agree exactly with the distributed _JS_BLANK_RE filter —
+            # both use the ECMA-262 trim set (incl. \xa0 and ﻿)
+            ln.strip(_JS_WS_CHARS) == ""
             if opts.skip_empty_rows == "greedy"
             else ln == ""
         ):
@@ -707,7 +742,7 @@ def _read_exact(
         blank = F.col("line") == ""
         if opts.skip_empty_rows == "greedy":
             # JS-trim semantics; must match _first_surviving_line's probe
-            blank = F.col("line").rlike(r"^\s*$")
+            blank = F.col("line").rlike(_JS_BLANK_RE)
         df = df.filter(~blank)
 
     # header row = first surviving line. Local files resolve it driver-side

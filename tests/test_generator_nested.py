@@ -146,3 +146,40 @@ def test_non_utf8_file_transcode_roundtrip(spark, tmp_path):
     p3.write_bytes("a,b\nx,ünïcode\n".encode("utf-16-le"))
     rows = read_csv(spark, str(p3)).collect()
     assert rows[0].b == "ünïcode"
+
+
+def test_bom_stripped_on_transcode(spark, tmp_path):
+    """BOM'd UTF-16/32 round-trips: the decode codec consumes the BOM, so
+    U+FEFF never leaks into the first header cell (the reference strips
+    bom_len before transcoding — parser.zig:135-137, iconv.zig BOM)."""
+    for name, codec, bom in [
+        ("u16le", "utf-16-le", b"\xff\xfe"),
+        ("u16be", "utf-16-be", b"\xfe\xff"),
+        ("u32le", "utf-32-le", b"\xff\xfe\x00\x00"),
+        ("u32be", "utf-32-be", b"\x00\x00\xfe\xff"),
+    ]:
+        p = tmp_path / f"{name}.csv"
+        p.write_bytes(bom + "a,b\n1,ünïcode\n".encode(codec))
+        df = read_csv(spark, str(p))
+        assert df.columns == ["a", "b"], name
+        assert df.collect()[0].b == "ünïcode", name
+
+
+def test_explicit_encoding_bypasses_bom_detection(spark, tmp_path):
+    """An explicitly configured non-UTF-8 encoding skips BOM/content
+    detection (parser.zig:133-141 detects only on the default): a cp1252
+    file legitimately starting with 0xFF 0xFE ('ÿþ') stays cp1252."""
+    p = tmp_path / "yth.csv"
+    p.write_bytes("ÿþ,b\nx,café\n".encode("cp1252"))
+    df = read_csv(spark, str(p), CSVOptions(encoding="cp1252"))
+    assert df.columns == ["ÿþ", "b"]
+    assert df.collect()[0].b == "café"
+
+
+def test_greedy_skip_unicode_whitespace(spark, write_csv_file):
+    """skipEmptyRows='greedy' blanks rows whose cells are Unicode
+    whitespace (NBSP, ZWNBSP) — JS String.trim parity; Java's bare \\s
+    regex is ASCII-only and would keep them (round-3 ADVICE)."""
+    path = write_csv_file("a,b\n1,x\n\u00a0,\u00a0\u00a0\n\ufeff,\t\n2,y\n")
+    df = read_csv(spark, path, CSVOptions(skip_empty_rows="greedy"))
+    assert [r.a for r in df.collect()] == ["1", "2"]
