@@ -1818,10 +1818,10 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_token_budget(spark, sf_dir):
-    """Token-budget subsample: hash-ordered greedy prefix whose running
-    token total stays within 15k — the 'sample N tokens from this source'
-    primitive. One ordering window at gate scale (per-partition budgets
-    at 100 TB, see docstring)."""
+    """Token-budget subsample: docs hash into 32 buckets; each bucket
+    keeps its hash-ordered greedy prefix within its share of the 15k
+    budget. No global ordering window anywhere in the plan (the round-3
+    scale fix) — the only exchange is the bucket hash."""
     from bun_csv_spark.operators.corpus import token_budget_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2716,11 +2716,18 @@ def oracle_sql() -> dict[str, str]:
                                  x -> x <> ''))::BIGINT AS n_tok,
                  md5('budget:' || doc_id::VARCHAR) AS u
           FROM documents),
+        b AS (
+          SELECT doc_id, n_tok, u,
+                 CAST('0x' || substr(u, 1, 2) AS BIGINT) % 32 AS bkt
+          FROM t),
         c AS (
-          SELECT doc_id, n_tok,
-                 sum(n_tok) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS cum
-          FROM t)
-        SELECT doc_id, n_tok::BIGINT AS n_tokens FROM c WHERE cum <= 15000
+          SELECT doc_id, n_tok, bkt,
+                 sum(n_tok) OVER (PARTITION BY bkt
+                                  ORDER BY u ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b)
+        SELECT doc_id, n_tok::BIGINT AS n_tokens
+        FROM c
+        WHERE cum <= 15000 // 32 + CASE WHEN bkt < 15000 % 32 THEN 1 ELSE 0 END
     """
 
     sql["hash_split"] = """

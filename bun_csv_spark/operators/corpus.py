@@ -434,28 +434,46 @@ def token_budget_sample(
     id_col: str = "doc_id",
     budget: int = 1_000_000,
     salt: str = "budget",
+    n_buckets: int = 32,
 ) -> DataFrame:
-    """Take ~``budget`` tokens from the corpus: order docs by a
-    deterministic md5 uniform (so the sample is unbiased and
-    rerun-stable) and keep the prefix whose running token total stays
-    within budget — the "give me 1B tokens from this source" primitive a
-    mixture schedule executes.
+    """Take ~``budget`` tokens from the corpus: hash docs into
+    ``n_buckets`` independent groups by the leading bits of a
+    deterministic md5 uniform, and within each group keep the
+    hash-ordered prefix whose running token total stays inside that
+    group's share of the budget — the "give me 1B tokens from this
+    source" primitive a mixture schedule executes. Unbiased (the uniform
+    is content-independent) and rerun-stable.
 
-    Plan: token counts map-side; ONE global ordering window for the
-    running sum. At 100 TB replace the global window with per-partition
-    budgets (budget/n_partitions each, same hash ordering within) — the
-    greedy prefix then needs no global sort; the tail-off error is one
-    partition's worth of one doc."""
+    Scale design: the running sum is ``Window.partitionBy(bucket)`` —
+    there is NO global ordering window, so no single-partition funnel at
+    100 TB; each bucket sorts independently after one hash shuffle.
+    Budget split is exact and deterministic: floor(budget/n) per bucket
+    plus one extra token of quota for the first budget%n buckets. The
+    deviation vs the exact global greedy prefix is bounded by one
+    document per bucket (each group may leave at most one doc's worth of
+    quota unused)."""
     from pyspark.sql import Window
 
     n = F.size(tokens(text_col)).cast("long")
     u = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
     staged = df.withColumn("__n_tok", n).withColumn("__u", u)
-    w = Window.orderBy("__u").rowsBetween(Window.unboundedPreceding, 0)
+    # bucket = first byte of the same uniform -> [0, n_buckets); reuses
+    # the hash already computed for ordering (one md5, two purposes)
+    staged = staged.withColumn(
+        "__b", F.conv(F.substring("__u", 1, 2), 16, 10).cast("long") % n_buckets
+    )
+    quota = F.lit(budget // n_buckets) + F.when(
+        F.col("__b") < budget % n_buckets, F.lit(1)
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__u")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         staged.withColumn("__cum", F.sum("__n_tok").over(w))
-        .filter(F.col("__cum") <= budget)
-        .drop("__u", "__cum")
+        .filter(F.col("__cum") <= quota)
+        .drop("__u", "__b", "__cum")
     )
 
 

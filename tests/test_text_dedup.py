@@ -271,6 +271,32 @@ def test_pack_sequences_invariants(spark):
             assert sorted(poss) == list(range(len(poss)))  # dense positions
 
 
+def test_token_budget_sample_partitioned(spark):
+    """Per-bucket budgets: total tokens stay within budget, the sample is
+    rerun-stable, and the plan has NO single-partition global window (the
+    round-3 scale fix — the only exchange is the bucket hash)."""
+    from bun_csv_spark.operators.corpus import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 17 + 3)) for i in range(400)], "doc_id long, text string"
+    )
+    out = token_budget_sample(docs, "text", "doc_id", budget=1500, n_buckets=8)
+    rows = out.collect()
+    total = sum(r["__n_tok"] for r in rows)
+    assert 0 < total <= 1500
+    # deterministic across reruns
+    assert {r.doc_id for r in rows} == {
+        r.doc_id
+        for r in token_budget_sample(
+            docs, "text", "doc_id", budget=1500, n_buckets=8
+        ).collect()
+    }
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_oversample_factor_zero_and_negative(spark):
     """factor < 1 must DROP the row: sequence(1, 0) auto-steps downward in
     Spark and would re-emit it without the factor >= 1 gate."""

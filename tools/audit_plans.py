@@ -55,6 +55,23 @@ EXPECTATIONS = {
     # one window shuffle on the group key
     "domain_cap": (1, ["Window"], []),
     "quality_percentile": (1, ["BroadcastExchange"], ["SortMergeJoin"]),
+    # r4 additions
+    # the round-3 scale fix: per-bucket running sums — one hash exchange,
+    # and NEVER a global ordering window (Exchange SinglePartition)
+    "token_budget": (1, ["Window"], ["SinglePartition"]),
+    # doc side stays broadcast-joined to per-source rates; the only
+    # SinglePartition window runs over one row PER SOURCE (dim-sized)
+    "temperature_resample": (2, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # eval grams broadcast against doc grams — keyed shuffles only
+    "decontamination_surgical": (3, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # one keyed shuffle into the per-user collect_list
+    "user_sequences": (1, ["ObjectHashAggregate"], ["SortMergeJoin"]),
+    # map-side md5 split + count agg
+    "hash_split": (1, ["HashAggregate"], ["SortMergeJoin"]),
+    "boilerplate_prefix": (1, ["HashAggregate"], ["SortMergeJoin"]),
+    # batch result of a real micro-batch run: a collected LocalTableScan
+    # (the streaming plan itself is exercised in tests/test_streaming*)
+    "streaming_enrich": (0, ["LocalTableScan"], ["Exchange"]),
 }
 
 
