@@ -1904,73 +1904,25 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered FRESHNESS-FIRST: the driver's capped run covers the first 50
-    # registry entries, so the three rows that were not hash-green in round
-    # 2 lead (all reworked this round: label_centroids reshaped, simhash /
-    # ann_lsh given md5-portable oracles), followed by every query whose
-    # last oracle verdict is a full round old (round 1), then one slot for
-    # multimodal_audio whose implementation changed this round (real WAV
-    # parsing). The remaining round-2-green entries — including the other
-    # queries touched this round — bring up the rear.
+    # registry entries. Round-4 priority: (1) queries whose CODE PATH
+    # changed this round (a silent regression hides only in changed code),
+    # (2) new gates with no verdict yet, (3) all 28 gates whose last green
+    # verdict is round 1 — three rounds of churn ago, the round-3 verdict's
+    # top ask — then (4) the oldest round-2-green gates filling the
+    # remaining slots. Round-3-green entries bring up the rear.
     return {
-        # -- not hash-green in round 2, all fixed this round ----------------
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "label_centroids": q_label_centroids,
-        # -- NEW this round (no verdict yet) --------------------------------
-        "domain_cap": q_domain_cap,
-        "quality_percentile": q_quality_percentile,
-        "length_histogram": q_length_histogram,
-        "embedding_quantize": q_embedding_quantize,
-        "char_entropy": q_char_entropy,
-        "boilerplate_prefix": q_boilerplate_prefix,
-        "substring_dedup": q_substring_dedup,
-        "ann_quantized": q_ann_quantized,
-        "streaming_join": q_streaming_join,
-        "temperature_resample": q_temperature_resample,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
+        # -- code paths changed this round: dedup_apply gained the exact
+        # Jaccard verification stage; token_budget re-planned to per-bucket
+        # windows; the reader's encoding/BOM/greedy-trim layer was reworked
         "dedup_apply": q_dedup_apply,
-        "hash_split": q_hash_split,
-        "quality_score": q_quality_score,
         "token_budget": q_token_budget,
-        "streaming_enrich": q_streaming_enrich,
-        "decontamination_surgical": q_decontamination_surgical,
-        "user_sequences": q_user_sequences,
-        # -- code paths changed this round: real WAV containers; reader
-        # encoding/trim/probe rework; edit-overlay memo; oversample gate;
-        # asof/range validation ---------------------------------------------
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_frames": q_multimodal_frames,
         "csv_roundtrip": q_csv_roundtrip,
         "csv_opts_comments": q_csv_opts_comments,
         "csv_opts_fromto": q_csv_opts_fromto,
         "csv_opts_relax": q_csv_opts_relax,
         "csv_opts_errors": q_csv_opts_errors,
-        "edit_overlay": q_edit_overlay,
-        "oversample_epochs": q_oversample_epochs,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        # -- last verdict is round 1 (aged a full round of churn) -----------
-        "minhash_signatures": q_minhash_signatures,
-        "neardup_pairs": q_neardup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_join": q_knn_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "session_window_native": q_session_window_native,
-        "skew_salted_agg": q_skew_salted_agg,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "lang_detect": q_lang_detect,
-        "doc_fingerprint": q_doc_fingerprint,
+        # -- last verdict is round 1 (three rounds of churn ago) ------------
         "window_topk_per_group": q_window_topk_per_group,
-        # -- below the 50-per-round line: r1-green UNTOUCHED stable gates
-        # deferred to make room for the new/changed entries above ----------
         "groupby_concat": q_groupby_concat,
         "agg_ungrouped": q_agg_ungrouped,
         "events_pivot": q_events_pivot,
@@ -1998,7 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_rows": q_count_rows,
         "distinct_values": q_distinct_values,
         "set_ops": q_set_ops,
-        # -- round-2-green, untouched ---------------------------------------
+        # -- last verdict is round 2 (oldest remaining) ---------------------
         "repetition_filter": q_repetition_filter,
         "decontamination": q_decontamination,
         "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -2014,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "seq_packing": q_seq_packing,
         "streaming_stateful": q_streaming_stateful,
+        # ------------------------------------------------------- top-50 line
         "tfidf": q_tfidf,
         "window_lag_lead": q_window_lag_lead,
         "window_rank_family": q_window_rank_family,
@@ -2035,6 +1988,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "groupby_reference_aggs": q_groupby_reference_aggs,
+        # -- round-3-green ---------------------------------------------------
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "label_centroids": q_label_centroids,
+        "domain_cap": q_domain_cap,
+        "quality_percentile": q_quality_percentile,
+        "length_histogram": q_length_histogram,
+        "embedding_quantize": q_embedding_quantize,
+        "char_entropy": q_char_entropy,
+        "boilerplate_prefix": q_boilerplate_prefix,
+        "substring_dedup": q_substring_dedup,
+        "ann_quantized": q_ann_quantized,
+        "streaming_join": q_streaming_join,
+        "temperature_resample": q_temperature_resample,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "hash_split": q_hash_split,
+        "quality_score": q_quality_score,
+        "streaming_enrich": q_streaming_enrich,
+        "decontamination_surgical": q_decontamination_surgical,
+        "user_sequences": q_user_sequences,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
+        "edit_overlay": q_edit_overlay,
+        "oversample_epochs": q_oversample_epochs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_pairs": q_neardup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_join": q_knn_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "session_window_native": q_session_window_native,
+        "skew_salted_agg": q_skew_salted_agg,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_detect": q_lang_detect,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
