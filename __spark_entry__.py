@@ -667,6 +667,22 @@ def q_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_neardup_pairs_bucketed(spark, sf_dir):
+    """Same candidate set as neardup_pairs, routed through the
+    MATERIALIZED banding table bucketed by (band, bucket) — the
+    Exchange-free recurring-dedup path (dedup.py:215). Proves the scale
+    variant computes the identical result, not just a nicer plan; the
+    oracle is neardup_pairs' oracle verbatim."""
+    from bun_csv_spark.operators.dedup import neardup_pairs_minhash_bucketed
+
+    return neardup_pairs_minhash_bucketed(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text",
+        table="gate_neardup_bands",
+        n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup clusters: connected components of the LSH near-dup graph —
     every doc labeled with its component's canonical (min) id. Oracle:
@@ -1911,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top ask — then (4) the oldest round-2-green gates filling the
     # remaining slots. Round-3-green entries bring up the rear.
     return {
+        # -- NEW this round (no verdict yet) --------------------------------
+        "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         # -- code paths changed this round: dedup_apply gained the exact
         # Jaccard verification stage; token_budget re-planned to per-bucket
         # windows; the reader's encoding/BOM/greedy-trim layer was reworked
@@ -2817,6 +2835,8 @@ def oracle_sql() -> dict[str, str]:
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         """
     )
+    # the bucketed-materialization path must produce the identical set
+    sql["neardup_pairs_bucketed"] = sql["neardup_pairs"]
 
     sql["dedup_clusters"] = (
         "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL.replace("corpus AS", "corpus AS", 1)

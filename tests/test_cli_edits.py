@@ -174,6 +174,35 @@ def test_edit_get_cell(indexed_df):
     assert log.get_cell(indexed_df, 2, "age") == "35"
 
 
+def test_get_cell_memo_not_inherited_after_gc(spark):
+    """The contiguity memo is weak-keyed on the frame: when a frame is
+    collected its memo entry dies with it, so a new frame (whose id() may
+    be reused by the allocator) can never inherit a stale contiguity base
+    (round-2 ADVICE regression)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    log = EditLog()
+    df = (
+        spark.range(5)
+        .withColumnRenamed("id", "__row_idx")
+        .withColumn("v", F.col("__row_idx") * 10)
+    )
+    assert log.get_cell(df, 3, "v") == 30
+    assert len(log._contig_base) == 1
+    del df
+    gc.collect()
+    assert len(log._contig_base) == 0
+    # a fresh frame with a DIFFERENT base computes its own memo entry
+    df2 = (
+        spark.range(2, 7)
+        .withColumnRenamed("id", "__row_idx")
+        .withColumn("v", F.col("__row_idx") * 10)
+    )
+    assert log.get_cell(df2, 0, "v") == 20  # row 0 -> index 2, not 0
+
+
 def test_edit_discard(indexed_df):
     log = EditLog()
     log.set_cell(0, "age", "41")

@@ -140,6 +140,18 @@ def test_before_first_chunk_file_source(spark, write_csv_file):
     assert sorted(r.b for r in df2.collect()) == ["2", "4"]
 
 
+def test_before_first_chunk_non_utf8(spark, tmp_path):
+    """beforeFirstChunk on a cp1252 source: the hook sees DECODED text and
+    the rewritten temp file re-reads as UTF-8 (round-2 ADVICE regression —
+    the original code re-decoded the rewritten UTF-8 file with the source
+    codec, producing mojibake)."""
+    p = tmp_path / "bfc1252.csv"
+    p.write_bytes("junk\nname,phrase\nno1,café “ok”\n".encode("cp1252"))
+    opts = CSVOptions(before_first_chunk=lambda t: t.split("\n", 1)[1])
+    rows = read_csv(spark, str(p), opts).collect()
+    assert rows[0].phrase == "café “ok”"
+
+
 def test_skip_empty_rows_greedy(spark, write_csv_file):
     path = write_csv_file("a,b\n1,2\n   \n\n3,4\n")
     df = read_csv(spark, path, CSVOptions(skip_empty_rows="greedy", with_row_index=True))
