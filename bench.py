@@ -71,6 +71,12 @@ def main() -> None:
 
     csv_mb_s = csv_parse_throughput(spark, sf_dir)
 
+    # host throughput drifts ~1.4x between rounds (verified by re-running
+    # the round-2 commit side-by-side on the same box); cross-round deltas
+    # reflect the box as much as the code, so every query is also reported
+    # as a BOX-NORMALIZED ratio (query_sec / calibrate_sec) — compare THOSE
+    # across rounds
+    cal = _calibrate(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -81,11 +87,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "csv_parse_mb_per_sec": csv_mb_s,
-                # host throughput drifts ~1.4x between rounds (verified by
-                # re-running the round-2 commit side-by-side on the same
-                # box); cross-round deltas reflect the box as much as the
-                # code — compare against calibrate_sec below
-                "calibrate_sec": _calibrate(spark),
+                "calibrate_sec": cal,
+                "queries_normalized": {
+                    k: round(v / cal, 2) for k, v in timings.items()
+                },
+                "total_normalized": round(total / cal, 2),
             }
         )
     )
