@@ -1913,6 +1913,121 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-user sketch per event type, k=64.
+    Unlike HLL (whose register layouts differ per engine), the md5-KMV
+    estimate is bit-reproducible — the sketch itself is oracle-checked,
+    not just the exact fallback (functions/sketches.py)."""
+    from bun_csv_spark.functions.sketches import kmv_distinct
+
+    return kmv_distinct(read_events(spark, sf_dir), ["event_type"], "user_id", k=64)
+
+
+def q_rolling_range(spark, sf_dir):
+    """Trailing 30-minute event-TIME window (RANGE on epoch nanos): per
+    user, mean + count of value over the last half hour at each event."""
+    from bun_csv_spark.operators.timeseries import rolling_range_stats
+
+    return rolling_range_stats(read_events(spark, sf_dir))
+
+
+def q_decay_weighted(spark, sf_dir):
+    """Per-user exponential time-decay engagement: sum(value * 0.5^(age/
+    1 day)) with age from the corpus max timestamp (1-row broadcast)."""
+    from bun_csv_spark.operators.timeseries import decay_weighted_sum
+
+    return decay_weighted_sum(read_events(spark, sf_dir))
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Anomaly flags: z-score of each event's value vs the TRAILING 20
+    events of the same user (current row excluded)."""
+    from bun_csv_spark.operators.timeseries import trailing_zscore
+
+    return trailing_zscore(read_events(spark, sf_dir))
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: stage N
+    counts only strictly after the first completion of stage N-1. Run
+    over a deterministic 40% event subset so the stages discriminate
+    (the full stream converts everyone). Output: users per final stage."""
+    from bun_csv_spark.operators.timeseries import funnel_stages
+
+    ev = read_events(spark, sf_dir).filter((F.col("event_id") % 5) < 2)
+    out = funnel_stages(ev)
+    return out.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit pigeonhole banding + exact
+    Hamming verification (bit_count of XOR <= 6) over the planted
+    near-dup corpus."""
+    from bun_csv_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text", shingle_k=4, max_hamming=6
+    )
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (|A∩B|/|A| and /|B|) over the LSH
+    candidate pairs — the sub-document-duplication metric symmetric
+    Jaccard misses."""
+    from bun_csv_spark.operators.dedup import ngram_containment_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = neardup_pairs_minhash(
+        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5
+    )
+    return ngram_containment_pairs(corpus, pairs, "doc_id", "text", n=3)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Within-source quantile normalization (percent_rank) of document
+    length — cross-source score comparability."""
+    from bun_csv_spark.operators.corpus import quantile_normalize
+
+    return quantile_normalize(_t(spark, sf_dir, "documents"))
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Equal-allocation stratified sample: the 50 smallest-md5 docs per
+    language — deterministic counter-skew sampling."""
+    from bun_csv_spark.operators.corpus import balanced_sample
+
+    out = balanced_sample(_t(spark, sf_dir, "documents"), per_group=50)
+    return out.select("doc_id", "lang")
+
+
+def q_curriculum_shards(spark, sf_dir):
+    """Difficulty-decile shard assignment via a bounds-broadcast (exact
+    percentiles, 1-row agg) — ntile semantics without ntile's global
+    single-partition window."""
+    from bun_csv_spark.operators.corpus import curriculum_shards
+
+    return curriculum_shards(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff old vs new corpus version (drop doc_id%17, edit
+    %13, add %23 under shifted ids): (id, added|removed|changed) via one
+    full-outer join on md5 digests."""
+    from bun_csv_spark.operators.versioning import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(docs, new.unionByName(added), "doc_id", ("text",))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1929,6 +2044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
+        "kmv_distinct": q_kmv_distinct,
+        "rolling_range": q_rolling_range,
+        "decay_weighted": q_decay_weighted,
+        "anomaly_zscore": q_anomaly_zscore,
+        "funnel": q_funnel,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_containment": q_ngram_containment,
+        "quantile_normalize": q_quantile_normalize,
+        "balanced_sample": q_balanced_sample,
+        "curriculum_shards": q_curriculum_shards,
+        "corpus_diff": q_corpus_diff,
         # -- code paths changed this round: dedup_apply gained the exact
         # Jaccard verification stage; token_budget re-planned to per-bucket
         # windows; the reader's encoding/BOM/greedy-trim layer was reworked
@@ -3665,6 +3791,197 @@ def oracle_sql() -> dict[str, str]:
         FROM af
         """
     )
+
+    # -- round-4 additions ---------------------------------------------------
+
+    sql["kmv_distinct"] = """
+        WITH d AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15)
+                      AS BIGINT) AS u
+          FROM events),
+        r AS (
+          SELECT event_type, u,
+                 row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+          FROM d),
+        p AS (
+          SELECT event_type, max(u) AS uk, count(*)::BIGINT AS n
+          FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT event_type,
+               round(CASE WHEN n < 64 THEN n::DOUBLE
+                          ELSE 63.0 * 1152921504606846976.0 / uk END, 4)
+                 AS est_distinct
+        FROM p
+    """
+
+    sql["rolling_range"] = """
+        SELECT event_id, user_id,
+               round(avg(value) OVER w, 4) AS roll_avg,
+               count(*) OVER w AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                     RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["decay_weighted"] = """
+        WITH ref AS (SELECT max(epoch_ns(ts)) AS r FROM events)
+        SELECT user_id,
+               round(sum(value * power(0.5,
+                     (r - epoch_ns(ts)) / 86400000000000.0)), 6) AS decayed_sum,
+               count(*)::BIGINT AS n_events
+        FROM events, ref GROUP BY user_id
+    """
+
+    sql["anomaly_zscore"] = """
+        WITH z AS (
+          SELECT event_id, user_id, value,
+                 avg(value) OVER w AS mu,
+                 stddev(value) OVER w AS sd,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, value,
+               CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) END AS zscore,
+               CASE WHEN sd > 0 THEN abs(round((value - mu) / sd, 4)) > 2.0
+                    END AS is_anomaly
+        FROM z WHERE n = 20
+    """
+
+    sql["funnel"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS tns, event_type AS et
+          FROM events WHERE event_id % 5 < 2),
+        w1 AS (
+          SELECT user_id, tns, et,
+                 min(CASE WHEN et = 'view' THEN tns END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM e),
+        w2 AS (
+          SELECT *, min(CASE WHEN et = 'click' AND tns > t1 THEN tns END)
+                      OVER (PARTITION BY user_id) AS t2
+          FROM w1),
+        w3 AS (
+          SELECT *, min(CASE WHEN et = 'purchase' AND tns > t2 THEN tns END)
+                      OVER (PARTITION BY user_id) AS t3
+          FROM w2),
+        u AS (
+          SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+          FROM w3 GROUP BY user_id)
+        SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END::BIGINT AS funnel_stage,
+               count(*)::BIGINT AS n_users
+        FROM u GROUP BY 1
+    """
+
+    sql["simhash_pairs"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL
+        + ", sims AS (" + _simhash_sql("corpus") + "), "
+        + """
+        hexs AS (
+          SELECT doc_id, simhash,
+                 lpad(lower(to_hex(simhash)), 16, '0') AS hx
+          FROM sims),
+        bands AS (
+          SELECT doc_id, simhash, b, substr(hx, 1 + 4 * b, 4) AS bucket
+          FROM hexs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+        capped AS (
+          SELECT doc_id, simhash, b, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY b, bucket) AS bsz
+            FROM bands)
+          WHERE bsz <= 64),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                          x.simhash AS sa, y.simhash AS sb
+          FROM capped x JOIN capped y
+            ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+               bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+        """
+    )
+
+    sql["ngram_containment"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
+        + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + ", pairs AS ("
+        + r"""
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_c a JOIN bands_c b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3 THEN
+                     list_transform(generate_series(1, len(t) - 2),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                   ELSE [array_to_string(t, ' ')] END) AS g
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM corpus))
+        SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
+               round(CASE WHEN len(ga.g) > 0 THEN
+                       len(list_intersect(ga.g, gb.g))::DOUBLE / len(ga.g)
+                     ELSE 0.0 END, 6) AS containment_a_in_b,
+               round(CASE WHEN len(gb.g) > 0 THEN
+                       len(list_intersect(ga.g, gb.g))::DOUBLE / len(gb.g)
+                     ELSE 0.0 END, 6) AS containment_b_in_a
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.id_a
+        JOIN grams gb ON gb.doc_id = p.id_b
+        """
+    )
+
+    sql["quantile_normalize"] = """
+        SELECT doc_id, source, n_chars::BIGINT AS score,
+               round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars),
+                     6) AS qnorm
+        FROM documents
+    """
+
+    sql["balanced_sample"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substr(md5('balanced:' || doc_id::VARCHAR),
+                                                1, 15) AS BIGINT)) AS rn
+          FROM documents)
+        WHERE rn <= 50
+    """
+
+    sql["curriculum_shards"] = (
+        "WITH b AS (SELECT "
+        + ", ".join(
+            f"quantile_cont(n_chars::DOUBLE, {i / 10}) AS b{i}" for i in range(1, 10)
+        )
+        + " FROM documents) SELECT doc_id, n_chars::BIGINT AS difficulty, (1 + "
+        + " + ".join(f"(n_chars::DOUBLE > b{i})::INT" for i in range(1, 10))
+        + ")::BIGINT AS shard FROM documents, b"
+    )
+
+    sql["corpus_diff"] = """
+        WITH oldt AS (SELECT doc_id, md5(text) AS h FROM documents),
+        newt AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 23 = 0),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.h AS ho, n.h AS hn
+          FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE WHEN ho IS NULL THEN 'added'
+                    WHEN hn IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM j
+        WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+    """
 
     return sql
 

@@ -23,7 +23,22 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sorted) table.
 
     Sorting within buckets additionally removes the sort from sort-merge
-    joins and enables faster merge scans."""
+    joins and enables faster merge scans.
+
+    A managed-table location can outlive the session-local catalog (the
+    in-memory catalog forgets the table, the warehouse directory does
+    not), and saveAsTable refuses to adopt an unregistered location — so
+    stale catalog entries AND leftover directories are cleared first."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    if mode == "overwrite" and "." not in table:
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if loc and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -586,3 +586,94 @@ def decontaminate_surgical(
             .alias("n_tokens_cut"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-group quantile normalization of a score: percent_rank of
+    ``score_col`` inside each ``group_col`` — the standard move before
+    mixing quality scores across sources whose raw scales differ (one
+    scorer's 0.7 is another's 0.9; their percentiles are comparable).
+
+    Ties share a rank in both engines (rank-based, order within ties
+    irrelevant), so the output is deterministic even for equal scores.
+    One shuffle on the group key. Returns (id, group, score, qnorm)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return df.select(
+        id_col,
+        group_col,
+        F.col(score_col).cast("long").alias("score"),
+        F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    per_group: int = 50,
+    salt: str = "balanced",
+) -> DataFrame:
+    """Equal-allocation stratified sample: the ``per_group`` docs with
+    the smallest md5 uniform per stratum — deterministic, rerun-stable,
+    and engine-portable (the same docs are chosen on any engine, unlike
+    TABLESAMPLE). The counter-skew companion to proportional
+    ``stratified_sample``: rare strata keep everything they have, huge
+    strata are capped at the same allocation.
+
+    One window shuffle on the stratum key; the ranked-prefix filter is
+    the same bounded top-k-per-group shape the LSH bucket cap uses."""
+    from pyspark.sql import Window
+
+    from bun_csv_spark.functions.sketches import md5_uniform_long
+
+    u = md5_uniform_long(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy("__u")
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_group)
+        .drop("__u", "__r")
+    )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    difficulty_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_shards: int = 10,
+) -> DataFrame:
+    """Curriculum-ordering shards: assign each doc to one of ``n_shards``
+    difficulty deciles. NOT ntile() — a global ranking window funnels the
+    corpus through one partition. Instead the shard boundaries are ONE
+    ungrouped exact-percentile aggregate (a 1-row broadcast) and the
+    assignment is a map-side comparison against them; the plan is two
+    linear scans and zero wide shuffles, the same bounds-broadcast shape
+    as int8 quantization.
+
+    Boundary semantics: shard i takes docs with
+    bounds[i-1] < difficulty <= bounds[i] (upper-inclusive), so docs
+    tied at a boundary land together — deterministic in both engines.
+    Returns (id, difficulty, shard 1..n_shards)."""
+    d = F.col(difficulty_col).cast("double")
+    ps = [i / n_shards for i in range(1, n_shards)]
+    bounds = df.agg(
+        F.percentile(d, F.lit(ps)).alias("__bounds")
+    )
+    shard = F.lit(1)
+    for i in range(len(ps)):
+        shard = shard + F.when(d > F.element_at("__bounds", i + 1), 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            F.col(difficulty_col).cast("long").alias("difficulty"),
+            shard.cast("long").alias("shard"),
+        )
+    )

@@ -274,6 +274,115 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC overlap for candidate pairs: containment(A in B) =
+    |A∩B| / |A|. The near-dup metric for sub-document duplication —
+    a short doc wholly pasted into a long one scores ~1.0 here while its
+    symmetric Jaccard stays low (|union| is dominated by B).
+
+    Same join shape as ngram_jaccard_pairs (candidates come pre-bounded
+    from LSH banding — never all pairs). Returns both directions:
+    (id_a, id_b, containment_a_in_b, containment_b_in_a)."""
+    grams = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("grams")
+    )
+    ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
+    gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
+    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    sa = F.size("grams_a")
+    sb = F.size("grams_b")
+    c_ab = F.when(sa > 0, inter / sa).otherwise(F.lit(0.0))
+    c_ba = F.when(sb > 0, inter / sb).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(c_ab, 6).alias("containment_a_in_b"),
+        F.round(c_ba, 6).alias("containment_b_in_a"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 4,
+    max_hamming: int = 6,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs.
+
+    Pigeonhole banding: a 64-bit SimHash splits into four 16-bit bands —
+    two fingerprints within Hamming distance 6 of each other MUST agree
+    exactly on at least one band when the flipped bits are spread over at
+    most 3 bands... and may still be missed when the flips hit all four;
+    standard SimHash-dedup accepts that recall bound (Manku et al., WWW
+    2007 use the same block-split idea). Candidates = docs sharing any
+    band; verification = exact popcount of the XOR. Bands are extracted
+    from the zero-padded HEX of the fingerprint (4 chars = 16 bits) —
+    shift semantics on negative longs differ between engines, substring
+    does not.
+
+    Per-band buckets above ``max_bucket`` docs are dropped before the
+    self-join (same cap rationale as LSH banding — one degenerate bucket
+    of B identical-ish docs is B²/2 pairs). One banding shuffle, one
+    keyed self-join, never n². Returns (id_a, id_b, hamming)."""
+    sim = df.select(
+        F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("__sim")
+    )
+    hexs = F.lower(F.lpad(F.hex("__sim"), 16, "0"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(hexs, 1 + 4 * b, 4).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sim.select(
+        id_col, "__sim", F.explode(band_arr).alias("bk")
+    ).select(id_col, "__sim", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sim").alias("__sa"),
+            F.col("b.__sim").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1,0 +1,147 @@
+"""Event-time series operators over epoch-nanos longs.
+
+All event-time math runs on the exact nanos longs the events source
+exposes (sources/events.py) — no timestamp codec, no session-timezone
+dependence. Every operator is a keyed window or a keyed aggregate: the
+only shuffles are on the entity key (user), so the plans scale with the
+number of entities, not with a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_SEC = 1_000_000_000
+
+
+def rolling_range_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 1800,
+) -> DataFrame:
+    """Trailing event-TIME window (RANGE, not ROWS): per key, the mean
+    and count of ``value`` over the last ``window_sec`` seconds up to and
+    including the current event. Irregular event spacing is the point —
+    a rows-window would mean a different wall-clock span per row.
+
+    One shuffle on the key; the range frame is evaluated with a sliding
+    two-pointer pass over each partition's sort — no per-row rescans."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_sec * NS_PER_SEC, 0)
+    )
+    return df.select(
+        "event_id",
+        key_col,
+        F.round(F.avg(value_col).over(w), 4).alias("roll_avg"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+def decay_weighted_sum(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_sec: int = 86400,
+) -> DataFrame:
+    """Exponential time-decay aggregate: sum(value * 0.5^(age/half_life))
+    per key, with age measured from the corpus' max timestamp.
+
+    The reference epoch is ONE ungrouped max — a 1-row broadcast, never a
+    per-row subquery. Weights are computed map-side; the only wide op is
+    the final keyed aggregate. Deterministic: the exponent's input is an
+    exact long delta scaled by an exact power of two denominator."""
+    ref = df.agg(F.max(F.col(ts_col).cast("long")).alias("__ref"))
+    age = (F.col("__ref") - F.col(ts_col).cast("long")).cast("double")
+    weight = F.pow(F.lit(0.5), age / F.lit(float(half_life_sec * NS_PER_SEC)))
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.round(F.sum(F.col(value_col) * weight), 6).alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def trailing_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_break_col: str = "event_id",
+    n_trailing: int = 20,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Anomaly flags: z-score of each event's value against the TRAILING
+    ``n_trailing`` events of the same key (the current row excluded, so a
+    spike can't mask itself). Rows without a full trailing window are
+    dropped — both engines would otherwise disagree on sub-sample
+    stddev NULL semantics.
+
+    One shuffle on the key; avg/stddev share the frame scan."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"), order_break_col)
+        .rowsBetween(-n_trailing, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev(value_col).over(w)
+    n = F.count(F.lit(1)).over(w)
+    # zero-variance window -> NULL z explicitly: ANSI Spark raises on /0
+    # and engines disagree on float-div-by-zero otherwise
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd)
+    return (
+        df.select(
+            "event_id",
+            key_col,
+            F.col(value_col),
+            n.alias("__n"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter((F.col("__n") == n_trailing))
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) > threshold)
+        .drop("__n")
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: how far each key progressed through ``stages``,
+    where stage N counts only if it happened STRICTLY AFTER the key's
+    first completion of stage N-1 (the classic conversion-funnel rule —
+    a purchase before the first view is not a conversion).
+
+    Plan: one shuffle on the key, then one unordered aggregate window per
+    stage over the same partitioning (no sort, no joins, no self-reads of
+    the fact table per stage). Returns (key, funnel_stage)."""
+    ts_long = F.col(ts_col).cast("long")
+    out = df.select(key_col, ts_long.alias("__ts"), F.col(type_col).alias("__et"))
+    w = Window.partitionBy(key_col)
+    prev = None
+    stage_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col("__et") == stage
+        if prev is not None:
+            cond = cond & (F.col("__ts") > F.col(prev))
+        name = f"__t{i}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col("__ts"))).over(w))
+        stage_cols.append(name)
+        prev = name
+    per_key = out.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in stage_cols]
+    )
+    stage_expr = F.lit(0)
+    for i, c in enumerate(stage_cols):
+        stage_expr = F.when(F.col(c).isNotNull(), i + 1).otherwise(stage_expr)
+    return per_key.select(key_col, stage_expr.cast("long").alias("funnel_stage"))

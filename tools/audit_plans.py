@@ -72,6 +72,23 @@ EXPECTATIONS = {
     # batch result of a real micro-batch run: a collected LocalTableScan
     # (the streaming plan itself is exercised in tests/test_streaming*)
     "streaming_enrich": (0, ["LocalTableScan"], ["Exchange"]),
+    # r4 operator batch — every keyed window asserts it never degrades to
+    # a single-partition global window; 1-row bounds/ref broadcasts are
+    # the only BroadcastNestedLoopJoins allowed (crossJoin of an agg row)
+    "kmv_distinct": (2, ["WindowGroupLimit"], ["SinglePartition"]),
+    "rolling_range": (1, ["Window"], ["SinglePartition"]),
+    "anomaly_zscore": (1, ["Window"], ["SinglePartition"]),
+    "funnel": (2, [], ["SinglePartition"]),
+    "simhash_pairs": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "ngram_containment": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "quantile_normalize": (1, ["Window"], ["SinglePartition"]),
+    "balanced_sample": (1, ["WindowGroupLimit"], ["SinglePartition"]),
+    # bounds-broadcast decile assignment: NO ranking window anywhere
+    "curriculum_shards": (1, ["BroadcastExchange"], ["Window"]),
+    "decay_weighted": (2, ["BroadcastExchange"], ["SortMergeJoin"]),
+    # full-outer digest join: SMJ is the right physical op (both sides
+    # preserved); churn-only output
+    "corpus_diff": (2, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
