@@ -2028,6 +2028,41 @@ def q_corpus_diff(spark, sf_dir):
     return snapshot_diff(docs, new.unionByName(added), "doc_id", ("text",))
 
 
+def q_temporal_split(spark, sf_dir):
+    """Leakage-free per-user temporal split: each user's last 20% of
+    events (by event time) held out as test."""
+    from bun_csv_spark.operators.timeseries import temporal_holdout_split
+
+    return temporal_holdout_split(read_events(spark, sf_dir))
+
+
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR scaling of document length within each source — the
+    grouped-percentile bounds join back as a dimension broadcast."""
+    from bun_csv_spark.operators.corpus import robust_scale
+
+    return robust_scale(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang x detected lang doc
+    counts — the data-quality report for the lang-ID heuristic."""
+    from bun_csv_spark.functions.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", detect_language(F.col("text")).alias("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_inverted_index(spark, sf_dir):
+    """Bounded inverted index: postings for the 100 highest-df terms
+    (deterministic tie-break), df attached."""
+    from bun_csv_spark.functions.text import build_inverted_index
+
+    return build_inverted_index(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2055,6 +2090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "curriculum_shards": q_curriculum_shards,
         "corpus_diff": q_corpus_diff,
+        "temporal_split": q_temporal_split,
+        "robust_scale": q_robust_scale,
+        "lang_confusion": q_lang_confusion,
+        "inverted_index": q_inverted_index,
         # -- code paths changed this round: dedup_apply gained the exact
         # Jaccard verification stage; token_budget re-planned to per-bucket
         # windows; the reader's encoding/BOM/greedy-trim layer was reworked
@@ -3963,6 +4002,57 @@ def oracle_sql() -> dict[str, str]:
         + " + ".join(f"(n_chars::DOUBLE > b{i})::INT" for i in range(1, 10))
         + ")::BIGINT AS shard FROM documents, b"
     )
+
+    sql["temporal_split"] = """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts) DESC,
+                                             event_id DESC) AS r
+          FROM events)
+        SELECT event_id, user_id,
+               CASE WHEN r <= ceil(n * 0.2) THEN 'test' ELSE 'train' END AS split
+        FROM e
+    """
+
+    sql["robust_scale"] = """
+        WITH s AS (
+          SELECT source,
+                 quantile_cont(n_chars::DOUBLE, 0.25) AS q1,
+                 quantile_cont(n_chars::DOUBLE, 0.5) AS q2,
+                 quantile_cont(n_chars::DOUBLE, 0.75) AS q3
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars::BIGINT AS score,
+               CASE WHEN (q3 - q1) > 0
+                    THEN round((d.n_chars::DOUBLE - q2) / (q3 - q1), 6)
+               END AS scaled
+        FROM documents d JOIN s ON d.source = s.source
+    """
+
+    sql["lang_confusion"] = (
+        "WITH pred AS ("
+        + sql["lang_detect"]
+        + """)
+        SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2
+        """
+    )
+
+    sql["inverted_index"] = r"""
+        WITH posting AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '')) AS term
+            FROM documents)),
+        dfc AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+        top AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 100)
+        SELECT p.term, p.doc_id, t.df
+        FROM posting p JOIN top t ON p.term = t.term
+    """
 
     sql["corpus_diff"] = """
         WITH oldt AS (SELECT doc_id, md5(text) AS h FROM documents),

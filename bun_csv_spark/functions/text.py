@@ -236,3 +236,27 @@ def char_entropy(col: Column | str) -> Column:
     composing inline re-derives the char array per distinct char."""
     c = F.col(col) if isinstance(col, str) else col
     return array_entropy(char_shingles(c, 1))
+
+
+def build_inverted_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 100,
+):
+    """Bounded inverted index: postings (term, doc_id, df) for the
+    ``top_terms`` highest-document-frequency terms (ties broken by term,
+    so the cut is deterministic).
+
+    Plan: distinct per-doc terms explode -> df aggregate ->
+    TakeOrdered(top_terms) -> broadcast semi-join back onto the postings.
+    The index is bounded by the term budget, never by the vocabulary; the
+    posting explode is the only corpus-scaled stage and it shuffles on
+    the 1-term key only for the df count."""
+    posting = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("term"),
+    )
+    df_counts = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = df_counts.orderBy(F.col("df").desc(), "term").limit(top_terms)
+    return posting.join(F.broadcast(top), "term").select("term", id_col, "df")

@@ -677,3 +677,36 @@ def curriculum_shards(
             shard.cast("long").alias("shard"),
         )
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Median/IQR scaling of a score within each group — the
+    outlier-robust companion to quantile normalization when downstream
+    wants a CENTERED score rather than a rank.
+
+    Per-group stats are ONE grouped exact-percentile aggregate (state =
+    three doubles per group) broadcast back onto the corpus — group
+    cardinality is source-count-sized, a dimension, never corpus-sized.
+    Zero-IQR groups (constant scores) yield explicit NULL rather than
+    engine-specific division-by-zero behavior."""
+    d = F.col(score_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.percentile(d, F.lit([0.25, 0.5, 0.75])).alias("__q")
+    )
+    med = F.element_at("__q", 2)
+    iqr = F.element_at("__q", 3) - F.element_at("__q", 1)
+    scaled = F.when(iqr > 0, (d - med) / iqr)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col(score_col).cast("long").alias("score"),
+            F.round(scaled, 6).alias("scaled"),
+        )
+    )

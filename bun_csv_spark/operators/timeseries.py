@@ -145,3 +145,31 @@ def funnel_stages(
     for i, c in enumerate(stage_cols):
         stage_expr = F.when(F.col(c).isNotNull(), i + 1).otherwise(stage_expr)
     return per_key.select(key_col, stage_expr.cast("long").alias("funnel_stage"))
+
+
+def temporal_holdout_split(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_break_col: str = "event_id",
+    test_frac: float = 0.2,
+) -> DataFrame:
+    """Leakage-free per-entity temporal split: each key's LAST
+    ceil(test_frac * n) events (by event time) are held out as test, the
+    rest train — the evaluation regime for behavioral models, where a
+    random split would leak the future into training.
+
+    One shuffle on the key (count + reverse-time rank share the
+    partitioning). ceil() of the same IEEE product is computed in both
+    engines, so boundary rows land identically. Returns
+    (event_id, key, split)."""
+    kw = Window.partitionBy(key_col)
+    w = kw.orderBy(
+        F.col(ts_col).cast("long").desc(), F.col(order_break_col).desc()
+    )
+    n = F.count(F.lit(1)).over(kw)
+    r = F.row_number().over(w)
+    split = F.when(
+        r <= F.ceil(n * F.lit(test_frac)), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return df.select("event_id", key_col, split.alias("split"))

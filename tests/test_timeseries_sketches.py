@@ -147,3 +147,46 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_temporal_split_holds_out_latest(spark):
+    from bun_csv_spark.operators.timeseries import temporal_holdout_split
+
+    rows = [(i, i * NS, 1, "x", 0.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    out = {r.event_id: r.split for r in temporal_holdout_split(df).collect()}
+    # last ceil(0.2*10)=2 events by time are test, everything before train
+    assert [out[i] for i in range(10)] == ["train"] * 8 + ["test"] * 2
+
+
+def test_robust_scale_median_centered(spark):
+    from bun_csv_spark.operators.corpus import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate([0, 10, 20, 30, 40])]
+        + [(9, "const", 7), (10, "const", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.doc_id: r.scaled for r in robust_scale(df).collect()}
+    assert out[2] == 0.0  # median row
+    assert out[4] == 1.0  # (40-20)/(30-10)
+    assert out[9] is None  # zero IQR -> explicit NULL
+
+
+def test_inverted_index_bounded_and_deterministic(spark):
+    from bun_csv_spark.functions.text import build_inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = build_inverted_index(df, top_terms=2).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r.term, set()).add(r.doc_id)
+    # alpha df=3, beta df=2, gamma df=1 cut by top_terms=2
+    assert set(by_term) == {"alpha", "beta"}
+    assert by_term["alpha"] == {1, 2, 3}
+    assert by_term["beta"] == {1, 3}  # per-doc distinct: doc 1 counted once

@@ -89,6 +89,12 @@ EXPECTATIONS = {
     # full-outer digest join: SMJ is the right physical op (both sides
     # preserved); churn-only output
     "corpus_diff": (2, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "temporal_split": (1, ["Window"], ["SinglePartition"]),
+    # grouped-percentile stats rejoin as a dimension broadcast
+    "robust_scale": (1, ["BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    "lang_confusion": (1, ["HashAggregate"], ["SortMergeJoin"]),
+    # df top-100 is a TakeOrdered broadcast back onto the postings
+    "inverted_index": (1, ["TakeOrderedAndProject", "BroadcastHashJoin"], ["SortMergeJoin"]),
 }
 
 
