@@ -754,6 +754,22 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def q_knn_join_bucketed(spark, sf_dir):
+    """Scale-safe kNN join (similarity.knn_join_bucketed): LSH buckets +
+    Hamming<=1 multi-probe + equi-join — no cartesian anywhere in the
+    plan. Oracle replays the identical md5-derived plane bucketing in
+    DuckDB, so this gate checks the bucketed semantics bit-for-bit;
+    recall vs the brute join is asserted separately in tests."""
+    from bun_csv_spark.operators.similarity import knn_join_bucketed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_join_bucketed(emb, queries, k=5, dim=64, n_planes=8, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: opaque payload -> Arrow-batched feature
     extraction via mapInPandas (decode stubbed deterministically)."""
@@ -992,7 +1008,7 @@ def q_streaming_join(spark, sf_dir):
             .alias("gap_us"),
         )
 
-    return run_stream_to_table(spark, path, transform, output_mode="append")
+    return run_stream_to_table(spark, path, transform, output_mode="append", normalize_ts=True)
 
 
 def q_user_sequences(spark, sf_dir):
@@ -1035,7 +1051,7 @@ def q_streaming_enrich(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
 
-    return run_stream_to_table(spark, path, transform, output_mode="complete")
+    return run_stream_to_table(spark, path, transform, output_mode="complete", normalize_ts=True)
 
 
 def q_streaming_tumbling(spark, sf_dir):
@@ -1068,7 +1084,7 @@ def q_streaming_tumbling(spark, sf_dir):
             )
         )
 
-    return run_stream_to_table(spark, path, transform, output_mode="complete")
+    return run_stream_to_table(spark, path, transform, output_mode="complete", normalize_ts=True)
 
 
 def q_streaming_session(spark, sf_dir):
@@ -1101,7 +1117,7 @@ def q_streaming_session(spark, sf_dir):
             )
         )
 
-    return run_stream_to_table(spark, path, transform, output_mode="complete")
+    return run_stream_to_table(spark, path, transform, output_mode="complete", normalize_ts=True)
 
 
 def q_edit_overlay(spark, sf_dir):
@@ -1314,7 +1330,7 @@ def q_streaming_dedup(spark, sf_dir):
         out = streaming_dedup(src, ["user_id", "event_type"], "ts_t", "30 days")
         return out.select("user_id", "event_type")
 
-    return run_stream_to_table(spark, path, transform, output_mode="append")
+    return run_stream_to_table(spark, path, transform, output_mode="append", normalize_ts=True)
 
 
 def q_text_chunks(spark, sf_dir):
@@ -1455,7 +1471,7 @@ def q_streaming_stateful(spark, sf_dir):
     def transform(stream):
         return stateful_user_counts(stream.select("user_id", "value"))
 
-    out = run_stream_to_table(spark, path, transform, output_mode="update")
+    out = run_stream_to_table(spark, path, transform, output_mode="update", normalize_ts=True)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
@@ -2205,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
+        "knn_join_bucketed": q_knn_join_bucketed,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "events_tumbling": q_events_tumbling,
@@ -2366,6 +2383,46 @@ def _dedup_embedding_sql(
         JOIN e ea ON ea.vec_id = p.id_a
         JOIN e eb ON eb.vec_id = p.id_b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+def _knn_join_bucketed_sql(
+    n_queries: int = 5, k: int = 5, n_planes: int = 8, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Oracle for q_knn_join_bucketed: the SAME integer plane constants
+    (embedding_planes seed=42, band 0) as SQL literals, bucket bit i =
+    sign of round(list_dot_product, 6); multi-probe = xor with each
+    single-bit mask (plus mask 0 for the home bucket)."""
+    from bun_csv_spark.operators.dedup import embedding_planes
+
+    planes = embedding_planes(seed, 1, n_planes, dim)[0]
+    bits = []
+    for i in range(n_planes):
+        arr = "[" + ",".join(str(p) for p in planes[i]) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN round(list_dot_product(v, {arr}), 6) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = "(" + " + ".join(bits) + ")::BIGINT"
+    masks = ", ".join(["(0)"] + [f"({1 << i})" for i in range(n_planes)])
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+        probes AS (
+          SELECT q.vec_id AS query_id, q.v AS qv, xor(q.bucket, m.m) AS bucket
+          FROM b q, (VALUES {masks}) AS m(m)
+          WHERE q.vec_id < {n_queries}),
+        cand AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(c.v, p.qv), 6) AS cosine_sim
+          FROM probes p JOIN b c ON c.bucket = p.bucket)
+        SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM cand)
+        WHERE rnk <= {k}
     """
 
 
@@ -3121,6 +3178,8 @@ def oracle_sql() -> dict[str, str]:
                (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
         WHERE rnk <= 5
     """
+
+    sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
 
     sql["multimodal_features"] = """
         SELECT doc_id,

@@ -224,6 +224,69 @@ def knn_join_brute(
     )
 
 
+def knn_join_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int | None = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Scale-safe kNN join: LSH-bucket both sides, equi-join on bucket.
+
+    The scale fix for ``knn_join_brute``'s |Q|×|C| cartesian: every corpus
+    row lands in ONE sign-bit bucket (``lsh_bucket`` — deterministic
+    md5-derived planes, bit-replayable in the oracle); every query probes
+    its own bucket plus the ``n_planes`` buckets at Hamming distance 1
+    (multi-probe — recovers most neighbors a single flipped sign bit would
+    hide). Candidates meet through a plain equi-join on the bucket id —
+    hash-partitioned, never cartesian — then a per-query top-k window.
+
+    Probe buckets are distinct by construction (b ^ (1<<i) are pairwise
+    distinct and != b) and each corpus row has one bucket, so no
+    (query, neighbor) pair is scored twice — no dedup step needed.
+
+    At 100 TB: write the corpus partitioned by ``__bucket`` once and the
+    join prunes to matching partitions; per-query work is the probed
+    buckets' rows only (~(n_planes+1)/2^n_planes of the corpus). A large
+    query side shuffles both sides by bucket; a small one broadcasts
+    (``broadcast_queries``). Recall < 1 by design — verify against
+    ``knn_join_brute`` in tests; the oracle replays the SAME bucketing.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__bucket", lsh_bucket(F.col("__cvec"), dim, n_planes, seed))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qbucket", lsh_bucket(F.col("__qvec"), dim, n_planes, seed))
+    probes = F.array(
+        F.col("__qbucket"),
+        *[F.col("__qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    qp = qb.withColumn("__bucket", F.explode(probes)).drop("__qbucket")
+    if broadcast_queries:
+        qp = F.broadcast(qp)
+    joined = cb.join(qp, "__bucket")
+    sim = cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_quantized_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -142,6 +142,7 @@ def run_stream_to_table(
     parquet_path: str,
     transform,
     output_mode: str = "complete",
+    normalize_ts: bool = False,
 ) -> DataFrame:
     """Replay a static parquet file through readStream, apply ``transform``
     (DataFrame -> DataFrame), drain synchronously into an in-memory table,
@@ -161,6 +162,13 @@ def run_stream_to_table(
         os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
         parquet_path = d
     stream = spark.readStream.schema(schema).parquet(parquet_path)
+    if normalize_ts:
+        # the events replay contract is epoch-nanos `ts` (see
+        # sources/events.py) — normalize so transforms hold across
+        # parquet ts encodings (nanos-long vs micros-timestamp files)
+        from bun_csv_spark.sources.events import ensure_ts_nanos
+
+        stream = ensure_ts_nanos(stream)
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (

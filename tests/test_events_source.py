@@ -1,0 +1,101 @@
+"""Pin the events source against parquet ts-encoding drift.
+
+Round-5 postmortem: the testdata's ``ts`` column silently changed from
+TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds and took 16 queries
+down. ``read_events`` / ``ensure_ts_nanos`` must present the SAME contract
+— epoch-nanos long — for every physical encoding the column has ever
+shipped in. This test writes one fixture per encoding and asserts dtype
+and exact values match.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bun_csv_spark.sources.events import ensure_ts_nanos, read_events
+
+# one exact wall-clock instant per row; nanos chosen so the micros view
+# truncates cleanly (sub-micro digits zero — what micros parquet stores)
+EPOCH_NANOS = [
+    1_704_067_200_000_000_000,  # 2024-01-01 00:00:00
+    1_704_070_800_123_456_000,  # 2024-01-01 01:00:00.123456
+    1_704_074_400_999_999_000,  # 2024-01-01 02:00:00.999999
+]
+
+
+def _write_events(path: str, ts_array: pa.Array) -> None:
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, f"{path}/events.parquet")
+
+
+@pytest.fixture()
+def micros_dir(tmp_path):
+    d = tmp_path / "micros"
+    d.mkdir()
+    _write_events(str(d), pa.array([n // 1000 for n in EPOCH_NANOS], pa.timestamp("us")))
+    return str(d)
+
+
+@pytest.fixture()
+def nanos_dir(tmp_path):
+    d = tmp_path / "nanos"
+    d.mkdir()
+    _write_events(str(d), pa.array(EPOCH_NANOS, pa.timestamp("ns")))
+    return str(d)
+
+
+def test_read_events_micros_parquet_yields_epoch_nanos_long(spark, micros_dir):
+    df = read_events(spark, micros_dir)
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got == {i + 1: n for i, n in enumerate(EPOCH_NANOS)}
+
+
+def test_read_events_nanos_parquet_yields_epoch_nanos_long(spark, nanos_dir):
+    df = read_events(spark, nanos_dir)
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got == {i + 1: n for i, n in enumerate(EPOCH_NANOS)}
+
+
+def test_both_encodings_produce_identical_frames(spark, micros_dir, nanos_dir):
+    a = read_events(spark, micros_dir).orderBy("event_id").collect()
+    b = read_events(spark, nanos_dir).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_ensure_ts_nanos_passthrough_on_long(spark):
+    df = spark.createDataFrame([(1, 5_000_000_000)], "event_id long, ts long")
+    out = ensure_ts_nanos(df)
+    # long ts must pass through with an UNCHANGED plan (no extra projection)
+    assert out is df
+
+
+def test_ensure_ts_nanos_missing_column_noop(spark):
+    df = spark.createDataFrame([(1,)], "event_id long")
+    assert ensure_ts_nanos(df) is df
+
+
+def test_read_events_is_session_timezone_independent(spark, micros_dir):
+    """The driver runs a PLAIN session (no UTC pin) — NTZ normalization
+    must not shift with the session timezone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {r.event_id: r.ts for r in read_events(spark, micros_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == {i + 1: n for i, n in enumerate(EPOCH_NANOS)}

@@ -140,3 +140,52 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, vecs, tmp_path):
     ]
     stored = [(r.vec_id, r.cosine_sim) for r in out.collect()]
     assert stored == flight
+
+
+def test_knn_join_bucketed_no_cartesian_and_recall(spark, vecs):
+    """The bucketed kNN join must (a) never plan a cartesian product and
+    (b) recover most of the brute-force neighbor pairs via multi-probe."""
+    from bun_csv_spark.operators.similarity import knn_join_bucketed
+
+    # 4 planes on uniform-random vectors (worst case for LSH — true
+    # neighbors are barely above the noise floor); real embedding spaces
+    # cluster and probe far better (the sf0.01 oracle gate covers those)
+    queries = vecs.filter("vec_id < 10")
+    out = knn_join_bucketed(
+        vecs, queries, k=5, vec_col="embedding", dim=16, n_planes=4, seed=42
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join_brute(vecs, queries, k=5).collect()
+    }
+    # every query must at least find itself (cosine 1.0, same bucket)
+    assert {(q, q) for q in range(10)} <= got
+    # the planted near-clone of vec 0 always shares vec 0's bucket
+    assert (0, 999) in got
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"multi-probe recall too low: {recall}"
+
+
+def test_knn_join_bucketed_rank_contract(spark, vecs):
+    """Ranks are 1..k, dense per query, deterministic tie-break on id."""
+    from bun_csv_spark.operators.similarity import knn_join_bucketed
+
+    queries = vecs.filter("vec_id < 3")
+    rows = knn_join_bucketed(
+        vecs, queries, k=4, dim=16, n_planes=6
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: (-r.cosine_sim, r.neighbor_id))
+        assert [r.rank for r in ordered] == ranks
