@@ -754,6 +754,32 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def q_multimodal_pixels(spark, sf_dir):
+    """REAL pixel decode: attach a genuine uncompressed 24-bit BMP per
+    doc (deterministic id-derived pixels), decode every pixel with
+    stdlib struct + numpy (multimodal.binary.decode_bmp_pixels), reduce
+    to exact integer channel sums. The oracle restates the sums from
+    doc_id arithmetic alone — a true end-to-end check that the bytes
+    written are the bytes decoded."""
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_pixel_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_pixel_stats(attach_bmp_payload(docs), "doc_id", "payload")
+
+
+def q_multimodal_samples(spark, sf_dir):
+    """REAL PCM sample decode: attach a genuine 8-bit PCM WAV per doc
+    (deterministic id-derived samples), decode every frame with stdlib
+    wave + numpy, reduce to exact integer stats (sum, peak)."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_pcm_wav_payload,
+        extract_audio_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_audio_stats(attach_pcm_wav_payload(docs), "doc_id", "payload")
+
+
 def q_knn_join_bucketed(spark, sf_dir):
     """Scale-safe kNN join (similarity.knn_join_bucketed): LSH buckets +
     Hamming<=1 multi-probe + equi-join — no cartesian anywhere in the
@@ -2222,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
         "knn_join_bucketed": q_knn_join_bucketed,
+        "multimodal_pixels": q_multimodal_pixels,
+        "multimodal_samples": q_multimodal_samples,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "events_tumbling": q_events_tumbling,
@@ -3180,6 +3208,37 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
+
+    # pixel/sample channel sums restated from doc_id arithmetic — the
+    # attach builders derive every byte from the id (multimodal/binary.py
+    # attach_bmp_payload / attach_pcm_wav_payload), so exact-integer SQL
+    # over generate_series IS the decoded ground truth
+    sql["multimodal_pixels"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+        px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+               (w * h)::BIGINT AS n_pixels,
+               sum((doc_id + x * 7 + y * 13) % 256)::BIGINT AS sum_b,
+               sum((doc_id + x * 11 + y * 3) % 256)::BIGINT AS sum_g,
+               sum((doc_id + x * 5 + y * 17) % 256)::BIGINT AS sum_r
+        FROM px GROUP BY doc_id, w, h
+    """
+
+    sql["multimodal_samples"] = """
+        WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS n, doc_id % 4 AS ri
+                   FROM documents),
+        s AS (SELECT doc_id, n, ri, unnest(generate_series(0, n - 1)) AS i FROM d)
+        SELECT doc_id,
+               (CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS sample_rate,
+               n::BIGINT AS n_samples,
+               sum((doc_id * 31 + i * 7) % 256)::BIGINT AS sum_samples,
+               max((doc_id * 31 + i * 7) % 256)::BIGINT AS peak
+        FROM s GROUP BY doc_id, n, ri
+    """
 
     sql["multimodal_features"] = """
         SELECT doc_id,

@@ -8,11 +8,12 @@ resize / frame-sample run as Arrow-batched pandas functions over
 Container-header METADATA decoding is REAL and pure-stdlib:
 ``parse_image_dims`` reads PNG IHDR / GIF logical-screen / JPEG SOF
 headers, ``parse_wav_meta`` reads RIFF/WAVE headers (``wave`` + struct).
-PIXEL/SAMPLE decoding is stubbed — no imaging/audio codec ships in this
-container; ``decode_image_stub`` / ``decode_audio_stub`` mark where
-PIL/libvips/ffmpeg plug in. Payloads that are not a recognized container
-fall back to a deterministic md5-derived fake so the plumbing stays
-testable on arbitrary bytes.
+PIXEL/SAMPLE decoding is REAL for the uncompressed formats stdlib can
+express — 24-bit BI_RGB BMP (``decode_bmp_pixels``) and 8/16-bit PCM WAV
+(``decode_wav_samples``); compressed codecs (PNG/GIF/JPEG pixels, mp3/ogg)
+raise ValueError where PIL/libvips/ffmpeg would plug in. Payloads that are
+not a recognized container fall back to a deterministic md5-derived fake in
+the metadata extractors so the plumbing stays testable on arbitrary bytes.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -142,12 +143,68 @@ def make_jpeg_payload(width: int, height: int) -> bytes:
     )
 
 
-def decode_image_stub(payload: bytes) -> "object":
-    """Where a real image decoder would run. Deliberately unimplemented —
-    no imaging library ships in this environment."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/libvips); "
-        "wire it here — the Spark-side plumbing is extract_binary_features"
+def make_bmp_payload(width: int, height: int, pixel_rows: bytes) -> bytes:
+    """A real uncompressed 24-bit BI_RGB BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER). ``pixel_rows`` is height*(3*width) BGR bytes,
+    top-down; the file stores them bottom-up with 4-byte row padding, per
+    the format."""
+    stride = (3 * width + 3) & ~3
+    pad = b"\x00" * (stride - 3 * width)
+    body = b"".join(
+        pixel_rows[y * 3 * width : (y + 1) * 3 * width] + pad
+        for y in range(height - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + dib + body
+
+
+def decode_bmp_pixels(b: bytes):
+    """REAL pixel decode for uncompressed 24-bit BI_RGB BMP — pure
+    stdlib struct + numpy view, no imaging library.
+
+    Returns (width, height, ndarray[height, width, 3] uint8 BGR,
+    top-down). Raises ValueError for anything that isn't this exact
+    (and most common uncompressed) BMP flavor; compressed codecs
+    (PNG/GIF/JPEG entropy coding) stay out of scope by design."""
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    header_size = struct.unpack_from("<I", b, 14)[0]
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) & ~3
+    arr = (
+        np.frombuffer(b, np.uint8, stride * height, offset)
+        .reshape(height, stride)[:, : 3 * width]
+        .reshape(height, width, 3)
+    )
+    return width, height, (arr if top_down else arr[::-1])
+
+
+def decode_image(payload: bytes):
+    """Pixel decode dispatch: BMP decodes for real (stdlib); compressed
+    containers (PNG/GIF/JPEG) need an external codec — their METADATA
+    still parses via ``parse_image_dims``."""
+    raw = bytes(payload)
+    if raw[:2] == b"BM":
+        return decode_bmp_pixels(raw)
+    raise ValueError(
+        "pixel decode for compressed containers requires an imaging "
+        "library (PIL/libvips); header metadata is available via "
+        "parse_image_dims"
     )
 
 
@@ -256,14 +313,35 @@ def attach_png_payload(
     return df.withColumn(payload_col, png(F.col(id_col)))
 
 
-def decode_audio_stub(payload: bytes) -> "object":
-    """Where a real audio decoder (ffmpeg/soundfile) would run.
-    Deliberately unimplemented — no audio library ships in this
-    environment; the Spark-side plumbing is extract_audio_meta."""
-    raise NotImplementedError(
-        "audio decode requires an audio library (ffmpeg/soundfile); "
-        "wire it here — the Spark-side plumbing is extract_audio_meta"
-    )
+def decode_wav_samples(b: bytes):
+    """REAL sample decode for PCM WAV — stdlib ``wave`` + numpy view.
+
+    Returns (sample_rate, ndarray[n_frames, n_channels] int64; 8-bit PCM
+    is unsigned [0,255], 16-bit signed). Raises ValueError for non-PCM /
+    other widths — compressed audio needs an external codec."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a PCM WAV file: {e}") from e
+    if sampwidth == 1:
+        arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+    elif sampwidth == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.int64)
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    return rate, arr.reshape(-1, channels)
+
+
+def decode_audio(payload: bytes):
+    """Audio decode dispatch: PCM WAV decodes for real (stdlib);
+    compressed codecs (mp3/ogg/aac) need ffmpeg/soundfile."""
+    return decode_wav_samples(payload)
 
 
 AUDIO_RATES = (8000, 16000, 22050, 44100)
@@ -380,5 +458,128 @@ def extract_binary_features(
                     ),
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def attach_bmp_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    mod: int = 16,
+) -> DataFrame:
+    """Materialize a REAL 24-bit BMP per row with deterministic pixels:
+    dims (1 + id % mod, 1 + id*3 % mod), channel values at (x, y) =
+    (id + x*7 + y*13, id + x*11 + y*3, id + x*5 + y*17) mod 256 for
+    (B, G, R). A genuine uncompressed container for decode_bmp_pixels,
+    with every pixel restatable from ``id`` alone — which is what lets
+    the SQL oracle state exact channel sums without building bytes."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def bmp(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 1 + i % mod, 1 + (i * 3) % mod
+            x = np.arange(w).reshape(1, w)
+            y = np.arange(h).reshape(h, 1)
+            px = np.empty((h, w, 3), np.uint8)
+            px[:, :, 0] = (i + x * 7 + y * 13) % 256
+            px[:, :, 1] = (i + x * 11 + y * 3) % 256
+            px[:, :, 2] = (i + x * 5 + y * 17) % 256
+            out.append(make_bmp_payload(w, h, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, bmp(F.col(id_col)))
+
+
+def extract_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel statistics over BMP payloads: decode every pixel
+    (decode_bmp_pixels — stdlib + numpy, no imaging library) and reduce
+    to exact integer channel sums. Arrow-batched mapInPandas; output
+    (id, width, height, n_pixels, sum_b, sum_g, sum_r) — all BIGINT, so
+    the oracle compares exactly, no float tolerance."""
+    out_schema = (
+        f"{id_col} long, width long, height long, n_pixels long, "
+        "sum_b long, sum_g long, sum_r long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    (id_col, "width", "height", "n_pixels", "sum_b", "sum_g", "sum_r")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_bmp_pixels(bytes(b))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows[id_col].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["sum_b"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_r"].append(int(sums[2]))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def attach_pcm_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    base_samples: int = 16,
+    mod_samples: int = 64,
+) -> DataFrame:
+    """Materialize a REAL 8-bit PCM mono WAV per row with deterministic
+    samples: n = base + id % mod samples, sample i = (id*31 + i*7) % 256,
+    rate = AUDIO_RATES[id % 4] — every sample restatable from ``id`` for
+    the SQL oracle."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = base_samples + i % mod_samples
+            data = ((i * 31 + np.arange(n) * 7) % 256).astype(np.uint8).tobytes()
+            out.append(make_wav_payload(data, AUDIO_RATES[i % 4]))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, wav(F.col(id_col)))
+
+
+def extract_audio_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL sample statistics over PCM WAV payloads: decode every frame
+    (decode_wav_samples — stdlib wave + numpy) and reduce to exact
+    integer stats. Output (id, sample_rate, n_samples, sum_samples,
+    peak) — all BIGINT, exact oracle compare."""
+    out_schema = (
+        f"{id_col} long, sample_rate long, n_samples long, "
+        "sum_samples long, peak long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    (id_col, "sample_rate", "n_samples", "sum_samples", "peak")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav_samples(bytes(b))
+                flat = samples.reshape(-1)
+                rows[id_col].append(int(i))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(flat))
+                rows["sum_samples"].append(int(flat.sum()))
+                rows["peak"].append(int(flat.max()) if len(flat) else 0)
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

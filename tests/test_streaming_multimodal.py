@@ -5,7 +5,6 @@ from pyspark.sql import functions as F
 
 from bun_csv_spark.multimodal.binary import (
     attach_binary_payload,
-    decode_image_stub,
     extract_binary_features,
 )
 from bun_csv_spark.streaming.windows import run_stream_to_table, tumbling_counts
@@ -68,9 +67,36 @@ def test_multimodal_feature_extraction(spark):
     assert rows[1].content_hash == hashlib.md5(b"hello").hexdigest()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
+def test_decode_image_rejects_compressed_containers():
+    from bun_csv_spark.multimodal.binary import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG")
+
+
+def test_decode_bmp_pixels_roundtrip():
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import decode_bmp_pixels, make_bmp_payload
+
+    # 3x2 BGR gradient, width forces 4-byte row padding (3*3=9 -> 12)
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = make_bmp_payload(3, 2, px.tobytes())
+    w, h, got = decode_bmp_pixels(payload)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(got, px)
+
+
+def test_decode_wav_samples_roundtrip():
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import decode_wav_samples, make_wav_payload
+
+    data = bytes(range(100))
+    rate, samples = decode_wav_samples(make_wav_payload(data, 16000))
+    assert rate == 16000
+    assert samples.shape == (100, 1)
+    assert np.array_equal(samples.reshape(-1), np.arange(100))
 
 
 def test_audio_meta_deterministic(spark):
@@ -78,7 +104,7 @@ def test_audio_meta_deterministic(spark):
 
     from bun_csv_spark.multimodal.binary import (
         AUDIO_RATES,
-        decode_audio_stub,
+        decode_audio,
         extract_audio_meta,
     )
 
@@ -98,8 +124,8 @@ def test_audio_meta_deterministic(spark):
     assert out[1].sample_rate == rate
     assert out[1].n_samples == n
     assert out[1].duration_ms == n * 1000 // rate
-    with pytest.raises(NotImplementedError):
-        decode_audio_stub(b"RIFF")
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF")  # truncated RIFF: no WAVE fmt/data chunks
 
 
 def test_frame_sampling_explodes_rows(spark):
