@@ -767,6 +767,25 @@ def q_multimodal_pixels(spark, sf_dir):
     return extract_pixel_stats(attach_bmp_payload(docs), "doc_id", "payload")
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode end-to-end: attach a complete zlib-compressed PNG
+    per doc (attach_png_rgb_payload — same id-derived channel formulas
+    as the BMP gate), decode through inflate + unfilter
+    (decode_png_pixels via decode_image dispatch), reduce to exact
+    integer channel sums. Same oracle arithmetic as multimodal_pixels —
+    two containers, two decode paths, one ground truth."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_png_rgb_payload,
+        decode_image,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_pixel_stats(
+        attach_png_rgb_payload(docs), "doc_id", "payload", decoder=decode_image
+    )
+
+
 def q_multimodal_samples(spark, sf_dir):
     """REAL PCM sample decode: attach a genuine 8-bit PCM WAV per doc
     (deterministic id-derived samples), decode every frame with stdlib
@@ -2249,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_bucketed": q_knn_join_bucketed,
         "multimodal_pixels": q_multimodal_pixels,
+        "multimodal_png": q_multimodal_png,
         "multimodal_samples": q_multimodal_samples,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -3226,6 +3246,8 @@ def oracle_sql() -> dict[str, str]:
                sum((doc_id + x * 5 + y * 17) % 256)::BIGINT AS sum_r
         FROM px GROUP BY doc_id, w, h
     """
+
+    sql["multimodal_png"] = sql["multimodal_pixels"]
 
     sql["multimodal_samples"] = """
         WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS n, doc_id % 4 AS ri

@@ -8,12 +8,14 @@ resize / frame-sample run as Arrow-batched pandas functions over
 Container-header METADATA decoding is REAL and pure-stdlib:
 ``parse_image_dims`` reads PNG IHDR / GIF logical-screen / JPEG SOF
 headers, ``parse_wav_meta`` reads RIFF/WAVE headers (``wave`` + struct).
-PIXEL/SAMPLE decoding is REAL for the uncompressed formats stdlib can
-express — 24-bit BI_RGB BMP (``decode_bmp_pixels``) and 8/16-bit PCM WAV
-(``decode_wav_samples``); compressed codecs (PNG/GIF/JPEG pixels, mp3/ogg)
-raise ValueError where PIL/libvips/ffmpeg would plug in. Payloads that are
-not a recognized container fall back to a deterministic md5-derived fake in
-the metadata extractors so the plumbing stays testable on arbitrary bytes.
+PIXEL/SAMPLE decoding is REAL for every format stdlib can express —
+24-bit BI_RGB BMP (``decode_bmp_pixels``), 8-bit PNG including all five
+scanline filters (``decode_png_pixels``, zlib inflate + unfilter), and
+8/16-bit PCM WAV (``decode_wav_samples``); codecs beyond stdlib (GIF LZW,
+JPEG DCT, mp3/ogg) raise ValueError where PIL/libvips/ffmpeg would plug
+in. Payloads that are not a recognized container fall back to a
+deterministic md5-derived fake in the metadata extractors so the plumbing
+stays testable on arbitrary bytes.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -126,6 +128,116 @@ def make_png_payload(width: int, height: int) -> bytes:
     )
 
 
+def make_png_rgb_payload(width: int, height: int, pixel_rows: bytes) -> bytes:
+    """A REAL complete 8-bit RGB PNG: signature + IHDR + one IDAT
+    (zlib-compressed scanlines, filter 0) + IEND. ``pixel_rows`` is
+    height*(3*width) RGB bytes, top-down. Pure stdlib (zlib + struct)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + pixel_rows[y * 3 * width : (y + 1) * 3 * width]
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png_pixels(b: bytes):
+    """REAL pixel decode for 8-bit non-interlaced PNG — stdlib zlib
+    inflate + the five scanline unfilters (None/Sub/Up/Average/Paeth),
+    vectorized per row with numpy.
+
+    Returns (width, height, ndarray[height, width, channels] uint8).
+    Palette/interlaced/16-bit images raise ValueError (out of scope)."""
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, n = 8, len(b)
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length = struct.unpack_from(">I", b, pos)[0]
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">II5B", body
+            )
+            if bit_depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError("palette PNG not supported")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    img = np.empty((height, stride), np.uint16)
+    zero = np.zeros(stride, np.uint16)
+    for y in range(height):
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(
+            np.uint16
+        )
+        ftype = raw[y * (stride + 1)]
+        prev = img[y - 1] if y else zero
+        if ftype == 0:
+            img[y] = line
+        elif ftype == 2:  # Up
+            img[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # neighbor — sequential in x over pixel positions; channels
+            # within a position stay vectorized
+            cur = img[y]
+            for x in range(0, stride, ch):
+                a = cur[x - ch : x] if x else zero[:ch]
+                seg = slice(x, x + ch)
+                if ftype == 1:
+                    cur[seg] = (line[seg] + a) & 0xFF
+                elif ftype == 3:
+                    cur[seg] = (line[seg] + (a + prev[seg]) // 2) & 0xFF
+                else:
+                    c_ = prev[x - ch : x] if x else zero[:ch]
+                    p = a.astype(np.int32) + prev[seg].astype(np.int32) - c_.astype(np.int32)
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - prev[seg])
+                    pc = np.abs(p - c_)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a,
+                        np.where(pb <= pc, prev[seg], c_),
+                    )
+                    cur[seg] = (line[seg] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+    return width, height, img.astype(np.uint8).reshape(height, width, ch)
+
+
 def make_gif_payload(width: int, height: int) -> bytes:
     """GIF89a header + logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
@@ -195,16 +307,18 @@ def decode_bmp_pixels(b: bytes):
 
 
 def decode_image(payload: bytes):
-    """Pixel decode dispatch: BMP decodes for real (stdlib); compressed
-    containers (PNG/GIF/JPEG) need an external codec — their METADATA
-    still parses via ``parse_image_dims``."""
+    """Pixel decode dispatch: BMP and 8-bit PNG decode for real (pure
+    stdlib — struct/numpy and zlib inflate + unfilter respectively);
+    GIF (LZW) and JPEG (DCT entropy coding) need an external codec —
+    their METADATA still parses via ``parse_image_dims``."""
     raw = bytes(payload)
     if raw[:2] == b"BM":
         return decode_bmp_pixels(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(raw)
     raise ValueError(
-        "pixel decode for compressed containers requires an imaging "
-        "library (PIL/libvips); header metadata is available via "
-        "parse_image_dims"
+        "pixel decode for GIF/JPEG requires an imaging library "
+        "(PIL/libvips); header metadata is available via parse_image_dims"
     )
 
 
@@ -497,32 +611,39 @@ def attach_bmp_payload(
 
 
 def extract_pixel_stats(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
+    channel_cols: tuple = ("sum_b", "sum_g", "sum_r"),
 ) -> DataFrame:
-    """REAL pixel statistics over BMP payloads: decode every pixel
-    (decode_bmp_pixels — stdlib + numpy, no imaging library) and reduce
-    to exact integer channel sums. Arrow-batched mapInPandas; output
-    (id, width, height, n_pixels, sum_b, sum_g, sum_r) — all BIGINT, so
-    the oracle compares exactly, no float tolerance."""
+    """REAL pixel statistics over image payloads: decode every pixel
+    (default ``decode_bmp_pixels``; pass ``decode_image`` to also accept
+    PNG — both stdlib-only) and reduce to exact integer channel sums.
+    Arrow-batched mapInPandas; output (id, width, height, n_pixels,
+    *channel_cols) — all BIGINT, so the oracle compares exactly, no
+    float tolerance."""
+    if decoder is None:
+        decoder = decode_bmp_pixels
     out_schema = (
         f"{id_col} long, width long, height long, n_pixels long, "
-        "sum_b long, sum_g long, sum_r long"
+        + ", ".join(f"{c} long" for c in channel_cols)
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in
-                    (id_col, "width", "height", "n_pixels", "sum_b", "sum_g", "sum_r")}
+                    (id_col, "width", "height", "n_pixels", *channel_cols)}
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = decode_bmp_pixels(bytes(b))
-                sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                w, h, px = decoder(bytes(b))
+                nch = px.shape[2]
+                sums = px.reshape(-1, nch).sum(axis=0, dtype="int64")
                 rows[id_col].append(int(i))
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_pixels"].append(w * h)
-                rows["sum_b"].append(int(sums[0]))
-                rows["sum_g"].append(int(sums[1]))
-                rows["sum_r"].append(int(sums[2]))
+                for k, col in enumerate(channel_cols):
+                    rows[col].append(int(sums[k]))
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
@@ -583,3 +704,35 @@ def extract_audio_stats(
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def attach_png_rgb_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    mod: int = 16,
+) -> DataFrame:
+    """Materialize a REAL complete PNG per row (IDAT pixels, zlib) with
+    the SAME deterministic id-derived dims/channel formulas as
+    attach_bmp_payload — so one SQL oracle covers both containers and a
+    decode through the zlib+unfilter path must land on identical sums."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def png(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 1 + i % mod, 1 + (i * 3) % mod
+            x = np.arange(w).reshape(1, w)
+            y = np.arange(h).reshape(h, 1)
+            px = np.empty((h, w, 3), np.uint8)
+            px[:, :, 0] = (i + x * 7 + y * 13) % 256
+            px[:, :, 1] = (i + x * 11 + y * 3) % 256
+            px[:, :, 2] = (i + x * 5 + y * 17) % 256
+            out.append(make_png_rgb_payload(w, h, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, png(F.col(id_col)))
