@@ -95,6 +95,15 @@ EXPECTATIONS = {
     "lang_confusion": (1, ["HashAggregate"], ["SortMergeJoin"]),
     # df top-100 is a TakeOrdered broadcast back onto the postings
     "inverted_index": (1, ["TakeOrderedAndProject", "BroadcastHashJoin"], ["SortMergeJoin"]),
+    # r6 additions
+    # the scale-safe kNN join: bucket equi-join + per-query top-k window —
+    # the whole point is NO cartesian anywhere
+    "knn_join_bucketed": (2, ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Arrow-batched decode pipelines: pandas_udf attach + mapInPandas
+    # reduce, zero shuffles end to end
+    "multimodal_pixels": (0, ["MapInPandas"], ["Exchange"]),
+    "multimodal_png": (0, ["MapInPandas"], ["Exchange"]),
+    "multimodal_samples": (0, ["MapInPandas"], ["Exchange"]),
 }
 
 
