@@ -754,6 +754,75 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def _cdc_changes(spark, sf_dir):
+    """Deterministic CDC changelog derived from the customer table (so
+    the oracle can rebuild the identical changelog from the same rows):
+    keys %10==0 -> delete @v2; %10==1 -> two competing updates @v2 (stale
+    marker) and @v3 (suffix '*v3' — must win); %10==2 -> insert of a new
+    key (+1,000,000) @v2."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    dels = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit(2).alias("version"), F.lit("D").alias("op"),
+    )
+    upd_stale = cust.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey", F.lit("stale").alias("c_name"), "c_acctbal",
+        F.lit(2).alias("version"), F.lit("U").alias("op"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey", F.concat("c_name", F.lit("*v3")).alias("c_name"),
+        "c_acctbal", F.lit(3).alias("version"), F.lit("U").alias("op"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), "c_name").alias("c_name"), "c_acctbal",
+        F.lit(2).alias("version"), F.lit("U").alias("op"),
+    )
+    return dels.unionByName(upd_stale).unionByName(upd_new).unionByName(ins)
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog merge (operators.maintenance.apply_changelog): the
+    MERGE INTO shape — latest change per key wins, deletes drop, upserts
+    replace/insert. Oracle rebuilds the same changelog and applies the
+    same semantics via window + anti-join SQL."""
+    from bun_csv_spark.operators.maintenance import apply_changelog
+
+    snap = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    return apply_changelog(snap, _cdc_changes(spark, sf_dir), "c_custkey")
+
+
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-filter semi-join pre-prune (operators.maintenance): orders
+    filtered against rich customers' key set through a broadcastable
+    md5-position bitmap — map-only on the probe side, DETERMINISTIC false
+    positives the oracle replays bit-for-bit."""
+    from bun_csv_spark.operators.maintenance import bloom_semi_join
+
+    probe = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    build = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_semi_join(probe, build, "o_custkey")
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Z-order clustering key (operators.maintenance.zorder_value):
+    8-bit interleave of (o_custkey, o_totalprice) — the OPTIMIZE ZORDER
+    BY key as a pure codegen expression; oracle restates the bit
+    interleave arithmetically."""
+    from bun_csv_spark.operators.maintenance import zorder_value
+
+    z = zorder_value("o_custkey", "o_totalprice", 0, 150_000, 0, 600_000, bits=8)
+    return _t(spark, sf_dir, "orders").select("o_orderkey", z.alias("zval"))
+
+
 def q_multimodal_pixels(spark, sf_dir):
     """REAL pixel decode: attach a genuine uncompressed 24-bit BMP per
     doc (deterministic id-derived pixels), decode every pixel with
@@ -2267,6 +2336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
         "knn_join_bucketed": q_knn_join_bucketed,
+        "cdc_apply": q_cdc_apply,
+        "bloom_semi": q_bloom_semi,
+        "zorder_keys": q_zorder_keys,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_samples": q_multimodal_samples,
@@ -2431,6 +2503,82 @@ def _dedup_embedding_sql(
         JOIN e ea ON ea.vec_id = p.id_a
         JOIN e eb ON eb.vec_id = p.id_b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+def _cdc_apply_sql() -> str:
+    """Oracle for q_cdc_apply: rebuild the identical changelog from the
+    customer rows, pick the latest change per key with the same
+    (version desc, op) tie-break, delete/upsert via anti-join + union."""
+    return """
+        WITH snap AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+                      FROM customer),
+        changes AS (
+          SELECT c_custkey, c_name, c_acctbal, 2 AS version, 'D' AS op
+          FROM snap WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey, 'stale', c_acctbal, 2, 'U' FROM snap WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT c_custkey, c_name || '*v3', c_acctbal, 3, 'U' FROM snap WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT c_custkey + 1000000, 'new-' || c_name, c_acctbal, 2, 'U'
+          FROM snap WHERE c_custkey % 10 = 2),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                         ORDER BY version DESC, op) AS rn
+            FROM changes) WHERE rn = 1)
+        SELECT s.c_custkey, s.c_name, s.c_acctbal FROM snap s
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = s.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+    """
+
+
+def _bloom_semi_sql(k: int = 3, m_bits: int = 1 << 16, salt: str = "bloom") -> str:
+    """Oracle for q_bloom_semi: replay the exact bitmap — md5 positions,
+    60-bit words, bit_or — and the all-k-bits membership test."""
+    wb = 60
+
+    def pos(j, col):
+        return (
+            f"(CAST('0x' || substr(md5('{salt}{j}:' || {col}::VARCHAR), 1, 15) "
+            f"AS BIGINT) % {m_bits})"
+        )
+
+    pos_build = "\nUNION ALL\n".join(
+        f"SELECT {pos(j, 'c_custkey')} AS p FROM b" for j in range(k)
+    )
+    tests = " AND ".join(
+        f"EXISTS (SELECT 1 FROM words w WHERE w.word_idx = {pos(j, 'o.o_custkey')} // {wb} "
+        f"AND (w.word & (1::BIGINT << ({pos(j, 'o.o_custkey')} % {wb}))) <> 0)"
+        for j in range(k)
+    )
+    return f"""
+        WITH b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+        pos AS ({pos_build}),
+        words AS (
+          SELECT p // {wb} AS word_idx,
+                 bit_or(1::BIGINT << (p % {wb})) AS word
+          FROM pos GROUP BY 1)
+        SELECT o.o_orderkey, o.o_custkey FROM orders o
+        WHERE {tests}
+    """
+
+
+def _zorder_keys_sql(bits: int = 8) -> str:
+    """Oracle for q_zorder_keys: the same clamp-quantize-interleave
+    arithmetic, generated term by term (identical float op order, so
+    IEEE results match bit-for-bit)."""
+    qa = "floor(least(1.0, greatest(0.0, (o_custkey::DOUBLE - 0.0) / 150000.0)) * 255)::BIGINT"
+    qb = "floor(least(1.0, greatest(0.0, (o_totalprice::DOUBLE - 0.0) / 600000.0)) * 255)::BIGINT"
+    terms = " + ".join(
+        f"((((qa >> {i}) % 2) << {2 * i}) + (((qb >> {i}) % 2) << {2 * i + 1}))"
+        for i in range(bits)
+    )
+    return f"""
+        WITH q AS (SELECT o_orderkey, {qa} AS qa, {qb} AS qb FROM orders)
+        SELECT o_orderkey, ({terms})::BIGINT AS zval FROM q
     """
 
 
@@ -3228,6 +3376,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
+    sql["cdc_apply"] = _cdc_apply_sql()
+    sql["bloom_semi"] = _bloom_semi_sql()
+    sql["zorder_keys"] = _zorder_keys_sql()
 
     # pixel/sample channel sums restated from doc_id arithmetic — the
     # attach builders derive every byte from the id (multimodal/binary.py

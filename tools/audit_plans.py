@@ -104,6 +104,15 @@ EXPECTATIONS = {
     "multimodal_pixels": (0, ["MapInPandas"], ["Exchange"]),
     "multimodal_png": (0, ["MapInPandas"], ["Exchange"]),
     "multimodal_samples": (0, ["MapInPandas"], ["Exchange"]),
+    # bloom probe: the bitmap collapses to a 1-row map broadcast
+    # (bounds-broadcast pattern); the only Exchanges are the tiny bitmap
+    # build aggs — the probe side never shuffle-joins
+    "bloom_semi": (2, ["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # pure codegen bit interleave: zero shuffles
+    "zorder_keys": (0, [], ["Exchange"]),
+    # one window shuffle on the changelog + one key shuffle for the anti
+    # join side
+    "cdc_apply": (3, ["Window"], ["CartesianProduct", "SinglePartition"]),
 }
 
 
