@@ -855,6 +855,26 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode end-to-end: attach a genuine LZW-coded GIF per doc
+    (attach_gif_payload — id-derived palette indices through a real
+    variable-width LZW bitstream), decode with the pure-Python LZW +
+    palette mapping, reduce to exact integer channel sums. Oracle
+    restates sums from the index/palette arithmetic: index v = (id + x*7
+    + y*13) % 256, channels (v, 3v % 256, 7v % 256)."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_gif_payload,
+        decode_image,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_pixel_stats(
+        attach_gif_payload(docs), "doc_id", "payload", decoder=decode_image,
+        channel_cols=("sum_r", "sum_g", "sum_b"),
+    )
+
+
 def q_multimodal_samples(spark, sf_dir):
     """REAL PCM sample decode: attach a genuine 8-bit PCM WAV per doc
     (deterministic id-derived samples), decode every frame with stdlib
@@ -2341,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
+        "multimodal_gif": q_multimodal_gif,
         "multimodal_samples": q_multimodal_samples,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -3399,6 +3420,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["multimodal_png"] = sql["multimodal_pixels"]
+
+    sql["multimodal_gif"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+        px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        v AS (SELECT doc_id, w, h, (doc_id + x * 7 + y * 13) % 256 AS idx FROM px)
+        SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+               (w * h)::BIGINT AS n_pixels,
+               sum(idx)::BIGINT AS sum_r,
+               sum((idx * 3) % 256)::BIGINT AS sum_g,
+               sum((idx * 7) % 256)::BIGINT AS sum_b
+        FROM v GROUP BY doc_id, w, h
+    """
 
     sql["multimodal_samples"] = """
         WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS n, doc_id % 4 AS ri

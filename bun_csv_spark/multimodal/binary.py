@@ -10,12 +10,13 @@ Container-header METADATA decoding is REAL and pure-stdlib:
 headers, ``parse_wav_meta`` reads RIFF/WAVE headers (``wave`` + struct).
 PIXEL/SAMPLE decoding is REAL for every format stdlib can express —
 24-bit BI_RGB BMP (``decode_bmp_pixels``), 8-bit PNG including all five
-scanline filters (``decode_png_pixels``, zlib inflate + unfilter), and
-8/16-bit PCM WAV (``decode_wav_samples``); codecs beyond stdlib (GIF LZW,
-JPEG DCT, mp3/ogg) raise ValueError where PIL/libvips/ffmpeg would plug
-in. Payloads that are not a recognized container fall back to a
-deterministic md5-derived fake in the metadata extractors so the plumbing
-stays testable on arbitrary bytes.
+scanline filters (``decode_png_pixels``, zlib inflate + unfilter), GIF
+(``decode_gif_pixels``, pure-Python variable-width LZW + palette), and
+8/16-bit PCM WAV (``decode_wav_samples``). JPEG's DCT entropy coding and
+compressed audio (mp3/ogg) raise ValueError where PIL/libvips/ffmpeg
+would plug in. Payloads that are not a recognized container fall back to
+a deterministic md5-derived fake in the metadata extractors so the
+plumbing stays testable on arbitrary bytes.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that an Arrow batch of
@@ -307,18 +308,21 @@ def decode_bmp_pixels(b: bytes):
 
 
 def decode_image(payload: bytes):
-    """Pixel decode dispatch: BMP and 8-bit PNG decode for real (pure
-    stdlib — struct/numpy and zlib inflate + unfilter respectively);
-    GIF (LZW) and JPEG (DCT entropy coding) need an external codec —
-    their METADATA still parses via ``parse_image_dims``."""
+    """Pixel decode dispatch — pure stdlib end to end: BMP (struct +
+    numpy view), 8-bit PNG (zlib inflate + the five unfilters), GIF
+    (pure-Python LZW + palette). JPEG's DCT entropy coding is the one
+    codec left to an external library; its METADATA still parses via
+    ``parse_image_dims``."""
     raw = bytes(payload)
     if raw[:2] == b"BM":
         return decode_bmp_pixels(raw)
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(raw)
     raise ValueError(
-        "pixel decode for GIF/JPEG requires an imaging library "
-        "(PIL/libvips); header metadata is available via parse_image_dims"
+        "JPEG pixel decode requires an imaging library (PIL/libvips); "
+        "header metadata is available via parse_image_dims"
     )
 
 
@@ -736,3 +740,183 @@ def attach_png_rgb_payload(
         return pd.Series(out)
 
     return df.withColumn(payload_col, png(F.col(id_col)))
+
+
+def make_gif_indexed_payload(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """A REAL complete GIF89a: logical screen + 256-entry global color
+    table + one image block, pixel indices LZW-coded with the classic
+    "uncompressed GIF" scheme (9-bit literal codes, clear code re-emitted
+    before the dictionary would force a width change). ``indices`` is
+    width*height palette indices top-down; ``palette`` is 768 RGB bytes."""
+    assert len(palette) == 768 and len(indices) == width * height
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    clear, bits = 256, 9
+    codes = [clear]
+    for i, px in enumerate(indices):
+        codes.append(px)
+        # 254 literals after a clear keeps next_code < 512 -> width stays 9
+        if i % 254 == 253:
+            codes.append(clear)
+    codes.append(257)  # end of information
+    # pack codes LSB-first
+    acc = n_acc = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << n_acc
+        n_acc += bits
+        while n_acc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-flavor LZW: variable code width, clear/EOI codes, dictionary
+    grows to 4096 then freezes until the next clear."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code = eoi + 1
+    bits = min_code_size + 1
+    acc = n_acc = pos = 0
+    prev = None
+    out = bytearray()
+    while len(out) < n_pixels:
+        while n_acc < bits:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << bits) - 1)
+        acc >>= bits
+        n_acc -= bits
+        if code == clear:
+            table, next_code, bits, prev = fresh(), eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << bits) and bits < 12:
+                bits += 1
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(b: bytes):
+    """REAL pixel decode for non-interlaced GIF87a/89a — pure-Python LZW
+    (variable-width codes, clear/EOI, 4096-entry dictionary) + palette
+    mapping. Returns (width, height, ndarray[h, w, 3] uint8 RGB) for the
+    FIRST image block. Interlaced images raise ValueError."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            img = pal_arr[np.frombuffer(bytes(idx[: w * h]), np.uint8)]
+            return w, h, img.reshape(h, w, 3)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image block in GIF")
+
+
+def attach_gif_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    mod: int = 16,
+) -> DataFrame:
+    """Materialize a REAL LZW-coded GIF per row: dims (1 + id % mod,
+    1 + id*3 % mod) as the BMP/PNG fixtures, palette index at (x, y) =
+    (id + x*7 + y*13) % 256, palette entry i -> (i, 3i % 256, 7i % 256).
+    Decoded channel sums are therefore restatable from ``id`` arithmetic
+    alone — through a genuine LZW bitstream."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    palette = bytes(
+        np.array(
+            [[i, (i * 3) % 256, (i * 7) % 256] for i in range(256)], np.uint8
+        )
+    )
+
+    @F.pandas_udf(BinaryType())
+    def gif(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 1 + i % mod, 1 + (i * 3) % mod
+            x = np.arange(w).reshape(1, w)
+            y = np.arange(h).reshape(h, 1)
+            idx = ((i + x * 7 + y * 13) % 256).astype(np.uint8)
+            out.append(make_gif_indexed_payload(w, h, idx.tobytes(), palette))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, gif(F.col(id_col)))

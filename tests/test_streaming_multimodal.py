@@ -298,4 +298,55 @@ def test_decode_image_dispatch():
     from bun_csv_spark.multimodal.binary import decode_image, make_gif_payload
 
     with _pytest.raises(ValueError):
-        decode_image(make_gif_payload(4, 4))  # LZW needs a codec
+        decode_image(make_gif_payload(4, 4))  # header-only GIF: no image block
+
+
+def test_decode_gif_pixels_lzw_roundtrip():
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_gif_pixels,
+        make_gif_indexed_payload,
+        parse_image_dims,
+    )
+
+    rng = np.random.RandomState(5)
+    # large enough to cross several LZW clear cycles (254-code period)
+    idx = rng.randint(0, 256, 40 * 30).astype(np.uint8)
+    pal = bytes(
+        np.array([[i, (i * 3) % 256, (i * 7) % 256] for i in range(256)], np.uint8)
+    )
+    payload = make_gif_indexed_payload(40, 30, idx.tobytes(), pal)
+    assert parse_image_dims(payload) == (40, 30)
+    w, h, got = decode_gif_pixels(payload)
+    assert (w, h) == (40, 30)
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx].reshape(30, 40, 3)
+    assert np.array_equal(got, exp)
+
+
+def test_decode_gif_rejects_interlaced():
+    import struct
+
+    from bun_csv_spark.multimodal.binary import decode_gif_pixels
+
+    # image descriptor with the interlace flag set
+    b = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0) + bytes(768)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x40)
+    )
+    with pytest.raises(ValueError):
+        decode_gif_pixels(b)
+
+
+def test_decode_image_dispatches_gif():
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_image,
+        make_gif_indexed_payload,
+    )
+
+    idx = np.zeros(4, np.uint8)
+    pal = bytes(768)
+    w, h, px = decode_image(make_gif_indexed_payload(2, 2, idx.tobytes(), pal))
+    assert (w, h, px.shape) == (2, 2, (2, 2, 3))

@@ -104,6 +104,7 @@ EXPECTATIONS = {
     "multimodal_pixels": (0, ["MapInPandas"], ["Exchange"]),
     "multimodal_png": (0, ["MapInPandas"], ["Exchange"]),
     "multimodal_samples": (0, ["MapInPandas"], ["Exchange"]),
+    "multimodal_gif": (0, ["MapInPandas"], ["Exchange"]),
     # bloom probe: the bitmap collapses to a 1-row map broadcast
     # (bounds-broadcast pattern); the only Exchanges are the tiny bitmap
     # build aggs — the probe side never shuffle-joins
