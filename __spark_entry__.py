@@ -823,6 +823,42 @@ def q_zorder_keys(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select("o_orderkey", z.alias("zval"))
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental re-aggregation (operators.maintenance.agg_state):
+    split orders into two batches, compute mergeable per-key states
+    independently, MERGE, finalize — must equal a direct aggregate over
+    everything. Decimal sums keep the state exact (associative), so the
+    merged result is bit-identical to the oracle's one-shot aggregate."""
+    from bun_csv_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "v", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    s1 = agg_state(orders.filter(F.col("o_orderkey") % 2 == 0), ["o_custkey"], "v")
+    s2 = agg_state(orders.filter(F.col("o_orderkey") % 2 == 1), ["o_custkey"], "v")
+    out = finalize_agg_state(merge_agg_states(s1, s2, ["o_custkey"]))
+    return out.select(
+        "o_custkey", "n",
+        F.col("min").cast("double").alias("min_v"),
+        F.col("max").cast("double").alias("max_v"),
+        "mean_e4", "stddev_pop_e4",
+    )
+
+
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew diagnosis (operators.maintenance.skew_profile): the
+    heaviest events keys with share + skew factor vs uniform — the
+    pre-flight check that decides salting / AQE skew-join thresholds."""
+    from bun_csv_spark.operators.maintenance import skew_profile
+
+    ev = read_events(spark, sf_dir)
+    return skew_profile(ev, "event_type", top=10)
+
+
 def q_multimodal_pixels(spark, sf_dir):
     """REAL pixel decode: attach a genuine uncompressed 24-bit BMP per
     doc (deterministic id-derived pixels), decode every pixel with
@@ -2359,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "bloom_semi": q_bloom_semi,
         "zorder_keys": q_zorder_keys,
+        "incremental_agg": q_incremental_agg,
+        "skew_profile": q_skew_profile,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
@@ -3398,6 +3436,38 @@ def oracle_sql() -> dict[str, str]:
 
     sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
     sql["cdc_apply"] = _cdc_apply_sql()
+
+    # one-shot aggregate over everything — the merged two-batch state
+    # must land on exactly this (decimal state is associative; the final
+    # double arithmetic replays finalize_agg_state's op order)
+    sql["incremental_agg"] = """
+        WITH s AS (
+          SELECT o_custkey,
+                 count(v) AS n,
+                 sum(v) AS sum, min(v) AS min_v, max(v) AS max_v,
+                 sum(v * v) AS sum_sq
+          FROM (SELECT o_custkey, o_totalprice::DECIMAL(18,2) AS v FROM orders)
+          GROUP BY o_custkey)
+        SELECT o_custkey, n::BIGINT AS n,
+               min_v::DOUBLE AS min_v, max_v::DOUBLE AS max_v,
+               floor((sum::DOUBLE / n) * 10000)::BIGINT AS mean_e4,
+               floor(sqrt(greatest(sum_sq::DOUBLE / n
+                                   - (sum::DOUBLE / n) * (sum::DOUBLE / n),
+                                   0.0)) * 10000)::BIGINT AS stddev_pop_e4
+        FROM s
+    """
+
+    sql["skew_profile"] = """
+        WITH c AS (SELECT event_type, count(*)::BIGINT AS cnt FROM events
+                   GROUP BY event_type),
+        t AS (SELECT sum(cnt)::BIGINT AS rows_, count(*)::BIGINT AS keys_ FROM c)
+        SELECT event_type, cnt,
+               round(cnt / rows_, 6) AS frac,
+               round(cnt * keys_ / rows_, 4) AS skew_factor
+        FROM c, t
+        ORDER BY cnt DESC, event_type
+        LIMIT 10
+    """
     sql["bloom_semi"] = _bloom_semi_sql()
     sql["zorder_keys"] = _zorder_keys_sql()
 

@@ -204,3 +204,92 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def agg_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Mergeable per-key aggregate state: (n, sum, min, max, sum_sq).
+
+    The partial-aggregation algebra made explicit: states from disjoint
+    batches MERGE (``merge_agg_states``) into exactly the state of the
+    union, so a daily 100 TB ingest re-aggregates only the delta and
+    merges — never recomputes history. Exactly Spark's own map-side
+    partial-agg shape, persisted."""
+    c = F.col(value)
+    return df.groupBy(*keys).agg(
+        F.count(c).alias("n"),
+        F.sum(c).alias("sum"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c * c).alias("sum_sq"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two agg states (outer on keys — either side may have new
+    keys). Every column merges with its own combine rule; the result is
+    bit-identical to ``agg_state`` over the concatenated inputs for the
+    integer/decimal columns (float sums are subject to the same
+    reassociation any distributed agg performs)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_sq").alias("sum_sq"),
+        )
+    )
+
+
+def finalize_agg_state(state: DataFrame, scale: int = 10_000) -> DataFrame:
+    """State -> final metrics: mean and POPULATION stddev (the reference's
+    stddev semantics, aggregates.py) computed from the merged moments.
+
+    Outputs fixed-point longs (floor(x * scale)): the state casts to
+    double in one fixed op order, and floor-of-scaled is pure IEEE — so
+    any engine replaying the same ops lands on the same integers.
+    round() would NOT be safe here: Spark rounds the shortest decimal
+    representation HALF_UP while DuckDB rounds the scaled double, and
+    they disagree on .xxxx5 ties (observed 3/1500 keys)."""
+    # decimal division rounding rules differ across engines; IEEE double
+    # ops do not — cast once, then only double arithmetic
+    mean = F.col("sum").cast("double") / F.col("n")
+    var = F.col("sum_sq").cast("double") / F.col("n") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return state.select(
+        *[c for c in state.columns if c not in ("sum", "sum_sq")],
+        F.floor(mean * scale).cast("long").alias("mean_e4"),
+        F.floor(sd * scale).cast("long").alias("stddev_pop_e4"),
+    )
+
+
+def skew_profile(
+    df: DataFrame, key: str, top: int = 10
+) -> DataFrame:
+    """Join-key skew diagnosis: the ``top`` heaviest keys with their row
+    counts, share of the table, and the skew factor vs a uniform spread
+    (count / (rows/distinct_keys)). Feed the hot keys into
+    ``operators.skew.salted_aggregate`` or AQE skew-join thresholds.
+
+    One groupBy shuffle + a TakeOrdered for the top slice; totals ride
+    along as 1-row broadcast aggregates — nothing corpus-sized reaches
+    the driver."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__rows"), 6).alias("frac"),
+            F.round(
+                F.col("cnt") * F.col("__keys") / F.col("__rows"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key))
+        .limit(top)
+    )

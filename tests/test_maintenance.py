@@ -111,3 +111,47 @@ def test_cluster_by_zorder_narrows_file_ranges(spark):
     # random layout: every partition spans ~the whole 1000x1000 square;
     # z-ordered partitions cover compact sub-regions
     assert mean_area(clustered) < mean_area(df.repartition(8)) * 0.5
+
+
+def test_agg_state_merge_equals_direct(spark):
+    from bun_csv_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    rows = [(i % 5, float(i) + 0.25) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, raw double").withColumn(
+        "v", F.col("raw").cast("decimal(18,2)")
+    )
+    direct = finalize_agg_state(agg_state(df, ["k"], "v"))
+    a = agg_state(df.filter("raw < 100"), ["k"], "v")
+    b = agg_state(df.filter("raw >= 100"), ["k"], "v")
+    merged = finalize_agg_state(merge_agg_states(a, b, ["k"]))
+    key = lambda r: r.k  # noqa: E731
+    assert sorted(direct.collect(), key=key) == sorted(merged.collect(), key=key)
+
+
+def test_agg_state_merge_handles_disjoint_keys(spark):
+    from bun_csv_spark.operators.maintenance import agg_state, merge_agg_states
+
+    a = agg_state(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), ["k"], "v"
+    )
+    b = agg_state(
+        spark.createDataFrame([(2, 20.0)], "k long, v double"), ["k"], "v"
+    )
+    merged = {r.k: (r.n, r.sum) for r in merge_agg_states(a, b, ["k"]).collect()}
+    assert merged == {1: (1, 10.0), 2: (1, 20.0)}
+
+
+def test_skew_profile_orders_and_factors(spark):
+    from bun_csv_spark.operators.maintenance import skew_profile
+
+    rows = [("hot",)] * 90 + [("warm",)] * 9 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top=3).collect()
+    assert [r.k for r in out] == ["hot", "warm", "cold"]
+    assert out[0].cnt == 90 and abs(out[0].frac - 0.9) < 1e-9
+    # 3 keys, 100 rows -> uniform share 33.3; hot carries 90 -> factor 2.7
+    assert abs(out[0].skew_factor - 2.7) < 1e-9

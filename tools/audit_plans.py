@@ -114,6 +114,10 @@ EXPECTATIONS = {
     # one window shuffle on the changelog + one key shuffle for the anti
     # join side
     "cdc_apply": (3, ["Window"], ["CartesianProduct", "SinglePartition"]),
+    # two batch states + merge: keyed hash aggs only, no global window
+    "incremental_agg": (4, ["HashAggregate"], ["CartesianProduct", "SinglePartition", "Window"]),
+    # groupBy + 1-row totals broadcast + TakeOrdered top slice
+    "skew_profile": (3, ["TakeOrderedAndProject"], ["SortMergeJoin"]),
 }
 
 
