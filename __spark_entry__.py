@@ -667,6 +667,20 @@ def q_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_neardup_editdist(spark, sf_dir):
+    """Exact Levenshtein verification over the LSH candidate pairs —
+    banding proposes, edit distance disposes (dedup.editdist_verify).
+    Cost is per-candidate, never all-pairs."""
+    from bun_csv_spark.operators.dedup import editdist_verify
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = neardup_pairs_minhash(
+        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+    return editdist_verify(corpus, pairs, "doc_id", "text")
+
+
 def q_neardup_pairs_bucketed(spark, sf_dir):
     """Same candidate set as neardup_pairs, routed through the
     MATERIALIZED banding table bucketed by (band, bucket) — the
@@ -2385,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "neardup_editdist": q_neardup_editdist,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
@@ -3314,6 +3329,29 @@ def oracle_sql() -> dict[str, str]:
     )
     # the bucketed-materialization path must produce the identical set
     sql["neardup_pairs_bucketed"] = sql["neardup_pairs"]
+
+    # exact Levenshtein over the same candidate set; sim replays the
+    # identical double op order (1 - lev/len), rounded 6dp
+    sql["neardup_editdist"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
+        + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + """
+        , pairs AS (
+          SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b,
+               levenshtein(ca.text, cb.text)::BIGINT AS lev,
+               round(CASE WHEN greatest(length(ca.text), length(cb.text)) > 0
+                          THEN 1.0 - levenshtein(ca.text, cb.text)
+                                     / greatest(length(ca.text), length(cb.text))
+                          ELSE 1.0 END, 6) AS sim
+        FROM pairs p
+        JOIN corpus ca ON ca.doc_id = p.id_a
+        JOIN corpus cb ON cb.doc_id = p.id_b
+        """
+    )
 
     sql["dedup_clusters"] = (
         "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL.replace("corpus AS", "corpus AS", 1)

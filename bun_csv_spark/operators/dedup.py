@@ -681,3 +681,32 @@ def shared_substring_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def editdist_verify(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance verification of candidate pairs — the last
+    stage of a near-dup pipeline: banding proposes, Levenshtein disposes.
+
+    Built-in ``F.levenshtein`` (JVM, O(len_a·len_b) per pair) runs ONLY
+    on the LSH-pruned candidates, never all-pairs — the cost profile that
+    keeps exact verification affordable at corpus scale. Returns
+    (id_a, id_b, lev, sim) where sim = 1 - lev/max(len_a, len_b),
+    rounded 6dp for engine-portable comparison."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    lev = F.levenshtein("__ta", "__tb")
+    longest = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(longest > 0, 1.0 - lev / longest).otherwise(F.lit(1.0))
+    return joined.select(
+        "id_a", "id_b", lev.alias("lev"), F.round(sim, 6).alias("sim")
+    )

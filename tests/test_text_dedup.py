@@ -467,3 +467,18 @@ def test_decontaminate_surgical_cuts_exact_spans(spark):
     assert out[2].n_tokens_cut == 0 and out[2].clean_text.startswith("totally clean")
     # doc 3 is the eval text itself -> every token covered
     assert out[3].clean_text == "" and out[3].n_tokens_kept == 0
+
+
+def test_editdist_verify_scores_candidates(spark):
+    from bun_csv_spark.operators.dedup import editdist_verify
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fax"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): (r.lev, r.sim) for r in
+           editdist_verify(corpus, pairs).collect()}
+    assert out[(1, 2)][0] == 1                      # one substitution
+    assert abs(out[(1, 2)][1] - (1 - 1 / 19)) < 1e-6
+    assert out[(1, 3)][1] < 0.2                     # unrelated pair scores low
