@@ -350,3 +350,62 @@ def test_decode_image_dispatches_gif():
     pal = bytes(768)
     w, h, px = decode_image(make_gif_indexed_payload(2, 2, idx.tobytes(), pal))
     assert (w, h, px.shape) == (2, 2, (2, 2, 3))
+
+
+def test_codec_roundtrip_property():
+    """Property: encode->decode is identity for BMP/PNG/GIF across
+    dimension edge cases (1-pixel rows/cols, padded strides, LZW clear
+    boundaries) and arbitrary pixel content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_png_pixels,
+        make_bmp_payload,
+        make_gif_indexed_payload,
+        make_png_rgb_payload,
+    )
+
+    pal = bytes(
+        np.array([[i, (i * 3) % 256, (i * 7) % 256] for i in range(256)], np.uint8)
+    )
+
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 20), seed=st.integers(0, 2**31 - 1)
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp_pixels(make_bmp_payload(w, h, px.tobytes()))[2], px)
+        assert np.array_equal(decode_png_pixels(make_png_rgb_payload(w, h, px.tobytes()))[2], px)
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        got = decode_gif_pixels(make_gif_indexed_payload(w, h, idx.tobytes(), pal))[2]
+        exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+        assert np.array_equal(got, exp)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.multimodal.binary import decode_wav_samples, make_wav_payload
+
+    @given(n=st.integers(1, 2000), seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=20, deadline=None)
+    def check(n, seed):
+        rng = np.random.RandomState(seed)
+        data = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        rate, samples = decode_wav_samples(make_wav_payload(data, 8000))
+        assert rate == 8000
+        assert np.array_equal(
+            samples.reshape(-1), np.frombuffer(data, np.uint8).astype(np.int64)
+        )
+
+    check()
