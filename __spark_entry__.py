@@ -837,6 +837,41 @@ def q_zorder_keys(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select("o_orderkey", z.alias("zval"))
 
 
+# DECOMPOSED on purpose (base char + combining mark, via escapes) so NFC
+# actually composes and lengths change
+_UNICODE_SUFFIXES = [
+    " e\u0301clair",
+    " u\u0308ber",
+    " an\u0303o",
+    " Ca\u0301fe\u0301",
+]
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization pipeline step: append a per-doc DECOMPOSED
+    combining-mark suffix (the docs corpus is pure ASCII), then NFC
+    (composes — shorter) and accent-fold (NFD + drop Mn). Arrow-batched
+    pandas UDFs (Spark has no normalization builtin); the oracle uses
+    DuckDB's native nfc_normalize / strip_accents over the identical
+    chr()-built suffixes — two independent Unicode implementations must
+    agree byte-for-byte."""
+    from bun_csv_spark.functions.text import nfc_normalize_udf, strip_accents_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _UNICODE_SUFFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    raw = F.concat(F.col("text"), suffix)
+    return docs.select(
+        "doc_id",
+        F.length(raw).alias("raw_len"),
+        nfc_normalize_udf(raw).alias("nfc"),
+        F.length(nfc_normalize_udf(raw)).alias("nfc_len"),
+        strip_accents_udf(raw).alias("stripped"),
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental re-aggregation (operators.maintenance.agg_state):
     split orders into two batches, compute mergeable per-key states
@@ -2412,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "incremental_agg": q_incremental_agg,
         "skew_profile": q_skew_profile,
+        "text_normalize": q_text_normalize,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
@@ -3474,6 +3510,27 @@ def oracle_sql() -> dict[str, str]:
 
     sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
     sql["cdc_apply"] = _cdc_apply_sql()
+
+    # DuckDB's native Unicode implementation vs Python unicodedata — the
+    # suffixes are rebuilt with chr() (769=U+0301 acute, 776=U+0308
+    # diaeresis, 771=U+0303 tilde), decomposed exactly as the Spark side
+    sql["text_normalize"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 text || CASE (doc_id % 4)
+                   WHEN 0 THEN ' e' || chr(769) || 'clair'
+                   WHEN 1 THEN ' u' || chr(776) || 'ber'
+                   WHEN 2 THEN ' an' || chr(771) || 'o'
+                   ELSE ' Ca' || chr(769) || 'fe' || chr(769)
+                 END AS raw
+          FROM documents)
+        SELECT doc_id,
+               length(raw)::BIGINT AS raw_len,
+               nfc_normalize(raw) AS nfc,
+               length(nfc_normalize(raw))::BIGINT AS nfc_len,
+               strip_accents(raw) AS stripped
+        FROM u
+    """
 
     # one-shot aggregate over everything — the merged two-batch state
     # must land on exactly this (decimal state is associative; the final

@@ -12,6 +12,7 @@ be JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -260,3 +261,45 @@ def build_inverted_index(
     df_counts = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     top = df_counts.orderBy(F.col("df").desc(), "term").limit(top_terms)
     return posting.join(F.broadcast(top), "term").select("term", id_col, "df")
+
+
+def nfc_normalize_udf(col: Column | str) -> Column:
+    """Unicode NFC normalization (compose combining sequences) — an
+    Arrow-batched pandas_udf because Spark has no normalization builtin.
+    The canonical first step of a text-dedup pipeline: visually identical
+    strings with different combining-mark encodings must hash equal."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(c)
+
+
+def strip_accents_udf(col: Column | str) -> Column:
+    """Accent folding: NFD-decompose, drop combining marks (category Mn),
+    keep everything else — 'Café' -> 'Cafe'. Matches DuckDB's
+    strip_accents on Latin text (the oracle checks exactly that)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def f(x):
+            if x is None:
+                return None
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", x)
+                if unicodedata.category(ch) != "Mn"
+            )
+
+        return s.map(f)
+
+    return _strip(c)

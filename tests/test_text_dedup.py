@@ -482,3 +482,18 @@ def test_editdist_verify_scores_candidates(spark):
     assert out[(1, 2)][0] == 1                      # one substitution
     assert abs(out[(1, 2)][1] - (1 - 1 / 19)) < 1e-6
     assert out[(1, 3)][1] < 0.2                     # unrelated pair scores low
+
+
+def test_unicode_normalization_udfs(spark):
+    from bun_csv_spark.functions.text import nfc_normalize_udf, strip_accents_udf
+
+    rows = [(1, "Café über"), (2, "plain"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r.id: (r.n, r.s) for r in df.select(
+        "id",
+        nfc_normalize_udf("t").alias("n"),
+        strip_accents_udf("t").alias("s"),
+    ).collect()}
+    assert out[1] == ("Café über", "Cafe uber")  # composed / folded
+    assert out[2] == ("plain", "plain")
+    assert out[3] == (None, None)
