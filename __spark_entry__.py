@@ -872,6 +872,20 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal per doc (CCNet/RedPajama
+    heuristic: templated text collapses, prose doesn't). Deterministic
+    for a fixed zlib level, but NOT SQL-expressible — intentionally has
+    no oracle_sql entry (rows-only gate); the separation property is
+    pytest-asserted instead."""
+    from bun_csv_spark.functions.text import compression_ratio_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", compression_ratio_udf("text").alias("compress_ratio")
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental re-aggregation (operators.maintenance.agg_state):
     split orders into two batches, compute mergeable per-key states
@@ -2448,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "skew_profile": q_skew_profile,
         "text_normalize": q_text_normalize,
+        "compression_ratio": q_compression_ratio,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,

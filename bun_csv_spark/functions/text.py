@@ -303,3 +303,29 @@ def strip_accents_udf(col: Column | str) -> Column:
         return s.map(f)
 
     return _strip(c)
+
+
+def compression_ratio_udf(col: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size / raw size — the classic cheap quality signal
+    (highly repetitive or templated text compresses far below ~0.4;
+    natural prose sits around 0.4-0.7). Arrow-batched; zlib at a fixed
+    level is deterministic for a given library, so results are
+    rerun-stable (no SQL oracle can restate it — the gate is rows-only
+    by design)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def f(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(f)
+
+    return _ratio(c)

@@ -497,3 +497,20 @@ def test_unicode_normalization_udfs(spark):
     assert out[1] == ("Café über", "Cafe uber")  # composed / folded
     assert out[2] == ("plain", "plain")
     assert out[3] == (None, None)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from bun_csv_spark.functions.text import compression_ratio_udf
+
+    rows = [
+        (1, "spam spam spam " * 50),
+        (2, "The five boxing wizards jump quickly over a lazy brown dog; "
+            "Jackdaws love my big sphinx of quartz, vexing waltz nymphs."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r.id: r.cr for r in df.select(
+        "id", compression_ratio_udf("t").alias("cr")).collect()}
+    assert out[1] < 0.1          # templated text collapses
+    assert out[2] > 0.5          # natural prose does not
+    assert out[3] == 1.0         # empty-string guard
