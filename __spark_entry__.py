@@ -2666,8 +2666,9 @@ def _bloom_semi_sql(k: int = 3, m_bits: int = 1 << 16, salt: str = "bloom") -> s
     wb = 60
 
     def pos(j, col):
+        # chunk j of the single per-value digest (see _bloom_positions)
         return (
-            f"(CAST('0x' || substr(md5('{salt}{j}:' || {col}::VARCHAR), 1, 15) "
+            f"(CAST('0x' || substr(md5('{salt}:' || {col}::VARCHAR), {1 + 10 * j}, 10) "
             f"AS BIGINT) % {m_bits})"
         )
 

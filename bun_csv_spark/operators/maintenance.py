@@ -64,19 +64,29 @@ BLOOM_BITS_DEFAULT = 1 << 16  # 64 Kbit
 BLOOM_WORD_BITS = 60
 
 
-def _bloom_positions(c: Column, k: int, m_bits: int, salt: str) -> list[Column]:
-    """k md5-derived bit positions in [0, m_bits) — engine-portable (the
-    same arithmetic restates in SQL: CAST('0x'||substr(md5(...),1,15) AS
-    BIGINT) % m)."""
+def _bloom_positions(
+    c: Column, k: int, m_bits: int, salt: str, hash_fn: str = "md5"
+) -> list[Column]:
+    """k md5-derived bit positions in [0, m_bits) from ONE md5 per value:
+    the 32-hex digest splits into k disjoint 10-hex (40-bit) chunks, each
+    an independent uniform position (k <= 3). One hash instead of k is
+    the difference between the md5 dominating a 20M-row probe scan and
+    not. Engine-portable: the same substr/CAST arithmetic restates in
+    DuckDB SQL."""
+    if hash_fn == "xxhash64":
+        # the production hash: JVM-codegen'd, ~an order of magnitude
+        # cheaper than md5 on a wide probe scan — but NOT restatable in
+        # DuckDB SQL, so the oracle gate pins the md5 path and the
+        # xxhash64 path is verified by no-false-negative tests
+        return [
+            F.pmod(F.xxhash64(F.lit(f"{salt}{j}"), c), F.lit(m_bits)).cast("long")
+            for j in range(k)
+        ]
+    if k > 3:
+        raise ValueError("one 128-bit md5 yields at most 3 40-bit chunks")
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
     return [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}{j}:"), c.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
+        F.conv(F.substring(digest, 1 + 10 * j, 10), 16, 10).cast("long") % m_bits
         for j in range(k)
     ]
 
@@ -94,12 +104,13 @@ def bloom_build(
     k: int = 3,
     m_bits: int = BLOOM_BITS_DEFAULT,
     salt: str = "bloom",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Build-side bitmap: (word_idx, word) rows, word = OR of
     1<<(pos % 60) over every key's k positions. At most m_bits/60 rows
     regardless of build size — always broadcastable."""
     pos = F.explode(
-        F.array(*_bloom_positions(F.col(key), k, m_bits, salt))
+        F.array(*_bloom_positions(F.col(key), k, m_bits, salt, hash_fn))
     ).alias("__pos")
     w = BLOOM_WORD_BITS
     return (
@@ -116,6 +127,7 @@ def bloom_semi_join(
     k: int = 3,
     m_bits: int = BLOOM_BITS_DEFAULT,
     salt: str = "bloom",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Semi-join ``probe`` against ``build``'s key set through a Bloom
     bitmap: keeps every matching row plus a DETERMINISTIC set of false
@@ -127,16 +139,22 @@ def bloom_semi_join(
     codegen'd filter (a real semi-join shuffles both sides on the key).
     The 1-row crossJoin is the same bounds-broadcast pattern as
     embedding quantization. Use it to pre-prune 100 TB scans down to
-    candidate rows before an exact join; k=3 / 64 Kbit gives ~1.7% FP at
-    10k build keys (FP rate is the standard (1-e^{-kn/m})^k).
+    candidate rows before an exact join.
+
+    SIZE m_bits TO THE BUILD SIDE: FP rate is (1-e^{-kn/m})^k — about
+    0.1% at m=16n bits (k=3), but 22% at m=3n (measured: 20k keys in the
+    64 Kbit default). And know when NOT to use it: if the build side
+    broadcasts anyway, the engine's own broadcast semi-join is both exact
+    and faster — bloom wins in the regime where the KEYS don't fit a
+    broadcast but the BITMAP does (measured datapoint in SCALE.md).
     """
-    bitmap = bloom_build(build, key, k, m_bits, salt)
+    bitmap = bloom_build(build, key, k, m_bits, salt, hash_fn)
     one = bitmap.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "word"))
         ).alias("__bloom")
     )
-    positions = _bloom_positions(F.col(key), k, m_bits, salt)
+    positions = _bloom_positions(F.col(key), k, m_bits, salt, hash_fn)
     w = BLOOM_WORD_BITS
     cond = F.lit(True)
     for pos in positions:

@@ -155,3 +155,11 @@ def test_skew_profile_orders_and_factors(spark):
     assert out[0].cnt == 90 and abs(out[0].frac - 0.9) < 1e-9
     # 3 keys, 100 rows -> uniform share 33.3; hot carries 90 -> factor 2.7
     assert abs(out[0].skew_factor - 2.7) < 1e-9
+
+
+def test_bloom_semi_join_xxhash_path_no_false_negatives(spark):
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    build = spark.range(0, 3000, 11).select(F.col("id").alias("k"))
+    out = {r.k for r in
+           bloom_semi_join(probe, build, "k", hash_fn="xxhash64").collect()}
+    assert set(range(0, 3000, 11)) <= out
