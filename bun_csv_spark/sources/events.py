@@ -64,13 +64,40 @@ def ensure_ts_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         return df
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.LongType):
-        return df
+        return _long_ts_to_nanos(df, ts_col)
     c = F.col(ts_col)
     if isinstance(dt, T.TimestampNTZType):
         micros = ntz_to_epoch_micros(c)
     else:
         micros = F.unix_micros(c)
     return df.withColumn(ts_col, (micros * F.lit(1000)).cast("long"))
+
+
+# modern-era epoch magnitudes are ~1.7e9 s / 1.7e12 ms / 1.7e15 us /
+# 1.7e18 ns — four decades apart, so one sample row classifies the unit
+# unambiguously for any timestamp between 1973 and 2240
+_NANOS_FLOOR = 10**17
+
+
+def _long_ts_to_nanos(df: DataFrame, ts_col: str) -> DataFrame:
+    """Classify a LONG ts column's epoch unit by magnitude and scale it
+    to nanos. The probe is ONE limit-1 row (bounded at any input size —
+    round-5 postmortem: testdata ts encodings drift between rounds, and
+    a silent nanos assumption on a millis column would corrupt every
+    window). Nanos-encoded inputs (the nanosAsLong path) pass through
+    with zero plan change."""
+    row = df.select(ts_col).filter(F.col(ts_col).isNotNull()).limit(1).collect()
+    if not row:
+        return df
+    v = abs(row[0][0])
+    if v >= _NANOS_FLOOR or v == 0:
+        return df
+    factor = 1000
+    while v * factor < _NANOS_FLOOR:
+        factor *= 1000
+    return df.withColumn(
+        ts_col, (F.col(ts_col) * F.lit(factor)).cast("long")
+    )
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

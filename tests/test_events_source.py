@@ -78,9 +78,11 @@ def test_both_encodings_produce_identical_frames(spark, micros_dir, nanos_dir):
 
 
 def test_ensure_ts_nanos_passthrough_on_long(spark):
-    df = spark.createDataFrame([(1, 5_000_000_000)], "event_id long, ts long")
+    # modern-era epoch-nanos magnitude -> identity, no extra projection
+    df = spark.createDataFrame(
+        [(1, EPOCH_NANOS[0])], "event_id long, ts long"
+    )
     out = ensure_ts_nanos(df)
-    # long ts must pass through with an UNCHANGED plan (no extra projection)
     assert out is df
 
 
@@ -99,3 +101,18 @@ def test_read_events_is_session_timezone_independent(spark, micros_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert got == {i + 1: n for i, n in enumerate(EPOCH_NANOS)}
+
+
+def test_long_ts_unit_detection(spark, tmp_path):
+    """Future-drift insurance: epoch-millis / -seconds / -micros longs
+    scale up to nanos; nanos longs pass through untouched."""
+    for unit, div in (("s", 10**9), ("ms", 10**6), ("us", 10**3), ("ns", 1)):
+        d = tmp_path / f"long_{unit}"
+        d.mkdir()
+        vals = [n // div for n in EPOCH_NANOS]
+        _write_events(str(d), pa.array(vals, pa.int64()))
+        df = read_events(spark, str(d))
+        got = {r.event_id: r.ts for r in df.collect()}
+        # sub-unit digits truncate at write time; scaling restores the unit
+        exp = {i + 1: (n // div) * div for i, n in enumerate(EPOCH_NANOS)}
+        assert got == exp, unit
