@@ -886,6 +886,31 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (temporal.interval_overlap_join):
+    per user, purchase attention windows [ts-30min, ts] overlapping view
+    windows [ts-15min, ts]. Bucketed equi-join with arithmetic pair
+    dedup — no theta-join; oracle is DuckDB's native range predicate."""
+    from bun_csv_spark.operators.temporal import interval_overlap_join
+
+    ev = read_events(spark, sf_dir)
+    half_hour = 1800 * 1_000_000_000
+    quarter = 900 * 1_000_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        (F.col("ts") - half_hour).alias("p_start"), F.col("ts").alias("p_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id",
+        (F.col("ts") - quarter).alias("v_start"), F.col("ts").alias("v_end"),
+    )
+    out = interval_overlap_join(
+        purchases, views, "user_id", "p_start", "p_end", "v_start", "v_end",
+        bucket_width=half_hour,
+    )
+    return out.select("p_id", "v_id", "user_id", F.col("overlap").alias("overlap_ns"))
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental re-aggregation (operators.maintenance.agg_state):
     split orders into two batches, compute mergeable per-key states
@@ -2463,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "text_normalize": q_text_normalize,
         "compression_ratio": q_compression_ratio,
+        "interval_overlap": q_interval_overlap,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
@@ -3526,6 +3552,25 @@ def oracle_sql() -> dict[str, str]:
 
     sql["knn_join_bucketed"] = _knn_join_bucketed_sql()
     sql["cdc_apply"] = _cdc_apply_sql()
+
+    sql["interval_overlap"] = """
+        WITH p AS (
+          SELECT event_id AS p_id, user_id,
+                 epoch_ns(ts) - 1800000000000 AS p_start,
+                 epoch_ns(ts) AS p_end
+          FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT event_id AS v_id, user_id,
+                 epoch_ns(ts) - 900000000000 AS v_start,
+                 epoch_ns(ts) AS v_end
+          FROM events WHERE event_type = 'view')
+        SELECT p.p_id, v.v_id, p.user_id,
+               (least(p.p_end, v.v_end)
+                - greatest(p.p_start, v.v_start))::BIGINT AS overlap_ns
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND p.p_start <= v.v_end AND v.v_start <= p.p_end
+    """
 
     # DuckDB's native Unicode implementation vs Python unicodedata — the
     # suffixes are rebuilt with chr() (769=U+0301 acute, 776=U+0308

@@ -151,3 +151,49 @@ def range_join_buckets(
         .filter((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval x interval overlap join: pairs where
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect, same key —
+    the interval-family completion of ``range_join_buckets``
+    (point-in-interval).
+
+    Both sides explode to their covering buckets and meet through a
+    (key, bucket) equi-join; overlapping intervals ALWAYS share at least
+    one bucket, so no pair is missed, and a pair sharing several buckets
+    is deduplicated by keeping only the bucket holding
+    max(l_start, r_start) — an arithmetic tie-break, cheaper than a
+    DISTINCT over the full output. Fan-out per row = width/bucket + 1;
+    never a theta-join. At 100 TB pick bucket_width ~ the median interval
+    width (fan-out a small constant), salt hot keys via operators.skew.
+
+    Returns inner-join rows (all columns of both sides) plus
+    ``overlap`` = min(l_end, r_end) - max(l_start, r_start) >= 0.
+    """
+    b = F.lit(bucket_width)
+
+    def _bk(c):
+        col = F.col(c)
+        return ((col - col % b) / b).cast("long")
+
+    lv = left.withColumn("__bucket", F.explode(F.sequence(_bk(l_start), _bk(l_end))))
+    rv = right.withColumn("__bucket", F.explode(F.sequence(_bk(r_start), _bk(r_end))))
+    lo = F.greatest(F.col(l_start), F.col(r_start))
+    hi = F.least(F.col(l_end), F.col(r_end))
+    anchor = ((lo - lo % b) / b).cast("long")
+    return (
+        lv.join(rv, [key, "__bucket"])
+        .filter((hi >= lo) & (F.col("__bucket") == anchor))
+        .withColumn("overlap", hi - lo)
+        .drop("__bucket")
+    )

@@ -89,3 +89,27 @@ def test_asof_join_validation(trades, quotes):
         ).collect()
     }
     assert out["t1"] == 1.5 and out["t2"] is None
+
+
+def test_interval_overlap_join_exact_and_deduped(spark):
+    from bun_csv_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0, 100), (2, 1, 500, 600), (3, 2, 0, 100)],
+        "lid long, k long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 50, 150),    # overlaps lid=1 (spans 2 buckets at width 40)
+            (11, 1, 90, 95),     # inside lid=1
+            (12, 1, 200, 300),   # no overlap
+            (13, 2, 100, 120),   # touches lid=3 at a single point
+        ],
+        "rid long, k long, rs long, re long",
+    )
+    out = interval_overlap_join(
+        left, right, "k", "ls", "le", "rs", "re", bucket_width=40
+    )
+    pairs = sorted((r.lid, r.rid, r.overlap) for r in out.collect())
+    # each overlapping pair appears EXACTLY once despite multi-bucket spans
+    assert pairs == [(1, 10, 50), (1, 11, 5), (3, 13, 0)]

@@ -114,6 +114,8 @@ EXPECTATIONS = {
     # one window shuffle on the changelog + one key shuffle for the anti
     # join side
     "cdc_apply": (3, ["Window"], ["CartesianProduct", "SinglePartition"]),
+    # interval-family: bucketed equi-join, never a theta join
+    "interval_overlap": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # two batch states + merge: keyed hash aggs only, no global window
     "incremental_agg": (4, ["HashAggregate"], ["CartesianProduct", "SinglePartition", "Window"]),
     # groupBy + 1-row totals broadcast + TakeOrdered top slice
