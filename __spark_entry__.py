@@ -865,9 +865,9 @@ def q_text_normalize(spark, sf_dir):
     raw = F.concat(F.col("text"), suffix)
     return docs.select(
         "doc_id",
-        F.length(raw).alias("raw_len"),
+        F.length(raw).cast("long").alias("raw_len"),
         nfc_normalize_udf(raw).alias("nfc"),
-        F.length(nfc_normalize_udf(raw)).alias("nfc_len"),
+        F.length(nfc_normalize_udf(raw)).cast("long").alias("nfc_len"),
         strip_accents_udf(raw).alias("stripped"),
     )
 

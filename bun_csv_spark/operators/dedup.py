@@ -708,5 +708,5 @@ def editdist_verify(
     longest = F.greatest(F.length("__ta"), F.length("__tb"))
     sim = F.when(longest > 0, 1.0 - lev / longest).otherwise(F.lit(1.0))
     return joined.select(
-        "id_a", "id_b", lev.alias("lev"), F.round(sim, 6).alias("sim")
+        "id_a", "id_b", lev.cast("long").alias("lev"), F.round(sim, 6).alias("sim")
     )
