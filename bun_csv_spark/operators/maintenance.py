@@ -29,9 +29,17 @@ def apply_changelog(
     key: str,
     version_col: str = "version",
     op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply a CDC changelog to a snapshot: latest change per key wins;
     ``op='D'`` deletes, anything else upserts the change row's columns.
+
+    DETERMINISM CONTRACT: ``(key, version_col, op_col)`` must be unique in
+    the changelog — two changes sharing all three would get an arbitrary
+    ``row_number`` winner (run- and engine-dependent). Feeds that can
+    violate it (e.g. at-least-once CDC taps emitting same-version updates)
+    must pass ``tiebreak_cols`` — columns appended (descending) to the
+    winner ordering to make it total.
 
     Plan: one window over the changelog (keyed shuffle on the CHANGELOG
     only — typically a small fraction of the snapshot), then a left-anti
@@ -43,10 +51,9 @@ def apply_changelog(
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(version_col).desc(), F.col(op_col))
-    )
+    order = [F.col(version_col).desc(), F.col(op_col)]
+    order += [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: "str | list[str]",
     ts: str,
     right_cols: list[str],
     tolerance: int | None = None,
@@ -41,6 +41,8 @@ def asof_join(
     """Backward as-of join: for every left row, the right row with the
     greatest ``ts`` <= left ``ts`` for the same ``key`` (ties include
     equal timestamps — right side sorts first at the same instant).
+    ``key`` may be a single column or a composite list — the carry window
+    partitions on all of them (what ``asof_join_salted`` builds on).
 
     ``right`` must carry ``key``, ``ts``, and ``right_cols`` (the payload
     to attach; include a copy of the right timestamp if the caller needs
@@ -52,6 +54,7 @@ def asof_join(
     payload column when callers ordered right_cols differently).
 
     Returns all left columns + ``right_cols`` (NULL when unmatched)."""
+    keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     missing = [c for c in right_cols if c not in right.columns]
     if missing:
@@ -79,26 +82,26 @@ def asof_join(
                 "expected a numeric/timestamp column"
             )
     tagged_left = left.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.col(ts),
         F.lit(1).alias("__side"),
-        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.col(c) for c in lcols if c not in keys and c != ts],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
     )
     tagged_right = right.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.col(ts),
         F.lit(0).alias("__side"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
-            if c not in (key, ts)
+            if c not in keys and c != ts
         ],
         *[F.col(c) for c in right_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
 
-    w = Window.partitionBy(key).orderBy(ts, "__side")
+    w = Window.partitionBy(*keys).orderBy(ts, "__side")
     carried = unioned.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols]
     )
@@ -112,9 +115,42 @@ def asof_join(
             c: F.when(in_range, F.col(f"__m_{c}")) for c in right_cols
         }
     return out.select(
-        key, ts, *[c for c in lcols if c not in (key, ts)],
+        *keys, ts, *[c for c in lcols if c not in keys and c != ts],
         *[matched[c].alias(c) for c in right_cols],
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    n_salt: int = 8,
+    seed: int = 42,
+    tolerance: int | None = None,
+    right_ts_col: str | None = None,
+) -> DataFrame:
+    """Hot-key-safe as-of join (operators.skew composition the module
+    docstring promises): left rows scatter uniformly over ``n_salt``
+    sub-keys, right rows replicate to EVERY sub-key, and the carry window
+    partitions by ``(key, __salt)`` — a viral key's rows spread across
+    ``n_salt`` reducers instead of pinning one.
+
+    Semantics are identical to ``asof_join``: each left row still sees all
+    prior right rows for its key (the right side is replicated, not
+    split). Cost: right side x ``n_salt`` — the right/quote side is
+    normally orders of magnitude smaller than the event side, so this is
+    the standard replicate-the-small-side trade. Salt is seeded ``rand``
+    (uniform regardless of key skew; any distribution is correct since
+    every sub-key carries the full right history)."""
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    l2 = left.withColumn("__salt", F.floor(F.rand(seed) * n_salt).cast("int"))
+    r2 = right.withColumn("__salt", F.explode(salts))
+    out = asof_join(
+        l2, r2, [key, "__salt"], ts, right_cols, tolerance, right_ts_col
+    )
+    return out.drop("__salt")
 
 
 def range_join_buckets(
@@ -136,11 +172,11 @@ def range_join_buckets(
     bounds fan-out by the interval width — no theta-join, no cross
     product, one shuffle per side. Returns inner-join rows with all
     columns from both inputs."""
-    b = F.lit(bucket_width)
-
+    # exact integral division on longs — a double quotient can be one
+    # bucket off past 2^53 (epoch-nanos magnitudes), and points and
+    # intervals must bucket identically
     def _bk(c):
-        # integer floor-divide on longs (no double round-trip)
-        return ((F.col(c) - F.col(c) % b) / b).cast("long")
+        return F.expr(f"`{c}` div {bucket_width}").cast("long")
 
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(_bk(start), _bk(end)))
@@ -180,17 +216,19 @@ def interval_overlap_join(
     Returns inner-join rows (all columns of both sides) plus
     ``overlap`` = min(l_end, r_end) - max(l_start, r_start) >= 0.
     """
-    b = F.lit(bucket_width)
-
+    # exact integral division (`div`), never double division: at epoch-nanos
+    # magnitudes (>2^53) a float quotient can land one bucket off, and the
+    # explode bounds and the anchor must agree bit-for-bit
     def _bk(c):
-        col = F.col(c)
-        return ((col - col % b) / b).cast("long")
+        return F.expr(f"`{c}` div {bucket_width}").cast("long")
 
     lv = left.withColumn("__bucket", F.explode(F.sequence(_bk(l_start), _bk(l_end))))
     rv = right.withColumn("__bucket", F.explode(F.sequence(_bk(r_start), _bk(r_end))))
     lo = F.greatest(F.col(l_start), F.col(r_start))
     hi = F.least(F.col(l_end), F.col(r_end))
-    anchor = ((lo - lo % b) / b).cast("long")
+    anchor = F.expr(
+        f"(greatest(`{l_start}`, `{r_start}`)) div {bucket_width}"
+    ).cast("long")
     return (
         lv.join(rv, [key, "__bucket"])
         .filter((hi >= lo) & (F.col("__bucket") == anchor))

@@ -50,21 +50,39 @@ def ntz_to_epoch_micros(c):
     return minutes * 60_000_000 + sec_micros
 
 
-def ensure_ts_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def ensure_ts_nanos(
+    df: DataFrame, ts_col: str = "ts", long_factor: int | None = None
+) -> DataFrame:
     """Normalize ``ts_col`` to epoch-nanos long, whatever its physical type.
 
-    Long (nanosAsLong path) passes through with zero plan change.
-    TIMESTAMP_NTZ converts via tz-free wall-clock arithmetic (see
-    ``ntz_to_epoch_micros``); TIMESTAMP (LTZ) via ``unix_micros`` (an
-    instant -- already session-tz independent). The x1000 stays in long
-    range through year ~2262. Works on both static and streaming
-    DataFrames (pure projection, pre-watermark).
+    Long (nanosAsLong path) passes through with zero plan change when
+    already nanos; other epoch units are detected by magnitude and scaled
+    (see ``long_ts_factor``). TIMESTAMP_NTZ converts via tz-free
+    wall-clock arithmetic (see ``ntz_to_epoch_micros``); TIMESTAMP (LTZ)
+    via ``unix_micros`` (an instant -- already session-tz independent).
+    The x1000 stays in long range through year ~2262.
+
+    Streaming inputs: the timestamp branches are pure projections and work
+    unchanged. The LONG branch needs a data probe, which streaming plans
+    forbid — callers building a stream from a file source must pre-probe
+    the unit on a BATCH read of the same path and pass ``long_factor``
+    (``streaming/windows.run_stream_to_table`` does). A streaming long
+    column with no ``long_factor`` passes through untouched (the
+    nanosAsLong contract: replayed nanos parquet arrives as nanos longs).
     """
     if ts_col not in df.columns:
         return df
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.LongType):
-        return _long_ts_to_nanos(df, ts_col)
+        if long_factor is None:
+            if df.isStreaming:
+                return df
+            long_factor = long_ts_factor(df, ts_col)
+        if long_factor == 1:
+            return df
+        return df.withColumn(
+            ts_col, (F.col(ts_col) * F.lit(long_factor)).cast("long")
+        )
     c = F.col(ts_col)
     if isinstance(dt, T.TimestampNTZType):
         micros = ntz_to_epoch_micros(c)
@@ -74,30 +92,28 @@ def ensure_ts_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 # modern-era epoch magnitudes are ~1.7e9 s / 1.7e12 ms / 1.7e15 us /
-# 1.7e18 ns — four decades apart, so one sample row classifies the unit
-# unambiguously for any timestamp between 1973 and 2240
+# 1.7e18 ns — four decades apart, so the column's max magnitude classifies
+# the unit unambiguously for any timestamp between 1973 and 2240
 _NANOS_FLOOR = 10**17
 
 
-def _long_ts_to_nanos(df: DataFrame, ts_col: str) -> DataFrame:
-    """Classify a LONG ts column's epoch unit by magnitude and scale it
-    to nanos. The probe is ONE limit-1 row (bounded at any input size —
-    round-5 postmortem: testdata ts encodings drift between rounds, and
-    a silent nanos assumption on a millis column would corrupt every
-    window). Nanos-encoded inputs (the nanosAsLong path) pass through
-    with zero plan change."""
-    row = df.select(ts_col).filter(F.col(ts_col).isNotNull()).limit(1).collect()
-    if not row:
-        return df
-    v = abs(row[0][0])
-    if v >= _NANOS_FLOOR or v == 0:
-        return df
+def long_ts_factor(df: DataFrame, ts_col: str = "ts") -> int:
+    """Classify a LONG ts column's epoch unit by magnitude and return the
+    multiplier that rescales it to nanos (1 = already nanos / empty).
+
+    The probe is one small agg job — ``max(abs(ts))`` — deterministic at
+    any input size (round-6 advice: a limit-1 row is arbitrary and a
+    single 0/outlier row could misclassify the unit; the max of the
+    column cannot). Batch DataFrames only; round-5 postmortem: testdata
+    ts encodings drift between rounds, and a silent nanos assumption on a
+    millis column would corrupt every window."""
+    v = df.select(F.max(F.abs(F.col(ts_col)))).collect()[0][0]
+    if v is None or v == 0 or v >= _NANOS_FLOOR:
+        return 1
     factor = 1000
     while v * factor < _NANOS_FLOOR:
         factor *= 1000
-    return df.withColumn(
-        ts_col, (F.col(ts_col) * F.lit(factor)).cast("long")
-    )
+    return factor
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,7 +154,10 @@ def run_stream_to_table(
     import os
     import tempfile
 
-    schema = spark.read.parquet(parquet_path).schema
+    from pyspark.sql import types as T
+
+    batch = spark.read.parquet(parquet_path)
+    schema = batch.schema
     if os.path.isfile(parquet_path):
         # FileStreamSource wants a directory; replay a single file by
         # symlinking it into a scratch dir
@@ -165,10 +168,19 @@ def run_stream_to_table(
     if normalize_ts:
         # the events replay contract is epoch-nanos `ts` (see
         # sources/events.py) — normalize so transforms hold across
-        # parquet ts encodings (nanos-long vs micros-timestamp files)
-        from bun_csv_spark.sources.events import ensure_ts_nanos
+        # parquet ts encodings (nanos-long vs millis/micros-long vs
+        # micros-timestamp files). A long column's epoch unit needs a data
+        # probe, which streaming plans forbid, so probe the BATCH read of
+        # the same path and hand the factor to the streaming projection.
+        from bun_csv_spark.sources.events import ensure_ts_nanos, long_ts_factor
 
-        stream = ensure_ts_nanos(stream)
+        lf = (
+            long_ts_factor(batch, "ts")
+            if "ts" in batch.columns
+            and isinstance(batch.schema["ts"].dataType, T.LongType)
+            else None
+        )
+        stream = ensure_ts_nanos(stream, long_factor=lf)
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (

@@ -116,3 +116,71 @@ def test_long_ts_unit_detection(spark, tmp_path):
         # sub-unit digits truncate at write time; scaling restores the unit
         exp = {i + 1: (n // div) * div for i, n in enumerate(EPOCH_NANOS)}
         assert got == exp, unit
+
+
+def test_streaming_long_ts_nanos_passes_through(spark, tmp_path):
+    """Round-6 advice (high): ensure_ts_nanos on a STREAMING frame with a
+    long ts column must not probe (collect is illegal on streams). Nanos
+    longs — the nanosAsLong replay path — must pass through; other units
+    are handled by run_stream_to_table's batch-side probe (below)."""
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.streaming.windows import run_stream_to_table
+
+    d = tmp_path / "stream_ns"
+    d.mkdir()
+    _write_events(str(d), pa.array(EPOCH_NANOS, pa.int64()))
+
+    def transform(stream):
+        assert stream.isStreaming
+        return stream.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+
+    out = run_stream_to_table(
+        spark, str(d / "events.parquet"), transform, "complete", normalize_ts=True
+    )
+    got = {r.event_type: r.max_ts for r in out.collect()}
+    assert got == {
+        "click": EPOCH_NANOS[0],
+        "view": EPOCH_NANOS[1],
+        "purchase": EPOCH_NANOS[2],
+    }
+
+
+def test_streaming_long_ts_millis_rescaled_via_batch_probe(spark, tmp_path):
+    """A millis-encoded long ts column replayed through readStream still
+    arrives downstream as epoch nanos: the unit factor comes from a batch
+    read of the source path, the stream only carries the projection."""
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.streaming.windows import run_stream_to_table
+
+    d = tmp_path / "stream_ms"
+    d.mkdir()
+    _write_events(str(d), pa.array([n // 10**6 for n in EPOCH_NANOS], pa.int64()))
+
+    def transform(stream):
+        return stream.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+
+    out = run_stream_to_table(
+        spark, str(d / "events.parquet"), transform, "complete", normalize_ts=True
+    )
+    got = {r.event_type: r.max_ts for r in out.collect()}
+    assert got == {
+        "click": (EPOCH_NANOS[0] // 10**6) * 10**6,
+        "view": (EPOCH_NANOS[1] // 10**6) * 10**6,
+        "purchase": (EPOCH_NANOS[2] // 10**6) * 10**6,
+    }
+
+
+def test_long_ts_factor_deterministic_on_zero_rows(spark):
+    """Round-6 advice (low): the probe is max(abs(ts)) — a 0 in the data
+    or row-order nondeterminism can't misclassify the unit."""
+    from bun_csv_spark.sources.events import long_ts_factor
+
+    millis = EPOCH_NANOS[0] // 10**6
+    df = spark.createDataFrame(
+        [(0,), (millis,), (None,)], "ts long"
+    )
+    assert long_ts_factor(df) == 10**6
+    empty = spark.createDataFrame([], "ts long")
+    assert long_ts_factor(empty) == 1
