@@ -1822,14 +1822,20 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF ANN: Voronoi cells around the first 16 corpus vectors, query
-    probes the 2 nearest cells, brute-force within. Fully deterministic,
-    so DuckDB can replay the whole pipeline as the oracle."""
+    """IVF ANN: Voronoi cells around 16 centroids — seeded from the first
+    16 corpus vectors, then ONE Lloyd refinement pass (round-6 verdict
+    stretch: +0.075 avg recall@10 over 20 queries at the same nprobe, and
+    tighter cell balance). Query probes the 2 nearest cells, brute-force
+    within. Every step is pinned (rounded argmax, rounded means), so
+    DuckDB replays the whole pipeline — refinement included — as the
+    oracle."""
     from bun_csv_spark.operators.similarity import ann_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
-    return ann_ivf_topk(emb, list(qvec), k=10, n_centroids=16, nprobe=2)
+    return ann_ivf_topk(
+        emb, list(qvec), k=10, n_centroids=16, nprobe=2, refine_iters=1
+    )
 
 
 def q_top_tokens(spark, sf_dir):
@@ -2342,15 +2348,42 @@ def q_inverted_index(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _freshness_order(raw: "dict") -> "dict":
+    """Reorder the registry FRESHNESS-FIRST from the checked-in last-green
+    map (tools/registry_green.json): the driver's capped correctness run
+    covers the first `window` (50) entries, so gates sort by how little
+    oracle evidence they have — (1) never-checked / new gates (no
+    last_green), (2) gates whose last green predates a code or data-encoding
+    change (stale), (3) everything else, oldest green first. Ties keep the
+    raw declaration order. This replaces the manual per-round reshuffle the
+    round-6 verdict flagged (14 new gates silently outside the window);
+    tests/test_registry_order.py asserts the invariants, and the map is the
+    only thing to update each round (tools/update_registry_green.py)."""
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "registry_green.json")
+    try:
+        with open(path) as f:
+            green = _json.load(f)["gates"]
+    except (OSError, ValueError, KeyError):
+        return raw
+
+    def key(pair):
+        i, name = pair
+        g = green.get(name) or {}
+        lg = g.get("last_green")
+        bucket = 0 if lg is None else (1 if g.get("stale") else 2)
+        return (bucket, lg or 0, i)
+
+    ordered = sorted(enumerate(raw), key=key)
+    return {name: raw[name] for _, name in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered FRESHNESS-FIRST: the driver's capped run covers the first 50
-    # registry entries. Round-4 priority: (1) queries whose CODE PATH
-    # changed this round (a silent regression hides only in changed code),
-    # (2) new gates with no verdict yet, (3) all 28 gates whose last green
-    # verdict is round 1 — three rounds of churn ago, the round-3 verdict's
-    # top ask — then (4) the oldest round-2-green gates filling the
-    # remaining slots. Round-3-green entries bring up the rear.
-    return {
+    # Declaration order below is just grouping; the driver-visible order is
+    # computed by _freshness_order from tools/registry_green.json.
+    return _freshness_order({
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -2503,7 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_detect": q_lang_detect,
         "doc_fingerprint": q_doc_fingerprint,
-    }
+    })
 
 
 _LI_ORD_SQL = "(l_orderkey * 10 + l_linenumber)"
@@ -3879,11 +3912,29 @@ def oracle_sql() -> dict[str, str]:
         FROM nation GROUP BY 1
     """
 
+    # replays seeding + ONE Lloyd pass (rounded cosine argmax with
+    # larger-cid ties — the ivf_cell_expr/max-struct convention — then
+    # 6-dp elementwise means), then the refined Voronoi assignment + probe
     sql["ivf_ann"] = """
-        WITH cents AS (
-          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+        s0 AS (
+          SELECT vec_id AS cid, list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS cv
           FROM embeddings WHERE vec_id < 16),
-        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+        asg AS (
+          SELECT e.vec_id, e.embedding,
+                 (max(struct_pack(
+                    s := round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6),
+                    c := c.cid))).c AS cell
+          FROM embeddings e, s0 c
+          GROUP BY e.vec_id, e.embedding),
+        cents AS (
+          SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, round(avg(x), 6) AS m FROM (
+              SELECT cell, unnest(embedding)::DOUBLE AS x,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM asg)
+            GROUP BY cell, pos)
+          GROUP BY cell),
         assigned AS (
           SELECT e.vec_id, e.embedding,
                  (max(struct_pack(s := list_cosine_similarity(e.embedding::DOUBLE[], c.cv),
@@ -3891,14 +3942,10 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e, cents c
           GROUP BY e.vec_id, e.embedding),
         probes AS (
-          SELECT (max(struct_pack(s := list_cosine_similarity(q.qv, c.cv), c := c.cid))).c AS cell,
-                 1 AS rnk
-          FROM cents c, q
-          UNION ALL
-          SELECT cid, 2 FROM (
+          SELECT cid AS cell FROM (
             SELECT c.cid, row_number() OVER (
               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
-            FROM cents c, q) WHERE rn = 2)
+            FROM cents c, q) WHERE rn <= 2)
         SELECT a.vec_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
         FROM assigned a, q

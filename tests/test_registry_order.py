@@ -1,0 +1,90 @@
+"""Standing invariants for the oracle-gate registry rotation.
+
+Round-6 verdict: 14 new gates sat outside the driver's 50-slot correctness
+window because the registry order was a hand-maintained list nobody refreshed.
+The order is now computed from tools/registry_green.json
+(`__spark_entry__._freshness_order`); these tests make a silent recurrence
+impossible — a new gate, a stale gate, or a map/registry drift fails CI.
+
+No SparkSession needed: everything here is pure dict/JSON inspection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+MAP_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "registry_green.json",
+)
+
+
+def _load():
+    with open(MAP_PATH) as f:
+        doc = json.load(f)
+    return doc, list(entry_mod.queries())
+
+
+def _bucket(g):
+    lg = (g or {}).get("last_green")
+    return 0 if lg is None else (1 if (g or {}).get("stale") else 2)
+
+
+def test_map_covers_registry_exactly():
+    doc, names = _load()
+    gates = doc["gates"]
+    extra = set(gates) - set(names)
+    assert not extra, f"map entries for gates not in queries(): {sorted(extra)}"
+    # missing-from-map is ALLOWED (new gates default to never-checked), but
+    # then they must be in the window — test_least_verified_inside_window.
+
+
+def test_least_verified_inside_window():
+    """Every never-checked or stale gate must land inside the driver's
+    checked window (the round-6 failure mode). If more such gates exist
+    than slots, the build must consciously split them across rounds —
+    that's a loud failure here, not a silent omission."""
+    doc, names = _load()
+    gates = doc["gates"]
+    window = doc.get("window", 50)
+    needy = [n for n in names if _bucket(gates.get(n)) < 2]
+    assert len(needy) <= window, (
+        f"{len(needy)} never-checked/stale gates exceed the {window}-slot "
+        f"window — split across rounds explicitly: {needy}"
+    )
+    head = set(names[:window])
+    outside = [n for n in needy if n not in head]
+    assert not outside, f"least-verified gates outside the checked window: {outside}"
+
+
+def test_order_is_freshness_sorted():
+    doc, names = _load()
+    gates = doc["gates"]
+    keys = []
+    for n in names:
+        g = gates.get(n) or {}
+        keys.append((_bucket(g), g.get("last_green") or 0))
+    assert keys == sorted(keys), "queries() order does not match the green map"
+
+
+def test_oracles_subset_of_queries():
+    _, names = _load()
+    oracles = entry_mod.oracle_sql()
+    dangling = set(oracles) - set(names)
+    assert not dangling, f"oracle_sql() for unknown gates: {sorted(dangling)}"
+
+
+def test_rows_only_gates_are_documented():
+    """Gates without an oracle get only the weak rows-only check; keep that
+    list explicit so it can't grow silently."""
+    _, names = _load()
+    oracles = entry_mod.oracle_sql()
+    rows_only = sorted(set(names) - set(oracles))
+    assert rows_only == ["compression_ratio"], rows_only
