@@ -189,3 +189,57 @@ def test_knn_join_bucketed_rank_contract(spark, vecs):
         assert ranks == list(range(1, len(rs) + 1))
         ordered = sorted(rs, key=lambda r: (-r.cosine_sim, r.neighbor_id))
         assert [r.rank for r in ordered] == ranks
+
+
+def test_ivf_refined_centroids_recall_and_balance(spark, vecs):
+    """Round-6 verdict stretch: one Lloyd pass over the seeded IVF
+    centroids. MEASURE recall@10 (vs brute force) averaged over several
+    queries and cell balance, refined vs seeded — refinement must not
+    lose average recall at the same nprobe, and must not worsen the
+    hottest cell (the scan-cost bound at scale)."""
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_cell_expr,
+        refined_centroids,
+    )
+
+    qids = [0, 40, 80, 120, 160, 999]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in vecs.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    avg = {}
+    for iters in (0, 1):
+        tot = 0.0
+        for qv in qvecs.values():
+            truth = {r.vec_id for r in ann_brute_force(vecs, qv, k=10).collect()}
+            got = {
+                r.vec_id
+                for r in ann_ivf_topk(
+                    vecs, qv, k=10, n_centroids=8, nprobe=2, refine_iters=iters
+                ).collect()
+            }
+            tot += len(got & truth) / 10
+        avg[iters] = tot / len(qvecs)
+    assert avg[1] >= avg[0], avg
+    assert avg[1] >= 0.4, avg  # nprobe=2 of 8 cells must beat random slices
+
+    seeded = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in vecs.filter(F.col("vec_id") < 8).collect()
+    ]
+    refined = refined_centroids(vecs, n_centroids=8, n_iter=1)
+    assert len(refined) <= 8 and all(len(v) == 16 for _, v in refined)
+
+    def max_cell(cents):
+        sizes = (
+            vecs.select(ivf_cell_expr(F.col("embedding"), cents).alias("c"))
+            .groupBy("c")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    assert max_cell(refined) <= max_cell(seeded)
