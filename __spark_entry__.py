@@ -1565,6 +1565,69 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_streaming_watermark(spark, sf_dir):
+    """Watermark late-data DROP on the real engine (the one streaming
+    semantic the suite lacked): the events replay is staged as THREE
+    deterministic micro-batches — even event_ids, then ids%4==1, then
+    ids%4==3 (stage_phased_replay + maxFilesPerTrigger=1) — feeding an
+    APPEND-mode hourly aggregation with a 1-hour watermark.
+
+    Where every boundary comes from (probed empirically on this engine,
+    see tests/test_streaming_multimodal.py::test_watermark_drop_*):
+    the LATE-ROW FILTER in batch N uses the watermark computed through
+    batch N-2 (one batch behind the reported/eviction watermark), drops
+    whole windows (window.end <= wm), and the watermark itself is
+    ms-floored max event time minus the delay. So batch 1 drops nothing
+    (filter wm = epoch 0), batch 2 drops its rows whose hourly window
+    closed before max(batch-0 ts) - 1h, and windows still open at
+    max(all ts) - 1h are never emitted (the append-mode tail). The
+    oracle replays exactly that trajectory in SQL."""
+    import tempfile as _tempfile
+
+    from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
+    from bun_csv_spark.streaming.windows import (
+        run_stream_to_table,
+        stage_phased_replay,
+    )
+
+    ev = read_events(spark, sf_dir)
+    src = _tempfile.mkdtemp(prefix="wm_replay_")
+    stage_phased_replay(
+        ev,
+        [
+            ("even", F.col("event_id") % 2 == 0),
+            ("odd1", F.col("event_id") % 4 == 1),
+            ("odd3", F.col("event_id") % 4 == 3),
+        ],
+        src,
+    )
+
+    def transform(stream):
+        ts_t = ns_to_ntz_micros("ts").cast("timestamp")
+        return (
+            stream.withColumn("ts_t", ts_t)
+            .withWatermark("ts_t", "1 hour")
+            .groupBy(F.window("ts_t", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return run_stream_to_table(
+        spark, src, transform, output_mode="append",
+        normalize_ts=True, max_files_per_trigger=1,
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """REAL streaming dedup: dropDuplicatesWithinWatermark over the events
     replay. The watermark delay (30 days) exceeds the dataset's time span,
@@ -2449,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_watermark": q_streaming_watermark,
         "stratified_sample": q_stratified_sample,
         "dedup_embedding": q_dedup_embedding,
         "bm25": q_bm25,
@@ -3866,6 +3930,38 @@ def oracle_sql() -> dict[str, str]:
 
     sql["streaming_tumbling"] = sql["events_tumbling"]
     sql["streaming_session"] = sql["session_window_native"]
+
+    # replays the three-batch watermark trajectory (empirically pinned —
+    # see q_streaming_watermark): batches = even ids, ids%4==1, ids%4==3.
+    # The late filter for batch 2 uses wm1 = ms-floored max(batch-0 ts)
+    # minus 1h and drops whole windows (window.end <= wm1); batches 0/1
+    # drop nothing (their filter watermark is still epoch 0). Append mode
+    # emits a window once its end passes the final watermark
+    # wmF = ms-floored max(all ts) - 1h; later windows never emit.
+    sql["streaming_watermark"] = """
+        WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS tns, value
+                   FROM events),
+        wm1 AS (SELECT (max(tns) // 1000000) * 1000000 - 3600000000000 AS w
+                FROM e WHERE event_id % 2 = 0),
+        wmf AS (SELECT (max(tns) // 1000000) * 1000000 - 3600000000000 AS w
+                FROM e),
+        kept AS (
+          SELECT event_type, tns, value FROM e
+          WHERE event_id % 2 = 0 OR event_id % 4 = 1
+          UNION ALL
+          SELECT e.event_type, e.tns, e.value FROM e, wm1
+          WHERE e.event_id % 4 = 3
+            AND ((e.tns // 3600000000000) + 1) * 3600000000000 > wm1.w
+        )
+        SELECT strftime(make_timestamp((tns // 3600000000000) * 3600000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM kept, wmf
+        WHERE ((tns // 3600000000000) + 1) * 3600000000000 <= wmf.w
+        GROUP BY 1, 2
+    """
 
     sql["edit_overlay"] = """
         SELECT 0::BIGINT AS __row_idx, '900' AS n_nationkey,

@@ -137,12 +137,45 @@ def streaming_dedup(
     return src.dropDuplicates(keys)
 
 
+def stage_phased_replay(
+    df: DataFrame, phases: list[tuple[str, "F.Column"]], out_dir: str
+) -> str:
+    """Write a DataFrame as an ordered sequence of parquet 'arrival phase'
+    files for FileStreamSource replay: phase i becomes one file whose
+    mtime orders it i-th, so ``maxFilesPerTrigger=1`` replays each phase
+    as its OWN micro-batch. This is the deterministic late-data harness —
+    the watermark advances between batches exactly where the phase
+    predicates put it, so an engine-replaying oracle can restate the drop
+    decision row by row. ``phases`` = [(name, filter Column)]; phases
+    should partition the input (rows matching no phase are silently
+    absent from the replay).
+
+    Test-harness shape: each phase coalesces to one file (the replay is
+    sf-bounded by construction); production late-data handling needs no
+    staging — real sources arrive in real order."""
+    import glob
+    import os
+    import shutil
+
+    for i, (name, cond) in enumerate(phases):
+        build = os.path.join(out_dir, f"__build_{name}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(build)
+        part = glob.glob(os.path.join(build, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{i:02d}_{name}.parquet")
+        shutil.move(part, dst)
+        # distinct ascending mtimes pin the FileStreamSource batch order
+        os.utime(dst, (1_000_000_000 + i * 3600, 1_000_000_000 + i * 3600))
+        shutil.rmtree(build)
+    return out_dir
+
+
 def run_stream_to_table(
     spark: SparkSession,
     parquet_path: str,
     transform,
     output_mode: str = "complete",
     normalize_ts: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay a static parquet file through readStream, apply ``transform``
     (DataFrame -> DataFrame), drain synchronously into an in-memory table,
@@ -164,7 +197,12 @@ def run_stream_to_table(
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
         parquet_path = d
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # AvailableNow honors maxFilesPerTrigger, so an N-file source dir
+        # replays as N micro-batches (see stage_phased_replay)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
     if normalize_ts:
         # the events replay contract is epoch-nanos `ts` (see
         # sources/events.py) — normalize so transforms hold across

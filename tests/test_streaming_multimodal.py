@@ -409,3 +409,98 @@ def test_wav_roundtrip_property():
         )
 
     check()
+
+
+def _phased_stream_agg(spark, tmp_path, batches, delay="1 hour"):
+    """Replay hand-built (mtime-ordered) single-row-group parquet batches
+    through an append-mode hourly count with a watermark; returns
+    (per-batch progress, result rows)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / f"wm_{uuid.uuid4().hex[:6]}"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        t = pa.table({"ts": pa.array(rows, pa.timestamp("us")),
+                      "k": pa.array(["a"] * len(rows))})
+        p = str(d / f"{i:02d}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (1_000_000_000 + i * 3600,) * 2)
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = (
+        stream.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", delay)
+        .groupBy(F.window("ts_t", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    prog = [
+        (p["batchId"],
+         (p["stateOperators"][0] if p["stateOperators"] else {}).get(
+             "numRowsDroppedByWatermark"))
+        for p in q.recentProgress
+    ]
+    rows = {
+        (r["window"]["start"].hour, r["n"])
+        for r in spark.table(name).collect()
+    }
+    return prog, rows
+
+
+def test_watermark_drop_lags_one_batch(spark, tmp_path):
+    """Pins the engine behavior the streaming_watermark oracle replays:
+    the late filter in batch N uses the watermark computed through batch
+    N-2, so a late row in batch 1 is still AGGREGATED AND EMITTED, while
+    the same row arriving in batch 2 is dropped."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    late = base.replace(hour=0, minute=30)
+    # late row in batch 1: filter wm is still epoch 0 -> kept + emitted
+    prog, rows = _phased_stream_agg(
+        spark, tmp_path,
+        [[base.replace(hour=10)], [late, base.replace(hour=10, minute=30)]],
+    )
+    assert (0, 1) in rows, (prog, rows)
+    # late row in batch 2: filter wm = max(batch-0) - 1h = 09:00 -> dropped
+    prog, rows = _phased_stream_agg(
+        spark, tmp_path,
+        [[base.replace(hour=10)], [base.replace(hour=10, minute=30)],
+         [late, base.replace(hour=23)]],
+    )
+    assert all(h != 0 for h, _ in rows), (prog, rows)
+    assert any(n_drop == 1 for _, n_drop in prog), prog
+
+
+def test_watermark_drop_is_window_end_based(spark, tmp_path):
+    """Pins the drop predicate: a batch-2 row older than the watermark
+    but whose WINDOW is still open (end > wm) is kept — the filter keys
+    on window end, not the row timestamp."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    prog, rows = _phased_stream_agg(
+        spark, tmp_path,
+        [[base.replace(hour=10)], [base.replace(hour=10, minute=30)],
+         # batch-2 filter wm = 09:30; 09:15 < wm but window [09,10) end
+         # 10:00 > wm -> kept; 08:15's window end 09:00 <= wm -> dropped
+         [base.replace(hour=9, minute=15), base.replace(hour=8, minute=15),
+          base.replace(hour=23)]],
+        delay="30 minutes",
+    )
+    assert (9, 1) in rows, (prog, rows)
+    assert all(h != 8 for h, _ in rows), (prog, rows)
