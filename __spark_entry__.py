@@ -2406,6 +2406,86 @@ def q_inverted_index(spark, sf_dir):
     return build_inverted_index(_t(spark, sf_dir, "documents"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct counts (md5 registers, exact
+    integer register sums — engine-portable, unlike approx_count_distinct):
+    per-event-type distinct users at p=8 (exercises the linear-counting
+    branch) unioned with the global distinct event-id estimate at p=12
+    (the raw-estimator branch)."""
+    from bun_csv_spark.functions.sketches import hll_distinct
+
+    ev = read_events(spark, sf_dir)
+    by_type = hll_distinct(ev, ["event_type"], "user_id", p=8).select(
+        F.col("event_type").alias("scope"), "est_distinct"
+    )
+    glob = hll_distinct(
+        ev.withColumn("__g", F.lit("all_event_ids")), ["__g"], "event_id", p=12
+    ).select(F.col("__g").alias("scope"), "est_distinct")
+    return by_type.unionByName(glob)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement: 25 docs
+    with inclusion probability proportional to length, via deterministic
+    md5 uniforms and a TakeOrderedAndProject top-k (no global sort)."""
+    from bun_csv_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 25).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
+def q_transition_counts(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: (prev_state, state) counts + out-of-state probabilities —
+    one lag window (single keyed shuffle) + STATE^2-sized aggregates."""
+    from bun_csv_spark.operators.timeseries import transition_counts
+
+    return transition_counts(read_events(spark, sf_dir))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Within-corpus duplicated-span detection (Lee et al. span-level
+    dedup): maximal token ranges whose every 8-token window appears in
+    >= 2 docs — gram-hash aggregate + interval-merge window, no
+    all-pairs."""
+    from bun_csv_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Surgical removal of the duplicated spans: tokens covered by a
+    span are cut via a positional array filter (pure codegen, no explode
+    of the kept tokens); untouched docs pass through the left join."""
+    from bun_csv_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, n=8, min_docs=2)
+    return remove_duplicate_spans(docs, spans)
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding column as (i, j,
+    cov) rows — one corpus pass, map-side-combined dim^2 partials; the
+    bounded summary driver-side PCA/whitening consumes."""
+    from bun_csv_spark.operators.clustering import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding", 64)
+
+
+def q_pca_project(spark, sf_dir):
+    """PCA projection onto the top-2 principal components: distributed
+    covariance -> driver eigh on the bounded dim x dim matrix ->
+    projection as a pure Column fold with literal eigenvectors
+    (sign-pinned, 6dp-rounded covariance for determinism). Driver-side
+    eigen is not SQL-expressible -> rows-only gate by design."""
+    from bun_csv_spark.operators.clustering import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, k=2)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2447,6 +2527,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 7 ----------------------------------------------------
+        "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
+        "transition_counts": q_transition_counts,
+        "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_project": q_pca_project,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -4767,6 +4855,163 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM j
         WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+    """
+
+    # -- round-7 additions ---------------------------------------------------
+    # (pca_project is rows-only by design: driver-side eigh has no SQL twin)
+
+    _hll_ctes = """
+        h{x} AS (
+          SELECT {grp} AS g, md5('hll:' || {val}::VARCHAR) AS d FROM events),
+        r{x} AS (
+          SELECT g, CAST('0x' || substr(d, 1, {bh}) AS BIGINT) AS b,
+                 ltrim(substr(d, {bh} + 1, 13), '0') AS s
+          FROM h{x}),
+        rho{x} AS (
+          SELECT g, b,
+                 CASE WHEN length(s) = 0 THEN 53
+                      ELSE 4 * (13 - length(s)) +
+                           CASE WHEN substr(s, 1, 1) = '1' THEN 3
+                                WHEN substr(s, 1, 1) IN ('2', '3') THEN 2
+                                WHEN substr(s, 1, 1) IN ('4','5','6','7') THEN 1
+                                ELSE 0 END + 1
+                 END AS rho
+          FROM r{x}),
+        regs{x} AS (SELECT g, b, max(rho) AS mx FROM rho{x} GROUP BY 1, 2),
+        agg{x} AS (
+          SELECT g, sum(CAST(power(2.0, 53 - mx) AS BIGINT)) AS z,
+                 count(*) AS nb
+          FROM regs{x} GROUP BY 1),
+        est{x} AS (
+          SELECT g, nb,
+                 {alpha_mm} / (z / 9007199254740992.0 + ({m} - nb)) AS raw
+          FROM agg{x})
+    """
+    _hll_sel = """
+        SELECT g AS scope,
+               round(CASE WHEN raw <= {lc_cut} AND ({m} - nb) > 0
+                          THEN {m}.0 * ln({m}.0 / ({m} - nb))
+                          ELSE raw END, 4) AS est_distinct
+        FROM est{x}
+    """
+    from bun_csv_spark.functions.sketches import _hll_alpha
+
+    _a = dict(x="_a", grp="event_type", val="user_id", bh=2,
+              alpha_mm=repr(_hll_alpha(256) * 256 * 256), m=256,
+              lc_cut=repr(2.5 * 256))
+    _b = dict(x="_b", grp="'all_event_ids'", val="event_id", bh=3,
+              alpha_mm=repr(_hll_alpha(4096) * 4096 * 4096), m=4096,
+              lc_cut=repr(2.5 * 4096))
+    sql["hll_distinct"] = (
+        "WITH " + _hll_ctes.format(**_a) + ", " + _hll_ctes.format(**_b)
+        + _hll_sel.format(**_a) + " UNION ALL " + _hll_sel.format(**_b)
+    )
+
+    sql["weighted_sample"] = """
+        SELECT doc_id, n_chars,
+               round(power(
+                 (CAST('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15)
+                       AS BIGINT) + 1) / 1152921504606846976.0,
+                 1.0 / n_chars), 9) AS sample_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY sample_key DESC, doc_id
+        LIMIT 25
+    """
+
+    sql["transition_counts"] = """
+        WITH s AS (
+          SELECT event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+          FROM events)
+        SELECT prev AS prev_state, event_type AS state,
+               count(*)::BIGINT AS n,
+               round(count(*)::DOUBLE /
+                     sum(count(*)) OVER (PARTITION BY prev), 6) AS prob
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    """
+
+    _dup_span_cte = """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+        grams AS (
+          SELECT doc_id, p AS pos,
+                 md5(array_to_string(t[p:p+7], ' ')) AS h
+          FROM toks, UNNEST(range(1, len(t) - 6)) AS u(p)
+          WHERE len(t) >= 8),
+        hot AS (SELECT h FROM grams GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e
+                FROM grams g JOIN hot USING (h)),
+        mrk AS (
+          SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pme
+          FROM dup),
+        flg AS (
+          SELECT doc_id, pos, e,
+                 CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS nw
+          FROM mrk),
+        sp AS (
+          SELECT doc_id, pos, e,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+          FROM flg),
+        spans AS (
+          SELECT doc_id, min(pos)::BIGINT AS span_start,
+                 max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+          FROM sp GROUP BY doc_id, sid)
+    """
+
+    sql["dup_spans"] = _dup_span_cte + """
+        SELECT doc_id, span_start, span_end, n_windows FROM spans
+    """
+
+    sql["dup_span_removal"] = _dup_span_cte + """,
+        tok_rows AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 generate_subscripts(t, 1)::BIGINT AS i
+          FROM toks),
+        kept AS (
+          SELECT tr.doc_id,
+                 string_agg(tr.tok, ' ' ORDER BY tr.i) AS txt,
+                 count(*) AS n_kept
+          FROM tok_rows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tr.doc_id
+              AND tr.i BETWEEN s.span_start AND s.span_end)
+          GROUP BY tr.doc_id),
+        spanned AS (SELECT DISTINCT doc_id FROM spans)
+        SELECT d.doc_id,
+               CASE WHEN sp.doc_id IS NULL THEN d.text
+                    ELSE coalesce(k.txt, '') END AS clean_text,
+               CASE WHEN sp.doc_id IS NULL THEN 0
+                    ELSE len(t.t) - coalesce(k.n_kept, 0)
+               END::BIGINT AS n_tokens_removed
+        FROM documents d
+        JOIN toks t ON t.doc_id = d.doc_id
+        LEFT JOIN spanned sp ON sp.doc_id = d.doc_id
+        LEFT JOIN kept k ON k.doc_id = d.doc_id
+    """
+
+    sql["embedding_covariance"] = """
+        WITH prs AS (
+          SELECT i, j,
+                 embedding[i + 1]::DOUBLE AS vi,
+                 embedding[j + 1]::DOUBLE AS vj
+          FROM embeddings,
+               UNNEST(range(0, 64)) AS a(i),
+               UNNEST(range(0, 64)) AS b(j)),
+        m AS (
+          SELECT i, j, sum(vi * vj) AS sxy, sum(vi) AS sx, sum(vj) AS sy,
+                 count(*) AS n
+          FROM prs GROUP BY 1, 2)
+        SELECT i::BIGINT AS i, j::BIGINT AS j,
+               round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
+        FROM m
     """
 
     return sql

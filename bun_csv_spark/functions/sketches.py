@@ -65,3 +65,91 @@ def kmv_distinct(
         .otherwise(F.lit(float(k - 1)) * F.lit(KMV_DOMAIN) / F.col("__uk"))
     )
     return per.select(*key_cols, F.round(est, 4).alias("est_distinct"))
+
+
+#: HLL register width: 13 hex chars = 52 bits of hash tail per register,
+#: so 2^(53-rho) is an exact LONG and register sums are integer-exact
+#: (order-independent — double sums of 2^-rho would round differently
+#: between Spark's and DuckDB's reduction orders).
+HLL_TAIL_HEX = 13
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias constant from Flajolet et al., "HyperLogLog: the analysis of a
+    near-optimal cardinality estimation algorithm" (AofA 2007), Fig. 3."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic HyperLogLog.
+
+    Why not ``approx_count_distinct``: Spark's HLL++ and DuckDB's HLL hash
+    differently, so their estimates can never be value-compared. This
+    sketch derives every register from md5 — identical in both engines —
+    so the ESTIMATE itself is bit-reproducible and oracle-checkable, while
+    keeping HLL's scale property: per-group state is m = 2^p registers
+    (one shuffle carrying at most m rows per group after the map-side
+    max-combine), never the distinct set.
+
+    Register layout: the md5 hex digest splits into a ``p``-bit bucket
+    (first p/4 hex chars; p must be a multiple of 4) and a 52-bit tail;
+    rho = leading-zero bits of the tail + 1, computed with string ops
+    (regexp strip of leading '0' chars + a 15-way CASE on the first
+    nonzero char) that restate verbatim in DuckDB SQL. Register sums use
+    exact integers (2^(53-rho) as LONG) so no floating-point reduction
+    order can perturb the estimate. Includes the small-range linear-
+    counting correction (E <= 2.5m with empty registers).
+
+    Standard error ~= 1.04/sqrt(m) (~6.5% at p=8). Returns
+    (key_cols..., est_distinct double rounded to 4dp).
+    """
+    if p % 4 != 0:
+        raise ValueError("p must be a multiple of 4 (hex-char bucket split)")
+    m = 1 << p
+    bucket_hex = p // 4
+    c = F.col(value_col)
+    digest = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
+    bucket = F.conv(F.substring(digest, 1, bucket_hex), 16, 10).cast("long")
+    tail = F.substring(digest, bucket_hex + 1, HLL_TAIL_HEX)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_in_char = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, F.lit(4 * HLL_TAIL_HEX + 1)).otherwise(
+        F.lit(4) * (F.lit(HLL_TAIL_HEX) - F.length(stripped)) + lz_in_char + F.lit(1)
+    )
+    regs = (
+        df.select(*key_cols, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*key_cols, "__b")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # 2^(53-M) is exact as a double for M in [1, 53] and fits a LONG
+    word = F.pow(F.lit(2.0), (F.lit(53) - F.col("__M")).cast("double")).cast("long")
+    per = regs.groupBy(*key_cols).agg(
+        F.sum(word).alias("__z"), F.count(F.lit(1)).alias("__nb")
+    )
+    two53 = float(1 << 53)
+    zeros = F.lit(m) - F.col("__nb")
+    z_total = F.col("__z").cast("double") / F.lit(two53) + zeros.cast("double")
+    raw = F.lit(_hll_alpha(m) * m * m) / z_total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per.select(*key_cols, F.round(est, 4).alias("est_distinct"))

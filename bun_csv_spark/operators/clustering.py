@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "embedding_covariance", "pca_project"]
 
 
 def _dist(vec, cen):
@@ -115,3 +115,109 @@ def kmeans(
     return final.select(
         F.col("__id").alias(id_col), F.col("cluster").cast("long"), "dist"
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column as (i, j, cov)
+    rows — the distributed half of PCA (and of whitening / Mahalanobis
+    scoring): one pass over the corpus produces a dim×dim summary, and
+    everything afterwards is driver-side linear algebra on a bounded
+    matrix.
+
+    Plan: each row fans out to its dim² (i, j, vi·vj) products via two
+    chained explodes over index sequences; partial aggregation combines
+    them map-side, so the shuffle carries at most dim² rows PER TASK
+    regardless of corpus size — at 100 TB the reduce input is
+    (tasks × dim²) partial sums, never (rows × dim²). Means come from
+    the same pass's diagonal-free first moments (a second tiny aggregate
+    over dim rows). cov = E[xy] − E[x]E[y] (population, ÷n), rounded 6dp
+    to absorb engine summation-order ULPs.
+
+    Returns (i, j, cov) with 0-based i, j — dim² rows."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    v = F.col(vec_col)
+    rows = (
+        embeddings.select(v.alias("__v"))
+        .withColumn("i", F.explode(idx))
+        .withColumn("__vi", F.element_at("__v", F.col("i") + 1).cast("double"))
+        .withColumn("j", F.explode(idx))
+        .withColumn("__vj", F.element_at("__v", F.col("j") + 1).cast("double"))
+    )
+    moments = rows.groupBy("i", "j").agg(
+        F.sum(F.col("__vi") * F.col("__vj")).alias("__sxy"),
+        F.sum("__vi").alias("__sx"),
+        F.sum("__vj").alias("__sy"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    cov = F.col("__sxy") / n - (F.col("__sx") / n) * (F.col("__sy") / n)
+    # + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0): engines
+    # reach a tiny-negative-rounds-to-zero cov in different sum orders, and
+    # a -0.0/0.0 split breaks value-hash comparison even though the values
+    # are equal
+    return moments.select(
+        F.col("i").cast("long"),
+        F.col("j").cast("long"),
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 2,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Two stages with a hard size boundary between them: (1) the
+    DISTRIBUTED covariance pass above, collected as dim² bounded rows —
+    the only collect, corpus-size-independent; (2) a driver-side
+    ``numpy.linalg.eigh`` on the dim×dim matrix (symmetric, exact), then
+    the projection y_c = Σ_i (x_i − μ_i)·w_ci runs as a pure Column
+    fold with the eigenvectors baked in as plan literals — codegen'd,
+    zero shuffle, no Python on the data path, and the SAME plan shape a
+    1000-executor run would use.
+
+    Determinism: eigh is deterministic for a fixed matrix, the matrix is
+    6dp-rounded, and each component's sign is pinned (largest-magnitude
+    coordinate made positive) so the output never flips between runs.
+    Components are ordered by descending eigenvalue. Returns
+    (id, pc0..pc{k-1} rounded 4dp)."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(embeddings, vec_col, dim).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    C = (C + C.T) / 2.0
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:k]
+    mean_rows = (
+        embeddings.select(F.posexplode(vec_col).alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(F.avg("__x").alias("__m"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["__p"]] = r["__m"]
+
+    out = [F.col(id_col)]
+    for c, comp_idx in enumerate(order):
+        w = evecs[:, comp_idx].copy()
+        pin = int(np.argmax(np.abs(w)))
+        if w[pin] < 0:
+            w = -w
+        proj = F.lit(0.0)
+        for i in range(dim):
+            proj = proj + (
+                F.element_at(vec_col, i + 1).cast("double") - F.lit(float(mu[i]))
+            ) * F.lit(float(w[i]))
+        out.append((F.round(proj, 4) + F.lit(0.0)).alias(f"pc{c}"))
+    return embeddings.select(*out)

@@ -643,6 +643,44 @@ def balanced_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-Res key (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006): each row gets key = u^(1/w) with u uniform in
+    (0, 1]; the k largest keys are a weighted sample without replacement.
+    The mixture-building primitive the temperature/budget samplers can't
+    express: pick exactly k docs with inclusion probability proportional
+    to an arbitrary per-row weight (quality score, token count, domain
+    boost).
+
+    u is md5-derived (deterministic, rerun-stable, engine-portable — the
+    same k rows are chosen on any engine); rows with weight <= 0 or NULL
+    are excluded, matching the estimator's domain. Top-k by key is
+    orderBy+limit → ``TakeOrderedAndProject``: a per-partition k-row heap
+    and a k-row reduce at the driver — no global sort, no shuffle of the
+    data, scales to any corpus size for sane k.
+
+    Returns the sampled rows plus ``sample_key`` (rounded 9dp)."""
+    from bun_csv_spark.functions.sketches import KMV_DOMAIN, md5_uniform_long
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # (hash+1)/2^60 lies in (0, 1] — never 0, so pow/log are safe
+    u = (md5_uniform_long(id_col, salt) + F.lit(1)).cast("double") / F.lit(KMV_DOMAIN)
+    key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", F.round(key, 9))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def curriculum_shards(
     df: DataFrame,
     difficulty_col: str = "n_chars",

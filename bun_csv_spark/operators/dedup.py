@@ -710,3 +710,118 @@ def editdist_verify(
     return joined.select(
         "id_a", "id_b", lev.cast("long").alias("lev"), F.round(sim, 6).alias("sim")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Within-corpus duplicated-SPAN detection: the maximal token ranges
+    of each document whose every length-``n`` token window also appears
+    in at least ``min_docs`` documents — the span-level removal target of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (reference's dedup is whole-row; training corpora need the
+    repeated boilerplate *inside* otherwise-unique docs found too).
+    Complements ``shared_substring_pairs`` (which pairs documents): this
+    one says WHERE the duplication sits so it can be cut.
+
+    Plan: tokenize once, build every n-gram with its token position as a
+    single transform+posexplode (no per-gram re-scan of the text); hash
+    grams with md5 (engine-portable); one aggregate over the gram hash
+    counts distinct docs (map-side combine collapses within-doc repeats);
+    equi-join qualifying hashes back to positions; then merge
+    overlapping/adjacent [pos, pos+n-1] windows into maximal spans with
+    the classic running-max-end interval merge — one keyed window per
+    doc, bounded frames. Every shuffle key is the gram hash or the doc
+    id; nothing is all-pairs, nothing collects.
+
+    Returns (id, span_start, span_end, n_windows) with token-index
+    (1-based, inclusive) span bounds."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda p: F.md5(
+                        F.array_join(F.slice(toks, p, n), " ")
+                    ),
+                ),
+            )
+        ).alias("__p0", "h"),
+    ).select(id_col, (F.col("__p0") + 1).cast("long").alias("pos"), "h")
+
+    hot = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    dup = grams.join(hot, "h").select(
+        id_col, "pos", (F.col("pos") + n - 1).alias("end")
+    )
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "__new", F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
+    ).withColumn("__span", F.sum("__new").over(wo))
+    return (
+        flagged.groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__span")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the spans found by ``duplicate_spans`` out of each document,
+    keeping every token not covered by a span — the surgical companion,
+    same shape as ``decontaminate_surgical`` but against within-corpus
+    duplication instead of a benchmark.
+
+    Per-doc span lists are collected into an array (bounded by spans per
+    doc, not corpus size) and the keep-filter runs as one positional
+    ``F.filter`` lambda over the token array — pure codegen, no explode
+    of the tokens, no Python. Docs with no spans pass through untouched
+    via the left join. Returns (id, clean_text, n_tokens_removed)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))),
+        lambda s: ~covered(s["i"]),
+    )
+    out = df.join(per_doc, id_col, "left")
+    clean = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+    removed = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    return out.select(
+        id_col,
+        clean.alias("clean_text"),
+        removed.cast("long").alias("n_tokens_removed"),
+    )

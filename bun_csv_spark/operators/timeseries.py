@@ -173,3 +173,45 @@ def temporal_holdout_split(
         r <= F.ceil(n * F.lit(test_frac)), F.lit("test")
     ).otherwise(F.lit("train"))
     return df.select("event_id", key_col, split.alias("split"))
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_break_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for each (prev_state, state) pair, how often does an
+    entity's event of type ``prev_state`` get immediately followed by
+    ``state``, and what fraction of all transitions out of ``prev_state``
+    is that — the session-flow / funnel-discovery summary (page-path
+    analysis) the funnel operator's fixed stage list can't express.
+
+    Plan: one lag window per entity (single keyed shuffle — sequences
+    stay inside their entity partition, so cost scales with entities,
+    not a global sort), then a (prev, curr) count aggregate, then the
+    out-of-prev normalizer as a second tiny aggregate over the already
+    STATE×STATE-sized counts — never a second pass over the events.
+    Ordering is made total with ``order_break_col`` so same-timestamp
+    events transition deterministically on any engine.
+
+    Returns (prev_state, state, n double-rounded prob 6dp) rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).cast("long"), F.col(order_break_col)
+    )
+    pairs = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_state"), F.col(state_col).alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_total = Window.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(out_total), 6).alias("prob"),
+    )

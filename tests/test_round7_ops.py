@@ -1,0 +1,231 @@
+"""Round-7 operators: deterministic HLL, weighted sampling, Markov
+transitions, duplicated-span detection/removal, covariance + PCA."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.functions.sketches import hll_distinct
+from bun_csv_spark.operators.clustering import embedding_covariance, pca_project
+from bun_csv_spark.operators.corpus import weighted_sample
+from bun_csv_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+from bun_csv_spark.operators.timeseries import transition_counts
+
+
+# --- HLL -------------------------------------------------------------------
+
+
+def test_hll_small_group_linear_counting(spark):
+    # 3 distinct values in one group: far below 2.5m, linear-counting branch
+    df = spark.createDataFrame(
+        [("g", v) for v in ["a", "b", "c", "a", "b"]], ["grp", "v"]
+    )
+    est = hll_distinct(df, ["grp"], "v", p=8).collect()[0]["est_distinct"]
+    assert abs(est - 3.0) < 0.2  # linear counting is near-exact this low
+
+
+def test_hll_large_accuracy_and_determinism(spark):
+    n = 5000
+    df = spark.range(n).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    est1 = hll_distinct(df, ["grp"], "v", p=12).collect()[0]["est_distinct"]
+    est2 = hll_distinct(
+        df.repartition(7), ["grp"], "v", p=12
+    ).collect()[0]["est_distinct"]
+    assert est1 == est2  # partitioning can't perturb the estimate
+    assert abs(est1 - n) / n < 0.08  # ~5 sigma at p=12 (sigma ~1.6%)
+
+
+def test_hll_matches_pure_python_reference(spark):
+    # bit-for-bit against an independent hashlib implementation
+    import hashlib
+
+    vals = [f"item{i}" for i in range(500)]
+    p, m = 8, 256
+    regs: dict[int, int] = {}
+    for v in vals:
+        d = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+        b = int(d[:2], 16)
+        s = d[2:15].lstrip("0")
+        if not s:
+            rho = 53
+        else:
+            lz = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+                s[0], 0
+            )
+            rho = 4 * (13 - len(s)) + lz + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    z = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / z
+    v0 = m - len(regs)
+    expect = m * math.log(m / v0) if raw <= 2.5 * m and v0 > 0 else raw
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    est = hll_distinct(df, ["grp"], "v", p=8).collect()[0]["est_distinct"]
+    assert est == round(expect, 4)
+
+
+# --- weighted sample -------------------------------------------------------
+
+
+def test_weighted_sample_exact_k_and_determinism(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    s1 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 30).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(5), "doc_id", "w", 30).collect()
+    }
+    assert s1 == s2 and len(s1) == 30
+
+
+def test_weighted_sample_bias_toward_heavy_rows(spark):
+    # weight 100 vs weight 1: heavy rows must dominate the sample
+    rows = [(i, 100) for i in range(100)] + [(i + 100, 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, "doc_id", "w", 50).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 40
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None), (5, 2)], ["doc_id", "w"]
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+# --- transition counts -----------------------------------------------------
+
+
+def test_transition_counts_hand_example(spark):
+    rows = [
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+        (4, 2, 10, "a"), (5, 2, 20, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["prev_state"], r["state"]): (r["n"], r["prob"])
+        for r in transition_counts(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_counts_prob_normalizes(spark):
+    rows = [
+        (1, 1, 10, "a"), (2, 1, 20, "b"),
+        (3, 1, 30, "a"), (4, 1, 40, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(df).collect()
+    by_prev: dict[str, float] = {}
+    for r in out:
+        by_prev[r["prev_state"]] = by_prev.get(r["prev_state"], 0.0) + r["prob"]
+    for total in by_prev.values():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_transition_counts_ties_break_on_event_id(spark):
+    # same timestamp: event_id makes the order total -> a...b, never b...a
+    rows = [(1, 1, 10, "a"), (2, 1, 10, "b")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = [(r["prev_state"], r["state"]) for r in transition_counts(df).collect()]
+    assert got == [("a", "b")]
+
+
+# --- duplicated spans ------------------------------------------------------
+
+
+BOILER = "this is the shared license header that repeats verbatim everywhere ok"
+
+
+def _span_docs(spark):
+    rows = [
+        (1, BOILER + " unique tail one two three"),
+        (2, BOILER + " different ending for doc two"),
+        (3, "totally unique text with no duplication at all present here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_finds_shared_prefix(spark):
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, n=8, min_docs=2).collect()
+    by_doc = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans}
+    n_boiler = len(BOILER.split())
+    # both docs report the boilerplate token range, doc 3 reports nothing
+    assert by_doc[1] == (1, n_boiler) and by_doc[2] == (1, n_boiler)
+    assert 3 not in by_doc
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, n=8, min_docs=2)
+    # every window of the shared region merges into ONE maximal span per doc
+    assert spans.count() == 2
+    n_windows = {r["doc_id"]: r["n_windows"] for r in spans.collect()}
+    assert n_windows[1] == len(BOILER.split()) - 8 + 1
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, n=8, min_docs=2)
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "unique tail one two three"
+    assert out[1]["n_tokens_removed"] == len(BOILER.split())
+    assert out[3]["clean_text"].startswith("totally unique")
+    assert out[3]["n_tokens_removed"] == 0
+
+
+# --- covariance + PCA ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def toy_vectors():
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 4))
+    base[:, 1] = base[:, 0] * 2.0 + rng.normal(scale=0.01, size=40)  # corr dims
+    return base
+
+
+def test_embedding_covariance_matches_numpy(spark, toy_vectors):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(toy_vectors)],
+        ["vec_id", "embedding"],
+    )
+    got = embedding_covariance(df, "embedding", 4).collect()
+    C = np.cov(toy_vectors.T, bias=True)
+    for r in got:
+        assert abs(r["cov"] - round(C[r["i"], r["j"]], 6)) <= 1e-6
+
+
+def test_pca_project_captures_dominant_direction(spark, toy_vectors):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(toy_vectors)],
+        ["vec_id", "embedding"],
+    )
+    out = pca_project(df, "vec_id", "embedding", 4, k=2).toPandas()
+    assert list(out.columns) == ["vec_id", "pc0", "pc1"]
+    # pc0 must carry (much) more variance than pc1, and reproduce numpy's
+    # top eigenvalue of the 6dp-rounded covariance
+    v0, v1 = out["pc0"].var(ddof=0), out["pc1"].var(ddof=0)
+    assert v0 > 2 * v1
+    C = np.round(np.cov(toy_vectors.T, bias=True), 6)
+    evals = np.linalg.eigvalsh(C)
+    assert abs(v0 - evals[-1]) / evals[-1] < 0.01
+
+
+def test_pca_project_deterministic_sign(spark, toy_vectors):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(toy_vectors)],
+        ["vec_id", "embedding"],
+    )
+    a = pca_project(df, "vec_id", "embedding", 4, k=1).toPandas()
+    b = pca_project(df.repartition(3), "vec_id", "embedding", 4, k=1).toPandas()
+    m = a.merge(b, on="vec_id", suffixes=("_a", "_b"))
+    assert (m["pc0_a"] == m["pc0_b"]).all()
