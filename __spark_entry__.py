@@ -2466,6 +2466,27 @@ def q_dup_span_removal(spark, sf_dir):
     return remove_duplicate_spans(docs, spans)
 
 
+def q_lm_score(spark, sf_dir):
+    """Char-bigram LM quality score (KenLM-style perplexity filter,
+    self-trained): alphabet^2-bounded model broadcast against the bigram
+    stream; per-doc mean log-likelihood + perplexity."""
+    from bun_csv_spark.functions.text import char_bigram_lm_score
+
+    return char_bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_weighted_sample_group(spark, sf_dir):
+    """Per-language Efraimidis-Spirakis weighted sample (10 docs per
+    stratum, weight = length): ranked window on the 9dp-rounded A-Res
+    key with id tiebreak — total order, engine-portable."""
+    from bun_csv_spark.operators.corpus import weighted_sample_per_group
+
+    out = weighted_sample_per_group(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", "n_chars", 10
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_key")
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance matrix of the embedding column as (i, j,
     cov) rows — one corpus pass, map-side-combined dim^2 partials; the
@@ -2535,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
+        "lm_score": q_lm_score,
+        "weighted_sample_group": q_weighted_sample_group,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -4995,6 +5018,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN toks t ON t.doc_id = d.doc_id
         LEFT JOIN spanned sp ON sp.doc_id = d.doc_id
         LEFT JOIN kept k ON k.doc_id = d.doc_id
+    """
+
+    sql["lm_score"] = """
+        WITH bg AS (
+          SELECT doc_id, substr(text, i, 2) AS bg
+          FROM documents, UNNEST(range(1, length(text))) AS u(i)
+          WHERE length(text) >= 2),
+        model AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY bg),
+        pre AS (
+          SELECT substr(bg, 1, 1) AS c1, sum(nbg) AS npre
+          FROM model GROUP BY 1),
+        vv AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM model),
+        probs AS (
+          SELECT m.bg, (m.nbg + 0.5) / (p.npre + 0.5 * vv.v) AS p
+          FROM model m JOIN pre p ON substr(m.bg, 1, 1) = p.c1, vv),
+        sc AS (
+          SELECT b.doc_id, count(*) AS n_bigrams, avg(ln(p)) AS lp
+          FROM bg b JOIN probs USING (bg) GROUP BY 1)
+        SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
+               round(lp, 6) AS logprob, round(exp(-lp), 4) AS ppx
+        FROM sc
+    """
+
+    sql["weighted_sample_group"] = """
+        WITH s AS (
+          SELECT lang, doc_id, n_chars,
+                 round(power(
+                   (CAST('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15)
+                         AS BIGINT) + 1) / 1152921504606846976.0,
+                   1.0 / n_chars), 9) AS sample_key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
+          FROM s)
+        SELECT lang, doc_id, n_chars, sample_key FROM r WHERE rn <= 10
     """
 
     sql["embedding_covariance"] = """

@@ -681,6 +681,43 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-stratum Efraimidis–Spirakis weighted sample: the ``k`` rows
+    with the largest A-Res keys WITHIN each group — weighted mixture
+    allocation per source/language, where the global ``weighted_sample``
+    would let a heavy stratum crowd out the rest.
+
+    Same deterministic md5 key; the top-k-per-group is a ranked window
+    on the group key (one keyed shuffle, the same bounded prefix shape
+    as ``balanced_sample``) — the 9dp-rounded key with the id tiebreak
+    makes the rank total and engine-portable. Returns the sampled rows
+    plus ``sample_key``."""
+    from pyspark.sql import Window
+
+    from bun_csv_spark.functions.sketches import KMV_DOMAIN, md5_uniform_long
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (md5_uniform_long(id_col, salt) + F.lit(1)).cast("double") / F.lit(KMV_DOMAIN)
+    key = F.round(F.pow(u, F.lit(1.0) / w.cast("double")), 9)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def curriculum_shards(
     df: DataFrame,
     difficulty_col: str = "n_chars",

@@ -229,3 +229,71 @@ def test_pca_project_deterministic_sign(spark, toy_vectors):
     b = pca_project(df.repartition(3), "vec_id", "embedding", 4, k=1).toPandas()
     m = a.merge(b, on="vec_id", suffixes=("_a", "_b"))
     assert (m["pc0_a"] == m["pc0_b"]).all()
+
+
+# --- char-bigram LM score --------------------------------------------------
+
+
+def test_lm_score_common_vs_rare(spark):
+    # "ababab..." docs make ab/ba overwhelmingly probable; the lone "zq"
+    # doc is improbable under the corpus model -> higher perplexity
+    rows = [(i, "abababababab") for i in range(5)] + [(5, "zqzqzqzqzqzq")]
+    from bun_csv_spark.functions.text import char_bigram_lm_score
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_bigram_lm_score(df).collect()}
+    assert out[5]["ppx"] > out[0]["ppx"]
+    assert out[0]["n_bigrams"] == 11
+
+
+def test_lm_score_matches_hand_model(spark):
+    # corpus = "aab": bigrams aa, ab; V = 2 (successors a, b)
+    # P(a|a) = (1+.5)/(2+.5*2) = .5 ; P(b|a) = (1+.5)/(2+.5*2) = .5
+    import math
+
+    from bun_csv_spark.functions.text import char_bigram_lm_score
+
+    df = spark.createDataFrame([(1, "aab")], ["doc_id", "text"])
+    r = char_bigram_lm_score(df).collect()[0]
+    lp = (math.log(0.5) + math.log(0.5)) / 2
+    assert r["logprob"] == round(lp, 6)
+    assert r["ppx"] == round(math.exp(-lp), 4)
+
+
+def test_lm_score_partition_invariant(spark):
+    rows = [(i, f"some text number {i} with shared phrasing") for i in range(40)]
+    from bun_csv_spark.functions.text import char_bigram_lm_score
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: r["logprob"] for r in char_bigram_lm_score(df).collect()}
+    b = {
+        r["doc_id"]: r["logprob"]
+        for r in char_bigram_lm_score(df.repartition(7)).collect()
+    }
+    assert a == b
+
+
+# --- per-group weighted sample ---------------------------------------------
+
+
+def test_weighted_sample_per_group_k_each(spark):
+    from bun_csv_spark.operators.corpus import weighted_sample_per_group
+
+    rows = [(g, g * 100 + i, i + 1) for g in (1, 2, 3) for i in range(20)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "w"])
+    out = weighted_sample_per_group(df, "grp", "doc_id", "w", 5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+
+
+def test_weighted_sample_per_group_matches_global_within_group(spark):
+    # with ONE group, the per-group sampler must equal the global one
+    from bun_csv_spark.operators.corpus import weighted_sample, weighted_sample_per_group
+
+    rows = [(1, i, (i % 5) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "w"])
+    g = {r["doc_id"] for r in weighted_sample_per_group(df, "grp", "doc_id", "w", 8).collect()}
+    s = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 8).collect()}
+    assert g == s
