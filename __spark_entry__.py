@@ -5025,7 +5025,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, substr(text, i, 2) AS bg
           FROM documents, UNNEST(range(1, length(text))) AS u(i)
           WHERE length(text) >= 2),
-        model AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY bg),
+        dbg AS (
+          SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        model AS (SELECT bg, sum(cnt) AS nbg FROM dbg GROUP BY bg),
         pre AS (
           SELECT substr(bg, 1, 1) AS c1, sum(nbg) AS npre
           FROM model GROUP BY 1),
@@ -5034,8 +5036,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT m.bg, (m.nbg + 0.5) / (p.npre + 0.5 * vv.v) AS p
           FROM model m JOIN pre p ON substr(m.bg, 1, 1) = p.c1, vv),
         sc AS (
-          SELECT b.doc_id, count(*) AS n_bigrams, avg(ln(p)) AS lp
-          FROM bg b JOIN probs USING (bg) GROUP BY 1)
+          SELECT d.doc_id, sum(d.cnt) AS n_bigrams,
+                 sum(d.cnt * ln(p)) / sum(d.cnt) AS lp
+          FROM dbg d JOIN probs USING (bg) GROUP BY 1)
         SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
                round(lp, 6) AS logprob, round(exp(-lp), 4) AS ppx
         FROM sc

@@ -349,29 +349,37 @@ def char_bigram_lm_score(
     Per doc: mean log-likelihood per bigram and its perplexity
     exp(-mean).
 
-    Plan: one explode of the text into bigram windows (O(total chars)
-    rows, the same cost as tokenization), aggregated to an
-    alphabet²-BOUNDED model (map-side combine carries at most |Σ|² rows
-    per task); the model side of the score join is alphabet-sized, so
-    Spark broadcasts it and the probe never shuffles — the per-doc
-    aggregate is the only data-sized shuffle. Everything is md5-free
-    exact counting: the oracle restates it verbatim.
+    Plan: ONE explode of the text into bigram windows (O(total chars)
+    rows, the same cost as tokenization), immediately collapsed to a
+    per-(doc, bigram) histogram — within-doc bigram repeats (most of a
+    natural-language stream) reduce map-side, so everything downstream
+    runs on per-doc-DISTINCT bigrams, a fraction of the raw stream. The
+    model is a second aggregate over those already-reduced rows (at most
+    |Σ|² rows per task), broadcast back for the score join; the mean
+    log-likelihood is the count-weighted sum over the histogram —
+    algebraically the plain mean over the stream, without re-exploding
+    it. Everything is md5-free exact counting: the oracle restates it
+    verbatim (in the same weighted form, so FP reduction shapes match).
 
     Returns (id, n_bigrams, logprob rounded 6dp, ppx rounded 4dp)."""
     c = F.col(text_col)
-    bg = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.length(c) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(c) - 1),
-                    lambda i: F.substring(c, i, 2),
-                ),
-            )
-        ).alias("bg"),
+    dbg = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.length(c) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(c) - 1),
+                        lambda i: F.substring(c, i, 2),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__nbg"))
+    model = dbg.groupBy("bg").agg(F.sum("__cnt").alias("__nbg"))
     prefix = model.groupBy(F.substring("bg", 1, 1).alias("__c1")).agg(
         F.sum("__nbg").alias("__npre")
     )
@@ -389,10 +397,10 @@ def char_bigram_lm_score(
             ).alias("__p"),
         )
     )
-    scored = bg.join(F.broadcast(probs), "bg")
+    scored = dbg.join(F.broadcast(probs), "bg")
     out = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg(F.log("__p")).alias("__lp"),
+        F.sum("__cnt").alias("n_bigrams"),
+        (F.sum(F.col("__cnt") * F.log("__p")) / F.sum("__cnt")).alias("__lp"),
     )
     return out.select(
         id_col,

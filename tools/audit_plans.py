@@ -120,6 +120,28 @@ EXPECTATIONS = {
     "incremental_agg": (4, ["HashAggregate"], ["CartesianProduct", "SinglePartition", "Window"]),
     # groupBy + 1-row totals broadcast + TakeOrdered top slice
     "skew_profile": (3, ["TakeOrderedAndProject"], ["SortMergeJoin"]),
+    # r7 additions
+    # two branches x (register max-agg + estimate agg); both map-side
+    # combined, per-group shuffle state <= m register rows
+    "hll_distinct": (4, ["HashAggregate"], ["Window", "SinglePartition"]),
+    # A-Res top-k: per-partition heap + driver k-row reduce, NO shuffle
+    "weighted_sample": (0, ["TakeOrderedAndProject"], ["Exchange"]),
+    # per-stratum A-Res: ONE keyed window shuffle
+    "weighted_sample_group": (1, ["Window"], ["SinglePartition"]),
+    # lag window on the entity key + STATE^2 aggs; never a global window
+    "transition_counts": (3, ["Window"], ["SinglePartition", "CartesianProduct"]),
+    # gram-hash agg + hot-set equi-join + per-doc interval-merge window
+    "dup_spans": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"]),
+    "dup_span_removal": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"]),
+    # partial+final agg on (i, j): reduce input is tasks x dim^2 partials
+    "embedding_covariance": (1, ["HashAggregate"], ["CartesianProduct", "Window"]),
+    # after the bounded covariance collect, the projection itself is pure
+    # codegen: zero shuffles
+    "pca_project": (0, [], ["Exchange"]),
+    # model joins are broadcast (alphabet-sized); the SinglePartition is
+    # the 1-row vocabulary-count agg (bounds-broadcast pattern); the only
+    # data-sized shuffle is the per-doc aggregate
+    "lm_score": (6, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
