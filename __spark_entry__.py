@@ -2487,6 +2487,26 @@ def q_weighted_sample_group(spark, sf_dir):
     return out.select("lang", "doc_id", "n_chars", "sample_key")
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credited to the
+    user's most recent preceding non-purchase event via one
+    last(ignorenulls) keyed window — the as-of union-and-carry shape."""
+    from bun_csv_spark.operators.timeseries import last_touch_attribution
+
+    return last_touch_attribution(read_events(spark, sf_dir))
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Approximate quantiles by equi-width histogram interpolation:
+    n_bins-bounded mergeable state, engine-portable arithmetic (unlike
+    percentile_approx/approx_quantile, which can never be compared)."""
+    from bun_csv_spark.functions.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "orders"), "o_totalprice", [0.25, 0.5, 0.9, 0.99], 1000
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance matrix of the embedding column as (i, j,
     cov) rows — one corpus pass, map-side-combined dim^2 partials; the
@@ -2558,6 +2578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "lm_score": q_lm_score,
         "weighted_sample_group": q_weighted_sample_group,
+        "attribution": q_attribution,
+        "quantile_sketch": q_quantile_sketch,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -5058,6 +5080,53 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
           FROM s)
         SELECT lang, doc_id, n_chars, sample_key FROM r WHERE rn <= 10
+    """
+
+    sql["attribution"] = """
+        WITH t AS (
+          SELECT event_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch
+          FROM events)
+        SELECT touch AS touch_state, count(*)::BIGINT AS n_conversions
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY touch
+    """
+
+    sql["quantile_sketch"] = """
+        WITH bounds AS (
+          SELECT min(o_totalprice::DOUBLE) AS lo,
+                 max(o_totalprice::DOUBLE) AS hi,
+                 count(o_totalprice) AS n
+          FROM orders),
+        hist AS (
+          SELECT least(CAST(floor((o_totalprice::DOUBLE - lo)
+                                  / ((hi - lo) / 1000.0)) AS BIGINT),
+                       999) AS bin,
+                 count(*) AS c
+          FROM orders, bounds
+          WHERE o_totalprice IS NOT NULL
+          GROUP BY 1),
+        cum AS (
+          SELECT bin, c,
+                 sum(c) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cumc
+          FROM hist),
+        wq AS (
+          SELECT bin, c, cumc, lo, hi, n, q
+          FROM cum, bounds, UNNEST([0.25, 0.5, 0.9, 0.99]) AS t(q)),
+        cand AS (
+          SELECT q, bin,
+                 round(lo + (bin + least(greatest(
+                         (q * (n - 1) + 1 - (cumc - c)) / c, 0.0), 1.0))
+                       * (hi - lo) / 1000.0, 6) AS est
+          FROM wq WHERE cumc >= q * (n - 1) + 1)
+        SELECT q, min_by(est, bin) AS est FROM cand GROUP BY q
     """
 
     sql["embedding_covariance"] = """

@@ -153,3 +153,63 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return per.select(*key_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles by equi-width histogram interpolation — the
+    mergeable, bounded-state alternative to an exact percentile when the
+    column no longer fits a single sort: the aggregate state is
+    ``n_bins`` counters regardless of row count, and two histograms
+    merge by adding counters (incremental/partitioned recompute safe).
+
+    Spark's ``percentile_approx`` and DuckDB's ``approx_quantile`` use
+    different sketches and can never be value-compared; this one is
+    plain arithmetic (bin = floor((x-min)/w), cumulative counts, linear
+    interpolation inside the straddling bin), so the ESTIMATE is
+    engine-portable and oracle-checked. Error is bounded by one bin
+    width. Bounds come from a 1-row min/max aggregate broadcast back —
+    the same bounds-broadcast shape as embedding quantization.
+
+    Returns one row per requested quantile: (q, est)."""
+    v = F.col(value_col).cast("double")
+    bounds = df.select(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi"), F.count(v).alias("__n")
+    )
+    b = df.crossJoin(F.broadcast(bounds))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.floor((v - F.col("__lo")) / width).cast("long"), F.lit(n_bins - 1)
+    )
+    hist = (
+        b.filter(v.isNotNull())
+        .groupBy(bin_.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # global-order window over the HISTOGRAM only: <= n_bins rows on one
+    # partition, bounded by construction, never by the data
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(
+        F.broadcast(bounds)
+    )
+    # ONE pass for all quantiles: explode the q list over the bounded
+    # cumulative histogram, keep the first straddling bin per q
+    withq = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    rank = F.col("q") * (F.col("__n") - 1) + 1  # target rank in [1, n]
+    frac = (rank - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+    est = (
+        F.col("__lo")
+        + (F.col("__bin") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))
+        * (F.col("__hi") - F.col("__lo"))
+        / F.lit(float(n_bins))
+    )
+    return (
+        withq.filter(F.col("__cum") >= rank)
+        .withColumn("__est", F.round(est, 6))
+        .groupBy("q")
+        .agg(F.min_by("__est", "__bin").alias("est"))
+    )

@@ -215,3 +215,40 @@ def transition_counts(
         "n",
         F.round(F.col("n") / F.sum("n").over(out_total), 6).alias("prob"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    conversion: str = "purchase",
+    order_break_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion`` event is
+    credited to the entity's most recent PRECEDING non-conversion event
+    (the "touch"); conversions with no prior touch credit ``None`` —
+    the marketing/funnel-credit summary a plain transition matrix can't
+    answer because it needs lookback across arbitrarily many
+    intermediate conversions.
+
+    Plan: one ``last(ignorenulls)`` window per entity over a bounded
+    frame (unbounded preceding .. 1 preceding) — the identical
+    union-and-carry shape the as-of join uses, ONE keyed shuffle, cost
+    independent of how far back the touch sits. Ordering is made total
+    with ``order_break_col``. Returns (touch_state, n_conversions)
+    rows."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"), F.col(order_break_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(state_col) != conversion, F.col(state_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("__touch", touch)
+        .filter(F.col(state_col) == conversion)
+        .groupBy(F.col("__touch").alias("touch_state"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )

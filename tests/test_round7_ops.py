@@ -297,3 +297,48 @@ def test_weighted_sample_per_group_matches_global_within_group(spark):
     g = {r["doc_id"] for r in weighted_sample_per_group(df, "grp", "doc_id", "w", 8).collect()}
     s = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 8).collect()}
     assert g == s
+
+
+# --- last-touch attribution ------------------------------------------------
+
+
+def test_attribution_credits_most_recent_touch(spark):
+    from bun_csv_spark.operators.timeseries import last_touch_attribution
+
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+        (4, 1, 40, "purchase"),           # still credits click (lookback)
+        (5, 2, 10, "purchase"),           # no prior touch -> NULL
+        (6, 3, 10, "view"), (7, 3, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        r["touch_state"]: r["n_conversions"]
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == {"click": 2, "view": 1, None: 1}
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+
+def test_histogram_quantiles_uniform(spark):
+    from bun_csv_spark.functions.sketches import histogram_quantiles
+
+    df = spark.range(10001).select(F.col("id").cast("double").alias("v"))
+    got = {r["q"]: r["est"] for r in histogram_quantiles(df, "v", [0.5, 0.9]).collect()}
+    # uniform 0..10000: error bounded by one bin width (10)
+    assert abs(got[0.5] - 5000) <= 10
+    assert abs(got[0.9] - 9000) <= 10
+
+
+def test_histogram_quantiles_partition_invariant(spark):
+    from bun_csv_spark.functions.sketches import histogram_quantiles
+
+    df = spark.range(5000).select(((F.col("id") * 37) % 1000).cast("double").alias("v"))
+    a = {r["q"]: r["est"] for r in histogram_quantiles(df, "v", [0.25, 0.75]).collect()}
+    b = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(df.repartition(9), "v", [0.25, 0.75]).collect()
+    }
+    assert a == b
