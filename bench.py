@@ -55,6 +55,8 @@ def main() -> None:
     # warmup: JIT codegen + parquet footer caches on a small query
     force(queries["count_rows"](spark, sf_dir))
 
+    cal_before = _calibrate(spark)
+
     # per-query: one warmup + best-of-3 timed runs — the reference's own
     # harness methodology (test/benchmark.ts: warmup + N iterations);
     # single runs carry ±25% JIT/GC noise, n=3 makes round-over-round
@@ -75,8 +77,10 @@ def main() -> None:
     # the round-2 commit side-by-side on the same box); cross-round deltas
     # reflect the box as much as the code, so every query is also reported
     # as a BOX-NORMALIZED ratio (query_sec / calibrate_sec) — compare THOSE
-    # across rounds
-    cal = _calibrate(spark)
+    # across rounds. Calibrate on BOTH sides of the query block and keep
+    # the faster: load arriving between the queries and a single trailing
+    # calibration would otherwise skew every ratio at once
+    cal = min(cal_before, _calibrate(spark))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -141,7 +141,16 @@ EXPECTATIONS = {
     # model joins are broadcast (alphabet-sized); the SinglePartition is
     # the 1-row vocabulary-count agg (bounds-broadcast pattern); the only
     # data-sized shuffle is the per-doc aggregate
-    "lm_score": (6, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # 9 static Exchanges because the (doc, bigram) histogram subtree
+    # feeds model AND probe: Spark's exchange reuse collapses the
+    # duplicates at runtime (ReusedExchange), so the executed plan
+    # shuffles the data once for the histogram + once per tiny agg
+    "lm_score": (9, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # one keyed window shuffle + the tiny touch-state aggregate
+    "attribution": (2, ["Window"], ["SinglePartition", "CartesianProduct"]),
+    # bounds 1-row agg + n_bins histogram agg + bounded global window:
+    # the SinglePartition nodes run over <= n_bins rows by construction
+    "quantile_sketch": (4, ["Window"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
