@@ -2507,6 +2507,28 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_data_quality(spark, sf_dir):
+    """Data-quality expectations over orders: named boolean rules
+    (completeness, ranges, domain membership) evaluated in ONE wide
+    aggregate pass; per-rule violation counts + rates. NULL predicate =
+    violation (an unknown is not a pass)."""
+    from bun_csv_spark.operators.stats import validate_rules
+
+    o = _t(spark, sf_dir, "orders")
+    return validate_rules(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "priority_known": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_nonnegative": F.col("o_custkey") >= 0,
+        },
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance matrix of the embedding column as (i, j,
     cov) rows — one corpus pass, map-side-combined dim^2 partials; the
@@ -2580,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_group": q_weighted_sample_group,
         "attribution": q_attribution,
         "quantile_sketch": q_quantile_sketch,
+        "data_quality": q_data_quality,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -5127,6 +5150,31 @@ def oracle_sql() -> dict[str, str]:
                        * (hi - lo) / 1000.0, 6) AS est
           FROM wq WHERE cumc >= q * (n - 1) + 1)
         SELECT q, min_by(est, bin) AS est FROM cand GROUP BY q
+    """
+
+    sql["data_quality"] = """
+        WITH w AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                          THEN 0 ELSE 1 END) AS v1,
+                 sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS v2,
+                 sum(CASE WHEN coalesce(o_orderpriority IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+                       FALSE) THEN 0 ELSE 1 END) AS v3,
+                 sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                          THEN 0 ELSE 1 END) AS v4,
+                 sum(CASE WHEN coalesce(o_custkey >= 0, FALSE)
+                          THEN 0 ELSE 1 END) AS v5
+          FROM orders),
+        s AS (
+          SELECT 'totalprice_positive' AS rule, n, v1 AS v FROM w
+          UNION ALL SELECT 'orderdate_present', n, v2 FROM w
+          UNION ALL SELECT 'priority_known', n, v3 FROM w
+          UNION ALL SELECT 'status_domain', n, v4 FROM w
+          UNION ALL SELECT 'custkey_nonnegative', n, v5 FROM w)
+        SELECT rule, n::BIGINT AS n_rows, v::BIGINT AS n_violations,
+               round(v / n, 6) AS violation_rate
+        FROM s
     """
 
     sql["embedding_covariance"] = """

@@ -106,3 +106,39 @@ _NUM_TYPES = (
     T.DoubleType,
     T.DecimalType,
 )
+
+
+def validate_rules(
+    df: DataFrame,
+    rules: "dict[str, object]",
+) -> DataFrame:
+    """Data-quality gate: evaluate named boolean rules over a table and
+    report per-rule pass/violation counts — the publish-blocking
+    expectations check (completeness, ranges, referential sanity) a
+    production pipeline runs before a table goes live.
+
+    ``rules`` maps rule name -> Column predicate (NULL counts as a
+    violation, matching expectation-framework semantics — an unknown is
+    not a pass). ALL rules evaluate in ONE wide aggregate over a single
+    scan: the per-rule counters are conditional sums, so the cost is one
+    pass regardless of rule count, map-side combined, no shuffle beyond
+    the 1-row reduce. Returns (rule, n_rows, n_violations,
+    violation_rate rounded 6dp) — one row per rule via a stack of the
+    wide aggregate, still bounded by the rule count."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', `__v_{name}`" for name in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {pairs}) as (rule, n_violations)", "__n as n_rows"
+    ).select(
+        "rule",
+        F.col("n_rows").cast("long"),
+        F.col("n_violations").cast("long"),
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )

@@ -342,3 +342,37 @@ def test_histogram_quantiles_partition_invariant(spark):
         for r in histogram_quantiles(df.repartition(9), "v", [0.25, 0.75]).collect()
     }
     assert a == b
+
+
+# --- data-quality rules ----------------------------------------------------
+
+
+def test_validate_rules_counts_and_null_semantics(spark):
+    from bun_csv_spark.operators.stats import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 3.0)], ["id", "amount"]
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["violation_rate"])
+        for r in validate_rules(
+            df,
+            {
+                "amount_positive": F.col("amount") > 0,  # NULL -> violation
+                "id_present": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    assert out["amount_positive"] == (4, 2, 0.5)  # -5 and NULL
+    assert out["id_present"] == (4, 0, 0.0)
+
+
+def test_validate_rules_single_pass(spark):
+    # all rules must fold into ONE aggregate: no joins, no extra scans
+    from bun_csv_spark.operators.stats import validate_rules
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    plan = validate_rules(
+        df, {"a": F.col("v") < 5, "b": F.col("id") >= 0}
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
