@@ -2507,6 +2507,27 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_hll_merge(spark, sf_dir):
+    """Mergeable-sketch proof gate: events split into two shards
+    (event_id parity), per-shard HLL register tables merged (union +
+    per-register max), then estimated — by max-merge losslessness this
+    EQUALS the whole-corpus estimate, which is what the oracle replays
+    over the undivided table."""
+    from bun_csv_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = read_events(spark, sf_dir)
+    a = hll_registers(ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id")
+    b = hll_registers(ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id")
+    merged = hll_merge(a, b, key_cols=["event_type"])
+    return hll_estimate(merged, ["event_type"]).select(
+        F.col("event_type").alias("scope"), "est_distinct"
+    )
+
+
 def q_data_quality(spark, sf_dir):
     """Data-quality expectations over orders: named boolean rules
     (completeness, ranges, domain membership) evaluated in ONE wide
@@ -2603,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "quantile_sketch": q_quantile_sketch,
         "data_quality": q_data_quality,
+        "hll_merge": q_hll_merge,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -4974,6 +4996,10 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _hll_ctes.format(**_a) + ", " + _hll_ctes.format(**_b)
         + _hll_sel.format(**_a) + " UNION ALL " + _hll_sel.format(**_b)
     )
+    # merge-then-estimate == estimate-over-all (max-merge losslessness):
+    # the oracle replays the UNDIVIDED estimate, the Spark side computes
+    # the sharded merge — their equality is the gate's semantic content
+    sql["hll_merge"] = "WITH " + _hll_ctes.format(**_a) + _hll_sel.format(**_a)
 
     sql["weighted_sample"] = """
         SELECT doc_id, n_chars,

@@ -115,9 +115,25 @@ def hll_distinct(
     Standard error ~= 1.04/sqrt(m) (~6.5% at p=8). Returns
     (key_cols..., est_distinct double rounded to 4dp).
     """
+    return hll_estimate(hll_registers(df, key_cols, value_col, p, salt), key_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """The HLL sketch STATE as a table: (key_cols..., bucket, max_rho) —
+    at most 2^p rows per group. This is the mergeable/persistable half
+    of ``hll_distinct``: write it per partition/day/shard, then
+    ``hll_merge`` register tables and ``hll_estimate`` the union — the
+    incremental-pipeline shape (same as operators.maintenance's
+    incremental_agg, but for DISTINCT counts, which plain partial sums
+    cannot carry)."""
     if p % 4 != 0:
         raise ValueError("p must be a multiple of 4 (hex-char bucket split)")
-    m = 1 << p
     bucket_hex = p // 4
     c = F.col(value_col)
     digest = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
@@ -134,11 +150,29 @@ def hll_distinct(
     rho = F.when(F.length(stripped) == 0, F.lit(4 * HLL_TAIL_HEX + 1)).otherwise(
         F.lit(4) * (F.lit(HLL_TAIL_HEX) - F.length(stripped)) + lz_in_char + F.lit(1)
     )
-    regs = (
+    return (
         df.select(*key_cols, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*key_cols, "__b")
         .agg(F.max("__rho").alias("__M"))
     )
+
+
+def hll_merge(*register_tables: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge HLL register tables (same p and salt): union + per-register
+    max. Lossless by construction — max is associative/commutative/
+    idempotent, so merge(est(A), est(B)) == est(A ∪ B) EXACTLY, late or
+    duplicated shards can be re-merged safely, and incremental distinct
+    counting needs no re-scan of history."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*key_cols, "__b").agg(F.max("__M").alias("__M"))
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str], p: int = 8) -> DataFrame:
+    """Estimate from a register table (see ``hll_distinct`` for the
+    estimator and portability notes)."""
+    m = 1 << p
     # 2^(53-M) is exact as a double for M in [1, 53] and fits a LONG
     word = F.pow(F.lit(2.0), (F.lit(53) - F.col("__M")).cast("double")).cast("long")
     per = regs.groupBy(*key_cols).agg(

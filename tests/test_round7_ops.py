@@ -376,3 +376,45 @@ def test_validate_rules_single_pass(spark):
         df, {"a": F.col("v") < 5, "b": F.col("id") >= 0}
     )._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+# --- mergeable HLL registers -----------------------------------------------
+
+
+def test_hll_merge_lossless(spark):
+    from bun_csv_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 777).alias("v"), F.col("id")
+    )
+    direct = hll_distinct(df, ["grp"], "v").collect()[0]["est_distinct"]
+    shards = [
+        hll_registers(df.filter(F.col("id") % 3 == i), ["grp"], "v")
+        for i in range(3)
+    ]
+    merged = hll_estimate(
+        hll_merge(*shards, key_cols=["grp"]), ["grp"]
+    ).collect()[0]["est_distinct"]
+    assert merged == direct  # max-merge is exactly lossless
+
+
+def test_hll_merge_idempotent_on_duplicate_shards(spark):
+    # re-merging the same shard (at-least-once delivery) changes nothing
+    from bun_csv_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(500).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    r = hll_registers(df, ["grp"], "v")
+    once = hll_estimate(r, ["grp"]).collect()[0]["est_distinct"]
+    twice = hll_estimate(
+        hll_merge(r, r, r, key_cols=["grp"]), ["grp"]
+    ).collect()[0]["est_distinct"]
+    assert once == twice
