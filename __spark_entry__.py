@@ -2528,6 +2528,15 @@ def q_hll_merge(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Daily cohort retention triangle over events: cohort = period of
+    first activity, per-offset active counts + retention rates — two
+    entity-keyed aggregates and a bounded cohort-size broadcast."""
+    from bun_csv_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(read_events(spark, sf_dir))
+
+
 def q_data_quality(spark, sf_dir):
     """Data-quality expectations over orders: named boolean rules
     (completeness, ranges, domain membership) evaluated in ONE wide
@@ -2625,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "data_quality": q_data_quality,
         "hll_merge": q_hll_merge,
+        "retention": q_retention,
         # -- NEW this round (no verdict yet) --------------------------------
         "neardup_pairs_bucketed": q_neardup_pairs_bucketed,
         "kmv_distinct": q_kmv_distinct,
@@ -5176,6 +5186,27 @@ def oracle_sql() -> dict[str, str]:
                        * (hi - lo) / 1000.0, 6) AS est
           FROM wq WHERE cumc >= q * (n - 1) + 1)
         SELECT q, min_by(est, bin) AS est FROM cand GROUP BY q
+    """
+
+    sql["retention"] = """
+        WITH p AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS per
+          FROM events),
+        firsts AS (
+          SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id),
+        activity AS (SELECT DISTINCT user_id, per FROM p),
+        matrix AS (
+          SELECT f.cohort AS cohort_period,
+                 (a.per - f.cohort) AS period_offset,
+                 count(*)::BIGINT AS n_active
+          FROM activity a JOIN firsts f USING (user_id)
+          GROUP BY 1, 2),
+        base AS (
+          SELECT cohort_period AS c0, n_active AS sz
+          FROM matrix WHERE period_offset = 0)
+        SELECT m.cohort_period, m.period_offset, m.n_active,
+               round(m.n_active / b.sz, 6) AS retention
+        FROM matrix m JOIN base b ON m.cohort_period = b.c0
     """
 
     sql["data_quality"] = """

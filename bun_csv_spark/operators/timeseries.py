@@ -252,3 +252,54 @@ def last_touch_attribution(
         .groupBy(F.col("__touch").alias("touch_state"))
         .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by the period of their
+    FIRST event (the cohort); for each later period offset, how many of
+    the cohort were active and what fraction — the canonical
+    product-analytics rollup (cohort x offset retention triangle).
+
+    Plan: per-entity first-event period (one keyed aggregate), distinct
+    (entity, period) activity (a second aggregate, map-side combined),
+    an equi-join on the entity key, then a COHORT x OFFSET-sized count —
+    two data shuffles total, both on the entity key, and the retention
+    matrix itself is bounded by periods², never by entities. cohort_size
+    re-derives from the offset-0 row of the same matrix (every entity is
+    active in its first period by definition), so no third pass.
+
+    Returns (cohort_period, period_offset, n_active, retention 6dp)."""
+    # exact integral division: a double quotient of epoch-nanos can land
+    # one period off at the boundary (same pitfall as temporal._bk)
+    period = F.expr(f"cast(`{ts_col}` as bigint) div {period_ns}")
+    firsts = (
+        df.select(key_col, period.alias("__p"))
+        .groupBy(key_col)
+        .agg(F.min("__p").alias("__cohort"))
+    )
+    activity = df.select(key_col, period.alias("__p")).distinct()
+    matrix = (
+        activity.join(firsts, key_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = matrix.filter(F.col("period_offset") == 0).select(
+        F.col("cohort_period").alias("__c0"), F.col("n_active").alias("__size")
+    )
+    return (
+        matrix.join(F.broadcast(base), matrix["cohort_period"] == F.col("__c0"))
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
+        )
+    )

@@ -418,3 +418,36 @@ def test_hll_merge_idempotent_on_duplicate_shards(spark):
         hll_merge(r, r, r, key_cols=["grp"]), ["grp"]
     ).collect()[0]["est_distinct"]
     assert once == twice
+
+
+# --- retention cohorts -----------------------------------------------------
+
+
+def test_retention_cohorts_hand_example(spark):
+    from bun_csv_spark.operators.timeseries import retention_cohorts
+
+    # period = 10 ns for readability; users 1,2 start period 0; user 3
+    # starts period 1; user 2 returns in period 1, nobody in period 2+
+    rows = [
+        (1, 1, 5), (2, 2, 7), (3, 2, 15),   # u2 active periods 0 and 1
+        (4, 3, 12), (5, 1, 3),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        (r["cohort_period"], r["period_offset"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(df, period_ns=10).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1.0),   # cohort 0: users 1, 2
+        (0, 1): (1, 0.5),   # only user 2 retained
+        (1, 0): (1, 1.0),   # cohort 1: user 3
+    }
+
+
+def test_retention_offset_zero_is_full(spark):
+    from bun_csv_spark.operators.timeseries import retention_cohorts
+    from bun_csv_spark.sources.events import read_events
+
+    out = retention_cohorts(read_events(spark, "/root/testdata/sf0.001")).collect()
+    assert all(r["retention"] == 1.0 for r in out if r["period_offset"] == 0)
+    assert all(0 < r["retention"] <= 1.0 for r in out)
