@@ -151,6 +151,15 @@ EXPECTATIONS = {
     # bounds 1-row agg + n_bins histogram agg + bounded global window:
     # the SinglePartition nodes run over <= n_bins rows by construction
     "quantile_sketch": (4, ["Window"], ["SortMergeJoin", "CartesianProduct"]),
+    # all rules fold into ONE wide aggregate: the only Exchange is the
+    # 1-row partial-state reduce (hence SinglePartition is expected)
+    "data_quality": (1, ["HashAggregate"], ["Window", "CartesianProduct"]),
+    # per-shard register aggs + union-max merge + estimate agg — keyed
+    # hash aggs only, register state bounds every shuffle
+    "hll_merge": (4, ["HashAggregate"], ["Window", "SinglePartition"]),
+    # firsts agg + distinct-activity agg + entity-key join + bounded
+    # matrix agg + cohort-size broadcast back
+    "retention": (6, ["BroadcastHashJoin"], ["CartesianProduct", "SinglePartition"]),
 }
 
 
