@@ -2579,6 +2579,90 @@ def q_pca_project(spark, sf_dir):
     return pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, k=2)
 
 
+def q_countmin_topk(spark, sf_dir):
+    """Count-min frequency sketch over events.user_id: bounded 4x512
+    counter table (shuffle volume independent of data size), then
+    min-over-rows point estimates for every user joined to exact counts
+    — top 20 by estimate. est_count >= exact_count always (collisions
+    only inflate)."""
+    from bun_csv_spark.functions.sketches import cm_estimate, cm_sketch
+
+    ev = read_events(spark, sf_dir)
+    sk = cm_sketch(ev, "user_id", depth=4, width=512)
+    cands = ev.select("user_id").distinct()
+    est = cm_estimate(sk, cands, "user_id", depth=4, width=512)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "exact_count", "est_count")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup clusters (LSH pairs ->
+    connected components) move as a UNIT, so no eval doc has a train
+    twin. Corpus is never shuffled — CC runs on the edge list, labels
+    broadcast back, split is a map-side md5 rule on the group label."""
+    from bun_csv_spark.operators.corpus import leakage_safe_split
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = neardup_pairs_minhash(
+        corpus, "doc_id", "text",
+        n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(
+        corpus, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split_group").cast("long").alias("split_group"),
+        "split",
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: the pure scan-and-aggregate
+    shape — every predicate pushed into the parquet scan (date range,
+    discount band, quantity cap), zero joins, one 1-row combinable agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect (adapted): date-bounded fact scan
+    joined to part, promo share via conditional aggregation — the
+    classic selective-join + CASE-agg shape. part scales with SF, so
+    the join is AQE-decided, not forced broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2621,6 +2705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
         # -- NEW round 7 ----------------------------------------------------
+        "countmin_topk": q_countmin_topk,
+        "cluster_split": q_cluster_split,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -3218,6 +3306,54 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_name
     """
 
+    sql["tpch_q6"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+    sql["tpch_q14"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """
+
+    sql["countmin_topk"] = """
+        WITH sketch AS (
+          SELECT row, col, count(*)::BIGINT AS cnt FROM (
+            SELECT t.j AS row,
+                   CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                           || user_id::VARCHAR), 1, 15)
+                        AS BIGINT) % 512 AS col
+            FROM events, (VALUES (0), (1), (2), (3)) AS t(j))
+          GROUP BY 1, 2),
+        est AS (
+          SELECT d.user_id, min(s.cnt) AS est_count
+          FROM (SELECT DISTINCT user_id FROM events) d
+          CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+          JOIN sketch s
+            ON s.row = t.j
+           AND s.col = CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                               || d.user_id::VARCHAR), 1, 15)
+                            AS BIGINT) % 512
+          GROUP BY 1),
+        exact AS (
+          SELECT user_id, count(*)::BIGINT AS exact_count FROM events GROUP BY 1)
+        SELECT e.user_id, x.exact_count, e.est_count
+        FROM est e JOIN exact x USING (user_id)
+        ORDER BY e.est_count DESC, e.user_id LIMIT 20
+    """
+
     sql["count_rows"] = "SELECT count(*)::BIGINT AS n FROM lineitem"
 
     sql["distinct_values"] = "SELECT DISTINCT c_mktsegment FROM customer"
@@ -3735,6 +3871,41 @@ def oracle_sql() -> dict[str, str]:
           SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b)
         SELECT node::BIGINT AS node, min(r)::BIGINT AS label
         FROM reach GROUP BY node
+        """
+    )
+
+    sql["cluster_split"] = (
+        "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL
+        + ", sig AS (" + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + ", pairs AS ("
+        + """
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sym AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb, ida FROM pairs),
+        reach(node, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b),
+        labels AS (
+          SELECT node, min(r) AS label FROM reach GROUP BY node),
+        grouped AS (
+          SELECT c.doc_id::BIGINT AS doc_id,
+                 coalesce(l.label, c.doc_id)::BIGINT AS split_group
+          FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id)
+        SELECT doc_id, split_group,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, split_group,
+                 CAST('0x' || substr(md5('split:' || split_group::VARCHAR), 1, 15)
+                      AS BIGINT)::DOUBLE / 1152921504606846976.0 AS u
+          FROM grouped)
         """
     )
 

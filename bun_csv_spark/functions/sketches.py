@@ -247,3 +247,90 @@ def histogram_quantiles(
         .groupBy("q")
         .agg(F.min_by("__est", "__bin").alias("est"))
     )
+
+
+def _cm_positions(value: Column, depth: int, width: int, salt: str) -> Column:
+    """The sketch addresses of one value: array of (row, col) structs,
+    one per hash row — md5-derived so Spark and any SQL oracle compute
+    the identical counter layout."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(md5_uniform_long(value, f"{salt}{j}"), F.lit(width)).alias(
+                    "col"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as
+    a (row, col, cnt) counter table — at most ``depth * width`` rows.
+
+    Scale design: the explode multiplies rows by ``depth``, but the
+    groupBy's map-side combine collapses every task's contribution to
+    <= depth*width partial counters before the single shuffle, so shuffle
+    volume is O(tasks * depth * width) — independent of input size, the
+    whole point of sketching at 100 TB. The counter table is mergeable
+    across shards/days by (row, col) sum (``cm_merge``), the frequency
+    analogue of ``hll_registers``/``hll_merge`` for distinct counts.
+
+    Reference parity note: the reference has no sketches; this extends
+    its stats surface (reference src/stats.ts) with bounded-state
+    frequency estimation.
+    """
+    c = F.col(value_col).cast("string")
+    return (
+        df.select(F.explode(_cm_positions(c, depth, width, salt)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min counter tables (same depth/width/salt): union +
+    per-counter sum. Exact: counters are linear, so
+    merge(sketch(A), sketch(B)) == sketch(A ++ B) row-for-row."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: min over the
+    ``depth`` addressed counters — the classic never-underestimates
+    answer (est >= true count; over by collisions only).
+
+    The sketch is <= depth*width rows — broadcast it; the candidate side
+    never shuffles for the lookup. Candidates absent from the sketched
+    data read counter 0 via the left join's coalesce."""
+    c = F.col(value_col).cast("string")
+    probes = candidates.select(
+        value_col, F.explode(_cm_positions(c, depth, width, salt)).alias("p")
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (probes["p.row"] == sketch["row"]) & (probes["p.col"] == sketch["col"]),
+            "left",
+        )
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )

@@ -785,3 +785,42 @@ def robust_scale(
             F.round(scaled, 6).alias("scaled"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    neardup_pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents NEVER
+    straddle splits — the leakage-safe version of ``util.hash_split``.
+
+    A doc in the val split with a near-twin in train leaks evaluation
+    signal; plain per-doc hash splitting does this to every duplicate
+    cluster with probability ~1-sum(w_i^2). Here each connected
+    component of the near-dup graph moves as a unit: docs are labeled
+    with their component's canonical (min-id) label, singletons label
+    themselves, and the md5-uniform split rule is applied to the LABEL
+    rather than the doc id.
+
+    Scale design: connected components runs over the EDGE LIST only
+    (near-dup pairs, vastly smaller than the corpus); the resulting
+    (node, label) table is duplicate-bounded, so the join back to the
+    corpus broadcasts. One map-side split expression after that —
+    the corpus itself is never shuffled. Adds ``split`` and
+    ``split_group`` columns."""
+    from bun_csv_spark.operators.dedup import connected_components
+    from bun_csv_spark.operators.util import hash_split
+
+    labels = connected_components(neardup_pairs, id_a=id_a, id_b=id_b)
+    labeled = docs.join(
+        F.broadcast(labels), docs[id_col] == labels["node"], "left"
+    ).select(
+        docs["*"],
+        F.coalesce(labels["label"], docs[id_col]).alias("split_group"),
+    )
+    return hash_split(labeled, "split_group", weights, salt=salt)

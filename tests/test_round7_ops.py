@@ -451,3 +451,111 @@ def test_retention_offset_zero_is_full(spark):
     out = retention_cohorts(read_events(spark, "/root/testdata/sf0.001")).collect()
     assert all(r["retention"] == 1.0 for r in out if r["period_offset"] == 0)
     assert all(0 < r["retention"] <= 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.functions.sketches import cm_estimate, cm_sketch
+
+    rows = [(f"u{i % 23}",) for i in range(400)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cm_sketch(df, "v", depth=4, width=64)
+    est = cm_estimate(sk, df.select("v").distinct(), "v", depth=4, width=64)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    joined = {r["v"]: (r["exact"], r["est_count"]) for r in
+              est.join(exact, "v").collect()}
+    assert len(joined) == 24
+    for _, (exact_n, est_n) in joined.items():
+        assert est_n >= exact_n  # the one-sided CM guarantee
+    # the heavy hitter dominates and a narrow sketch stays near-exact here
+    assert joined["hot"][1] >= 100
+
+
+def test_cm_state_is_bounded(spark):
+    from bun_csv_spark.functions.sketches import cm_sketch
+
+    df = spark.range(5000).selectExpr("CAST(id AS STRING) AS v")
+    sk = cm_sketch(df, "v", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+
+
+def test_cm_merge_equals_whole(spark):
+    from bun_csv_spark.functions.sketches import cm_merge, cm_sketch
+
+    a = spark.range(0, 300).selectExpr("CAST(id % 17 AS STRING) AS v")
+    b = spark.range(300, 700).selectExpr("CAST(id % 31 AS STRING) AS v")
+    merged = {(r["row"], r["col"]): r["cnt"] for r in
+              cm_merge(cm_sketch(a, "v", 4, 64), cm_sketch(b, "v", 4, 64)).collect()}
+    whole = {(r["row"], r["col"]): r["cnt"] for r in
+             cm_sketch(a.unionAll(b), "v", 4, 64).collect()}
+    assert merged == whole  # counters are linear: merge is exact
+
+
+def test_cm_absent_candidate_reads_zero_or_collision(spark):
+    from bun_csv_spark.functions.sketches import cm_estimate, cm_sketch
+
+    data = spark.createDataFrame([("a",), ("a",), ("b",)], ["v"])
+    sk = cm_sketch(data, "v", depth=4, width=512)
+    ghost = spark.createDataFrame([("never-seen",)], ["v"])
+    [row] = cm_estimate(sk, ghost, "v", depth=4, width=512).collect()
+    assert row["est_count"] == 0  # wide sketch, 2 values: no collision
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    from bun_csv_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # chains 0-1-2, 10-11, and a bigger component 20..24
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        ["id_a", "id_b"],
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 200
+    by_id = {r["doc_id"]: r for r in out}
+    for comp in [(0, 1, 2), (10, 11), (20, 21, 22, 23, 24)]:
+        splits = {by_id[i]["split"] for i in comp}
+        groups = {by_id[i]["split_group"] for i in comp}
+        assert len(splits) == 1, f"component {comp} straddles splits"
+        assert groups == {min(comp)}
+    # singletons keep their own id as group and match plain hash_split
+    from bun_csv_spark.operators.util import hash_split
+
+    plain = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    for i in range(100, 200):
+        assert by_id[i]["split_group"] == i
+        assert by_id[i]["split"] == plain[i]
+
+
+def test_leakage_safe_split_fractions_roughly_hold(spark):
+    from bun_csv_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F_count().alias("n")).collect()}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 2000
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1))

@@ -160,6 +160,17 @@ EXPECTATIONS = {
     # firsts agg + distinct-activity agg + entity-key join + bounded
     # matrix agg + cohort-size broadcast back
     "retention": (6, ["BroadcastHashJoin"], ["CartesianProduct", "SinglePartition"]),
+    # pure scan-and-agg: every predicate in the scan, the only Exchanges
+    # are the 1-row ungrouped-agg partial+final pair
+    "tpch_q6": (2, ["PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"], ["Window", "CartesianProduct"]),
+    # date-bounded fact scan + part join (AQE-decided) + 1-row agg
+    "tpch_q14": (4, ["PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # sketch build (bounded map-side combine) + distinct + exact agg +
+    # broadcast sketch lookup + TakeOrdered — no global sort
+    "countmin_topk": (10, ["TakeOrderedAndProject", "BroadcastExchange"], ["CartesianProduct", "GlobalSort"]),
+    # CC runs on checkpointed edge list; final plan = broadcast label
+    # join + map-side split rule — the corpus itself never shuffles
+    "cluster_split": (2, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
