@@ -108,6 +108,36 @@ def transition_datapoint(spark):
           transition_counts(ev))
 
 
+def cm_datapoint(spark):
+    from bun_csv_spark.functions.sketches import cm_estimate, cm_sketch
+
+    # zipf-ish: value v appears ~20M/v times for small v — real skew
+    df = spark.range(20_000_000).select(
+        (F.pmod(F.col("id") * F.col("id"), F.lit(100_003))).alias("v")
+    )
+    sk = cm_sketch(df, "v", depth=4, width=4096)
+    timed("cm_sketch 20M rows / ~100k distinct / 4x4096", sk)
+    cands = spark.range(1000).select(F.col("id").alias("v"))
+    timed("cm_estimate 1000 candidates vs broadcast sketch",
+          cm_estimate(sk, cands, "v", depth=4, width=4096))
+
+
+def cluster_split_datapoint(spark):
+    from bun_csv_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.range(5_000_000).select(F.col("id").alias("doc_id"))
+    # 500k edges: chains of 4 within each 40-id block — CC work is
+    # proportional to EDGES, not the 5M-doc corpus
+    pairs = spark.range(500_000).select(
+        (F.col("id") * 10).alias("id_a"), (F.col("id") * 10 + 2).alias("id_b")
+    ).unionAll(spark.range(500_000).select(
+        (F.col("id") * 10 + 2).alias("id_a"), (F.col("id") * 10 + 5).alias("id_b")
+    ))
+    timed("leakage_safe_split 5M docs / 1M near-dup edges",
+          leakage_safe_split(docs, pairs, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1}))
+
+
 def main():
     spark = get_spark("scale_r7", cpus=8, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -116,6 +146,8 @@ def main():
     lm_datapoint(spark)
     cov_datapoint(spark)
     transition_datapoint(spark)
+    cm_datapoint(spark)
+    cluster_split_datapoint(spark)
 
 
 if __name__ == "__main__":
