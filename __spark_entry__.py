@@ -2663,6 +2663,59 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_ohlc_resample(spark, sf_dir):
+    """Hourly OHLC candlesticks per event type: open/high/low/close from
+    ONE hash aggregate (min_by/max_by over a total-order key — no sort,
+    no window, deterministic under timestamp ties)."""
+    from bun_csv_spark.operators.timeseries import ohlc_resample
+
+    return ohlc_resample(read_events(spark, sf_dir))
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Shuffle-free join-cardinality estimation: count-min sketches of
+    orders.o_custkey and customer.c_custkey (one scan each, bounded
+    state), inner-product estimate vs the exact join count. The
+    'should I even run this join' planner primitive."""
+    from bun_csv_spark.functions.sketches import cm_inner_product, cm_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    est = cm_inner_product(
+        cm_sketch(orders, "o_custkey", depth=4, width=8192),
+        cm_sketch(cust, "c_custkey", depth=4, width=8192),
+    )
+    exact = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.crossJoin(exact)
+
+
+def q_streaming_hll(spark, sf_dir):
+    """REAL Structured Streaming sketch maintenance: events replayed
+    through readStream, HLL register state updated as a streaming
+    aggregate (state bounded at keys x 2^p rows), estimate computed from
+    the drained register table. Because the md5 registers are
+    deterministic and max-merge is order-independent, the streamed
+    estimate must equal the batch estimate EXACTLY — which is what the
+    oracle checks."""
+    import os as _os
+
+    from bun_csv_spark.functions.sketches import hll_estimate, hll_registers
+    from bun_csv_spark.streaming.windows import run_stream_to_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def transform(stream):
+        return hll_registers(stream, ["event_type"], "user_id", p=8)
+
+    regs = run_stream_to_table(spark, path, transform, output_mode="complete")
+    return hll_estimate(regs, ["event_type"], p=8).select(
+        "event_type", "est_distinct"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2709,6 +2762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "ohlc_resample": q_ohlc_resample,
+        "join_size_estimate": q_join_size_estimate,
+        "streaming_hll": q_streaming_hll,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -3352,6 +3408,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.user_id, x.exact_count, e.est_count
         FROM est e JOIN exact x USING (user_id)
         ORDER BY e.est_count DESC, e.user_id LIMIT 20
+    """
+
+    sql["ohlc_resample"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               arg_min(value, printf('%020d|%020d', epoch_ns(ts), event_id)) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, printf('%020d|%020d', epoch_ns(ts), event_id)) AS close,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["join_size_estimate"] = """
+        WITH ska AS (
+          SELECT t.j AS row,
+                 CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                         || o_custkey::VARCHAR), 1, 15)
+                      AS BIGINT) % 8192 AS col,
+                 count(*)::BIGINT AS cnt
+          FROM orders, (VALUES (0), (1), (2), (3)) AS t(j) GROUP BY 1, 2),
+        skb AS (
+          SELECT t.j AS row,
+                 CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                         || c_custkey::VARCHAR), 1, 15)
+                      AS BIGINT) % 8192 AS col,
+                 count(*)::BIGINT AS cnt
+          FROM customer, (VALUES (0), (1), (2), (3)) AS t(j) GROUP BY 1, 2),
+        ip AS (
+          SELECT a.row, sum(a.cnt * b.cnt)::BIGINT AS ip
+          FROM ska a JOIN skb b ON a.row = b.row AND a.col = b.col GROUP BY 1)
+        SELECT (SELECT min(ip) FROM ip)::BIGINT AS est_join_size,
+               (SELECT count(*) FROM orders
+                JOIN customer ON o_custkey = c_custkey)::BIGINT AS exact_join_size
     """
 
     sql["count_rows"] = "SELECT count(*)::BIGINT AS n FROM lineitem"
@@ -5181,6 +5271,12 @@ def oracle_sql() -> dict[str, str]:
     # the oracle replays the UNDIVIDED estimate, the Spark side computes
     # the sharded merge — their equality is the gate's semantic content
     sql["hll_merge"] = "WITH " + _hll_ctes.format(**_a) + _hll_sel.format(**_a)
+    # the streaming path must reproduce the batch estimate EXACTLY
+    # (deterministic registers + order-independent max-merge)
+    sql["streaming_hll"] = (
+        "WITH " + _hll_ctes.format(**_a)
+        + _hll_sel.format(**_a).replace("g AS scope", "g AS event_type")
+    )
 
     sql["weighted_sample"] = """
         SELECT doc_id, n_chars,

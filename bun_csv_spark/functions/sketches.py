@@ -334,3 +334,23 @@ def cm_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
+
+
+def cm_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with the same depth/width/salt: |A JOIN B on k| = sum_v fA(v)*fB(v),
+    estimated as min over hash rows of the counter inner product
+    (Cormode & Muthukrishnan 2005, sec. 4.3 — never underestimates;
+    expected overshoot ~ |A|*|B|/width, so size width accordingly).
+
+    This is the shuffle-free answer to "how big is this join going to
+    be": both sketches are bounded tables built with one scan each, the
+    product is a depth*width-row join — no key shuffle of either input.
+    Returns one row: est_join_size."""
+    a, b = sk_a.alias("a"), sk_b.alias("b")
+    return (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("__ip"))
+        .agg(F.min("__ip").alias("est_join_size"))
+    )

@@ -303,3 +303,63 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
         )
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    bucket: str = "hour",
+    tiebreak_col: str = "event_id",
+    strict_ties: bool = True,
+) -> DataFrame:
+    """Open/high/low/close resampling — the candlestick/downsampling
+    aggregate every time-series store ships (first/last/min/max of a
+    value per key per time bucket).
+
+    All four stats come from ONE aggregate: high/low are plain min/max,
+    open/close are min_by/max_by over a total order. Two orderings:
+
+    - ``strict_ties=True`` (default): zero-padded ``(ts, tiebreak)``
+      string key — total ordering by construction, deterministic on any
+      engine/partitioning even when timestamps collide (relying on
+      data-unique timestamps is a silent nondeterminism trap). Cost:
+      string agg buffers are not hash-aggregable, so Spark plans a
+      SortAggregate — still partial+final combinable with ONE exchange,
+      but with a per-task sort on the group key.
+    - ``strict_ties=False``: order by the epoch-nanos long alone —
+      whole-stage-codegen HashAggregate (the fast path). Correct
+      whenever ``ts_col`` is unique per (bucket, key) group; ties pick
+      an arbitrary-but-valid row.
+
+    Either way partial states are one (key, value) pair per group per
+    task, so the single shuffle carries O(tasks x groups) rows and the
+    plan is identical at any scale. ``ts_col`` is epoch-nanos (the
+    events-table convention; see sources.events.ensure_ts_nanos).
+    """
+    from bun_csv_spark.functions.timefmt import ns_to_ntz
+
+    key_cols = ["event_type"] if key_cols is None else key_cols
+    if strict_ties:
+        order_key = F.format_string(
+            "%020d|%020d", F.col(ts_col).cast("long"), F.col(tiebreak_col).cast("long")
+        )
+    else:
+        order_key = F.col(ts_col).cast("long")
+    bucket_col = F.date_format(
+        F.date_trunc(bucket, ns_to_ntz(ts_col).cast("timestamp")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("__ok", order_key)
+        .groupBy(bucket_col.alias("bucket"), *key_cols)
+        .agg(
+            F.min_by(v, F.col("__ok")).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, F.col("__ok")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

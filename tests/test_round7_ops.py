@@ -559,3 +559,89 @@ def F_count():
     from pyspark.sql import functions as F
 
     return F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample / join-size estimate / streaming HLL
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_hand_example(spark):
+    from bun_csv_spark.operators.timeseries import ohlc_resample
+
+    h = 3_600_000_000_000  # one hour in nanos
+    rows = [
+        # (event_id, ts, event_type, value) — one bucket, known order
+        (1, h + 10, "a", 5.0),
+        (2, h + 20, "a", 9.0),
+        (3, h + 30, "a", 1.0),
+        (4, h + 40, "a", 7.0),
+        # second bucket
+        (5, 2 * h + 1, "a", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    got = {r["bucket"]: r for r in ohlc_resample(df).collect()}
+    b1 = [k for k in got if k.endswith("01:00:00")][0]
+    assert (got[b1]["open"], got[b1]["high"], got[b1]["low"], got[b1]["close"]) == (
+        5.0, 9.0, 1.0, 7.0)
+    assert got[b1]["n_events"] == 4
+
+
+def test_ohlc_tie_resolves_by_tiebreak(spark):
+    from bun_csv_spark.operators.timeseries import ohlc_resample
+
+    rows = [(2, 1000, "a", 8.0), (1, 1000, "a", 3.0)]  # same ts!
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    [r] = ohlc_resample(df).collect()
+    assert r["open"] == 3.0 and r["close"] == 8.0  # event_id breaks the tie
+
+
+def test_cm_inner_product_bounds_join_size(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.functions.sketches import cm_inner_product, cm_sketch
+
+    a = spark.range(1000).selectExpr("id % 100 AS k")
+    b = spark.range(300).selectExpr("id % 100 AS k")
+    exact = a.join(b, "k").count()
+    [r] = cm_inner_product(
+        cm_sketch(a, "k", depth=4, width=4096),
+        cm_sketch(b, "k", depth=4, width=4096),
+    ).collect()
+    assert r["est_join_size"] >= exact            # never underestimates
+    assert r["est_join_size"] <= exact * 1.5 + 100  # wide sketch: close
+
+
+def test_streaming_hll_equals_batch(spark):
+    from bun_csv_spark.functions.sketches import hll_distinct
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["event_type"]: r["est_distinct"]
+        for r in entry_mod.queries()["streaming_hll"](spark, sf).collect()
+    }
+    from bun_csv_spark.sources.events import read_events
+
+    batch = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(
+            read_events(spark, sf), ["event_type"], "user_id", p=8
+        ).collect()
+    }
+    assert streamed == batch  # stream == batch EXACTLY, not approximately
+
+
+def test_ohlc_fast_path_hash_aggregates(spark):
+    from bun_csv_spark.operators.timeseries import ohlc_resample
+
+    rows = [(1, 1000, "a", 3.0), (2, 2000, "a", 8.0)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    fast = ohlc_resample(df, strict_ties=False)
+    plan = fast._sc._jvm.PythonSQLUtils.explainString(
+        fast._jdf.queryExecution(), "simple"
+    )
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    [r] = fast.collect()
+    assert (r["open"], r["close"]) == (3.0, 8.0)

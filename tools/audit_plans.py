@@ -171,6 +171,14 @@ EXPECTATIONS = {
     # CC runs on checkpointed edge list; final plan = broadcast label
     # join + map-side split rule — the corpus itself never shuffles
     "cluster_split": (2, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # ONE combinable aggregate, partial+final pair only, no Window. The
+    # strict-ties string key forces SortAggregate (per-task sort, still
+    # one exchange) — the documented cost of tie determinism; pass
+    # strict_ties=False for the HashAggregate fast path
+    "ohlc_resample": (2, ["SortAggregate"], ["Window", "CartesianProduct"]),
+    # two bounded sketch builds + d*w-row product + exact-count twin;
+    # the 1-row x 1-row cross join is the intended result assembly
+    "join_size_estimate": (8, ["HashAggregate"], []),
 }
 
 
