@@ -645,3 +645,34 @@ def test_ohlc_fast_path_hash_aggregates(spark):
     assert "HashAggregate" in plan and "SortAggregate" not in plan
     [r] = fast.collect()
     assert (r["open"], r["close"]) == (3.0, 8.0)
+
+
+def test_streaming_hll_multibatch_merge(spark, tmp_path):
+    """HLL register state accumulated across SEVERAL micro-batches must
+    equal the batch estimate — the real incremental-merge proof (one
+    batch per arrival phase, state carried by the streaming aggregate)."""
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.functions.sketches import hll_distinct, hll_estimate, hll_registers
+    from bun_csv_spark.sources.events import read_events
+    from bun_csv_spark.streaming.windows import run_stream_to_table, stage_phased_replay
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_events(spark, sf)
+    src = stage_phased_replay(
+        ev,
+        [("p0", F.col("event_id") % 3 == 0),
+         ("p1", F.col("event_id") % 3 == 1),
+         ("p2", F.col("event_id") % 3 == 2)],
+        str(tmp_path / "phases"),
+    )
+    regs = run_stream_to_table(
+        spark, src,
+        lambda s: hll_registers(s, ["event_type"], "user_id", p=8),
+        output_mode="complete", max_files_per_trigger=1,
+    )
+    streamed = {r["event_type"]: r["est_distinct"]
+                for r in hll_estimate(regs, ["event_type"], p=8).collect()}
+    batch = {r["event_type"]: r["est_distinct"]
+             for r in hll_distinct(ev, ["event_type"], "user_id", p=8).collect()}
+    assert streamed == batch
