@@ -2716,6 +2716,43 @@ def q_streaming_hll(spark, sf_dir):
     )
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual dHash over REAL decoded BMP pixels: id-derived textured
+    images, nearest-neighbor 9x8 grayscale sample, adjacent-column
+    comparisons packed into one int64 — every integer step restated by
+    the oracle from doc_id arithmetic alone."""
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_dhash(attach_bmp_payload(docs, texture=True))
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-duplicate detection at corpus scale: originals +
+    brightness-shifted copies (the classic re-encode twin), perceptual
+    dHash per image, banded Hamming pairing (hamming_pairs64 — one
+    banding shuffle + capped bucket self-join, never n^2). Thumbnails
+    (< 8px a side) are skipped — their perceptual hash is noise."""
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+    from bun_csv_spark.operators.dedup import hamming_pairs64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    orig = attach_bmp_payload(docs, texture=True)
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("doc_id").alias("img_src")
+    )
+    pert = attach_bmp_payload(
+        copies, src_col="img_src", bias=5, texture=True
+    ).select("doc_id", "payload")
+    hashes = (
+        extract_dhash(orig)
+        .unionByName(extract_dhash(pert))
+        .filter((F.col("width") >= 8) & (F.col("height") >= 8))
+        .select("doc_id", "dhash")
+    )
+    return hamming_pairs64(hashes, "doc_id", "dhash", max_hamming=8, max_bucket=64)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2765,6 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_resample": q_ohlc_resample,
         "join_size_estimate": q_join_size_estimate,
         "streaming_hll": q_streaming_hll,
+        "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -4177,6 +4216,86 @@ def oracle_sql() -> dict[str, str]:
     # attach builders derive every byte from the id (multimodal/binary.py
     # attach_bmp_payload / attach_pcm_wav_payload), so exact-integer SQL
     # over generate_series IS the decoded ground truth
+    # dHash pipeline restated from doc_id arithmetic (attach_bmp_payload
+    # texture formulas + extract_dhash's integer sampling): {imgs} maps
+    # (id -> source image id, brightness bias); grid = nearest-neighbor
+    # 9x8 sample points; gray = (B+G+R)//3; bit (i,j) via the i/i+1
+    # self-join; 1<<63 wraps to long min exactly as numpy int64 does
+    _dhash_ctes = """
+        dims AS (
+          SELECT id, img, bias, 1 + img % 16 AS w, 1 + (img * 3) % 16 AS h
+          FROM imgs),
+        grid AS (
+          SELECT id, img, bias, w, h, ii.i, jj.j,
+                 ((2 * ii.i + 1) * w) // 18 AS sx,
+                 ((2 * jj.j + 1) * h) // 16 AS sy
+          FROM dims,
+               (SELECT unnest(generate_series(0, 8)) AS i) ii,
+               (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        gray AS (
+          SELECT id, i, j,
+                 (((img + sx * 7 + sy * 13 + bias + sx * sy * (1 + img % 7)) % 256)
+                + ((img + sx * 11 + sy * 3 + bias + sx * sy * (1 + img % 7)) % 256)
+                + ((img + sx * 5 + sy * 17 + bias + sx * sy * (1 + img % 7)) % 256))
+                 // 3 AS g
+          FROM grid),
+        dh AS (
+          SELECT a.id,
+                 sum(CASE WHEN b.g > a.g THEN
+                       CASE WHEN a.j * 8 + a.i = 63
+                            THEN (-9223372036854775807 - 1)
+                            ELSE (1::BIGINT << (a.j * 8 + a.i)) END
+                     ELSE 0 END)::BIGINT AS dhash
+          FROM gray a JOIN gray b
+            ON b.id = a.id AND b.j = a.j AND b.i = a.i + 1
+          GROUP BY a.id)
+    """
+
+    sql["image_dhash"] = (
+        """
+        WITH imgs AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents),
+        """
+        + _dhash_ctes
+        + """
+        SELECT d.id::BIGINT AS doc_id, m.w::BIGINT AS width,
+               m.h::BIGINT AS height, d.dhash
+        FROM dh d JOIN dims m ON m.id = d.id
+        """
+    )
+
+    sql["image_neardup"] = (
+        """
+        WITH imgs AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS img, 5 AS bias FROM documents),
+        """
+        + _dhash_ctes
+        + """
+        , kept AS (
+          SELECT d.id, d.dhash FROM dh d JOIN dims m ON m.id = d.id
+          WHERE m.w >= 8 AND m.h >= 8),
+        bands AS (
+          SELECT id, dhash, bb.band,
+                 substr(printf('%016x', dhash), 1 + 4 * bb.band, 4) AS bucket
+          FROM kept, (VALUES (0), (1), (2), (3)) AS bb(band)),
+        bands_c AS (
+          SELECT id, dhash, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM bands)
+          WHERE bsz <= 64),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.dhash AS ha, b.dhash AS hb
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+               bit_count(xor(ha, hb))::BIGINT AS hamming
+        FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+        """
+    )
+
     sql["multimodal_pixels"] = """
         WITH d AS (
           SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h

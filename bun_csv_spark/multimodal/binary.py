@@ -585,13 +585,26 @@ def attach_bmp_payload(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     mod: int = 16,
+    bias: int = 0,
+    src_col: str | None = None,
+    texture: bool = False,
 ) -> DataFrame:
     """Materialize a REAL 24-bit BMP per row with deterministic pixels:
     dims (1 + id % mod, 1 + id*3 % mod), channel values at (x, y) =
-    (id + x*7 + y*13, id + x*11 + y*3, id + x*5 + y*17) mod 256 for
-    (B, G, R). A genuine uncompressed container for decode_bmp_pixels,
-    with every pixel restatable from ``id`` alone — which is what lets
-    the SQL oracle state exact channel sums without building bytes."""
+    (id + x*7 + y*13 + bias, id + x*11 + y*3 + bias, id + x*5 + y*17
+    + bias) mod 256 for (B, G, R). A genuine uncompressed container for
+    decode_bmp_pixels, with every pixel restatable from ``id`` alone —
+    which is what lets the SQL oracle state exact channel sums without
+    building bytes.
+
+    ``bias`` models a brightness tweak of the same underlying image
+    (near-duplicate fixture for perceptual hashing); ``src_col`` lets a
+    row's pixels derive from a DIFFERENT column than its id (e.g. a
+    perturbed copy keyed by a fresh doc_id whose pixels come from the
+    original's id); ``texture`` adds an id-dependent x*y cross term
+    (``x*y*(1 + id % 7)``) to every channel so distinct ids produce
+    perceptually DISTINCT images (without it the additive formulas make
+    same-dims images order-identical, collapsing perceptual hashes)."""
     import numpy as np
 
     from pyspark.sql.types import BinaryType
@@ -604,14 +617,15 @@ def attach_bmp_payload(
             w, h = 1 + i % mod, 1 + (i * 3) % mod
             x = np.arange(w).reshape(1, w)
             y = np.arange(h).reshape(h, 1)
+            t = x * y * (1 + i % 7) if texture else 0
             px = np.empty((h, w, 3), np.uint8)
-            px[:, :, 0] = (i + x * 7 + y * 13) % 256
-            px[:, :, 1] = (i + x * 11 + y * 3) % 256
-            px[:, :, 2] = (i + x * 5 + y * 17) % 256
+            px[:, :, 0] = (i + x * 7 + y * 13 + bias + t) % 256
+            px[:, :, 1] = (i + x * 11 + y * 3 + bias + t) % 256
+            px[:, :, 2] = (i + x * 5 + y * 17 + bias + t) % 256
             out.append(make_bmp_payload(w, h, px.tobytes()))
         return pd.Series(out)
 
-    return df.withColumn(payload_col, bmp(F.col(id_col)))
+    return df.withColumn(payload_col, bmp(F.col(src_col or id_col)))
 
 
 def extract_pixel_stats(
@@ -920,3 +934,60 @@ def attach_gif_payload(
         return pd.Series(out)
 
     return df.withColumn(payload_col, gif(F.col(id_col)))
+
+
+def extract_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
+    grid: tuple = (9, 8),
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate fingerprint for photos (Krawetz; the 'resize to 9x8,
+    compare neighbors' hash): decode the payload, nearest-neighbor
+    sample onto a ``grid`` = (9, 8) grayscale raster, set bit (i, j)
+    when gray(i+1, j) > gray(i, j), pack the 8x8 comparisons LSB-first
+    into ONE int64. Brightness shifts and re-encodes barely move it;
+    different photos land far apart in Hamming space.
+
+    Every step is integer-exact so a SQL oracle can restate the hash
+    from deterministic pixel formulas: sample src = ((2t + 1) * dim) //
+    (2 * target), gray = (B + G + R) // 3. Arrow-batched mapInPandas —
+    pixels never become Python row objects; output (id, dhash) feeds
+    ``operators.dedup.hamming_pairs64`` for banded near-dup pairing."""
+    import numpy as np
+
+    if decoder is None:
+        decoder = decode_bmp_pixels
+    gx, gy = grid
+    out_schema = f"{id_col} long, width long, height long, dhash long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, hashes = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decoder(bytes(b))
+                xs = ((2 * np.arange(gx) + 1) * w) // (2 * gx)
+                ys = ((2 * np.arange(gy) + 1) * h) // (2 * gy)
+                g = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3
+                bits = g[:, 1:] > g[:, :-1]  # (gy rows j, gx-1 cols i)
+                val = 0
+                for j in range(gy):
+                    for i_ in range(gx - 1):
+                        if bits[j, i_]:
+                            val |= 1 << (j * (gx - 1) + i_)
+                if val >= 1 << 63:
+                    val -= 1 << 64  # two's-complement int64 wrap
+                ids.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "width": pd.Series(ws, dtype="int64"),
+                 "height": pd.Series(hs, dtype="int64"),
+                 "dhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -336,7 +336,27 @@ def simhash_pairs(
     sim = df.select(
         F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("__sim")
     )
-    hexs = F.lower(F.lpad(F.hex("__sim"), 16, "0"))
+    return hamming_pairs64(sim, id_col, "__sim", max_hamming, max_bucket)
+
+
+def hamming_pairs64(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Banded Hamming-distance pairs over ANY 64-bit fingerprint column
+    (SimHash, image dHash, audio chromaprint-style hashes, ...): four
+    16-bit bands from the zero-padded hex (substring, not shifts —
+    negative-long shift semantics differ between engines), candidates =
+    ids sharing any band (pigeonhole: distance <= 6 with flips in <= 3
+    bands guarantees one agreeing band), verification = exact popcount
+    of the XOR. Per-(band, bucket) groups above ``max_bucket`` are
+    dropped before the self-join — one degenerate bucket of B near-equal
+    fingerprints is B²/2 pairs. One banding shuffle, one keyed
+    self-join, never n². Returns (id_a, id_b, hamming)."""
+    hexs = F.lower(F.lpad(F.hex(hash_col), 16, "0"))
     band_arr = F.array(
         *[
             F.struct(
@@ -346,9 +366,14 @@ def simhash_pairs(
             for b in range(4)
         ]
     )
-    banded = sim.select(
-        id_col, "__sim", F.explode(band_arr).alias("bk")
-    ).select(id_col, "__sim", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = df.select(
+        id_col, hash_col, F.explode(band_arr).alias("bk")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -370,8 +395,8 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__sim").alias("__sa"),
-            F.col("b.__sim").alias("__sb"),
+            F.col(f"a.{hash_col}").alias("__sa"),
+            F.col(f"b.{hash_col}").alias("__sb"),
         )
         .distinct()
     )

@@ -676,3 +676,60 @@ def test_streaming_hll_multibatch_merge(spark, tmp_path):
     batch = {r["event_type"]: r["est_distinct"]
              for r in hll_distinct(ev, ["event_type"], "user_id", p=8).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dHash
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_brightness_near_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+
+    docs = spark.range(40).select((F.col("id") * 13 + 7).alias("doc_id"))
+    big = (F.col("width") >= 8) & (F.col("height") >= 8)  # thumbnails are noise
+    h0 = {r["doc_id"]: r["dhash"] for r in
+          extract_dhash(attach_bmp_payload(docs, texture=True)).filter(big).collect()}
+    h5 = {r["doc_id"]: r["dhash"] for r in
+          extract_dhash(attach_bmp_payload(docs, texture=True, bias=5)).filter(big).collect()}
+    assert len(h0) >= 10
+    for i in h0:
+        assert bin((h0[i] ^ h5[i]) & ((1 << 64) - 1)).count("1") <= 10
+
+
+def test_dhash_distinct_images_far_apart(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+
+    # two big textured images with different content ids
+    docs = spark.createDataFrame([(15,), (47,)], ["doc_id"])  # both 16x16
+    rows = extract_dhash(attach_bmp_payload(docs, texture=True)).collect()
+    assert all(r["width"] == 16 for r in rows)
+    [a, b] = [r["dhash"] for r in rows]
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_hamming_pairs64_exact_dups_and_cap(spark):
+    from bun_csv_spark.operators.dedup import hamming_pairs64
+
+    rows = [(1, 0x1234_5678_9ABC_DEF0), (2, 0x1234_5678_9ABC_DEF0),  # exact dup
+            (3, 0x1234_5678_9ABC_DEF1),                               # hamming 1
+            (4, -42)]                                                 # far away
+    df = spark.createDataFrame(rows, ["doc_id", "h"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs64(df, "doc_id", "h", max_hamming=6).collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_dhash_width_height_match_payload(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+
+    docs = spark.range(32).select(F.col("id").alias("doc_id"))
+    for r in extract_dhash(attach_bmp_payload(docs)).collect():
+        assert r["width"] == 1 + r["doc_id"] % 16
+        assert r["height"] == 1 + (r["doc_id"] * 3) % 16

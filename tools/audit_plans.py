@@ -179,6 +179,11 @@ EXPECTATIONS = {
     # two bounded sketch builds + d*w-row product + exact-count twin;
     # the 1-row x 1-row cross join is the intended result assembly
     "join_size_estimate": (8, ["HashAggregate"], []),
+    # Arrow-batched decode+hash: pure mapInPandas, zero shuffles
+    "image_dhash": (0, ["MapInPandas"], ["Exchange"]),
+    # banding window + capped bucket self-join — the simhash_pairs shape
+    # over image fingerprints; never a cartesian
+    "image_neardup": (6, ["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
