@@ -2753,6 +2753,48 @@ def q_image_neardup(spark, sf_dir):
     return hamming_pairs64(hashes, "doc_id", "dhash", max_hamming=8, max_bucket=64)
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Waveform difference-fingerprint over REAL decoded PCM samples:
+    65 duration-invariant sample points, adjacent comparisons packed
+    into one int64 — the audio analogue of image_dhash, every step
+    oracle-restated from doc_id arithmetic."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_fingerprint(attach_pcm_wav_payload(docs, texture=True))
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate detection: originals + DC-shifted re-levels
+    of the same recording, difference fingerprints, banded Hamming
+    pairing via the shared hamming_pairs64 — the whole perceptual-dedup
+    stack (text SimHash / image dHash / audio fingerprint) funnels into
+    ONE scale-safe pairing operator."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+    )
+    from bun_csv_spark.operators.dedup import hamming_pairs64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    orig = attach_pcm_wav_payload(docs, texture=True)
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("doc_id").alias("src")
+    )
+    pert = attach_pcm_wav_payload(
+        copies, src_col="src", bias=4, texture=True
+    ).select("doc_id", "payload")
+    fps = (
+        extract_audio_fingerprint(orig)
+        .unionByName(extract_audio_fingerprint(pert))
+        .select("doc_id", "fingerprint")
+    )
+    return hamming_pairs64(fps, "doc_id", "fingerprint", max_hamming=8, max_bucket=64)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2783,7 +2825,14 @@ def _freshness_order(raw: "dict") -> "dict":
         i, name = pair
         g = green.get(name) or {}
         lg = g.get("last_green")
-        bucket = 0 if lg is None else (1 if g.get("stale") else 2)
+        if g.get("defer"):
+            # conscious round-split (test_registry_order's overflow rule):
+            # more zero-evidence gates than window slots — deferred ones
+            # (locally verified, lowest portability risk, defer_reason in
+            # the map) yield their slot and rotate in next round
+            bucket = 3
+        else:
+            bucket = 0 if lg is None else (1 if g.get("stale") else 2)
         return (bucket, lg or 0, i)
 
     ordered = sorted(enumerate(raw), key=key)
@@ -2804,6 +2853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "image_dhash": q_image_dhash,
         "image_neardup": q_image_neardup,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_neardup": q_audio_neardup,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -4288,6 +4339,78 @@ def oracle_sql() -> dict[str, str]:
         pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                  a.dhash AS ha, b.dhash AS hb
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+               bit_count(xor(ha, hb))::BIGINT AS hamming
+        FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+        """
+    )
+
+    # audio fingerprint restated from doc_id arithmetic
+    # (attach_pcm_wav_payload texture formulas + extract_audio_fingerprint's
+    # integer sampling): n = 16 + img % 64 samples, amp(s) = (img*31 + s*7
+    # + (s*s % 16)*(1 + img % 5) + bias) % 256, 65 sample points
+    _afp_ctes = """
+        clip AS (
+          SELECT id, img, bias, 16 + img % 64 AS n FROM snds),
+        pts AS (
+          SELECT id, img, bias, n, tt.t,
+                 ((2 * tt.t + 1) * n) // 130 AS s
+          FROM clip, (SELECT unnest(generate_series(0, 64)) AS t) tt),
+        amp AS (
+          SELECT id, t,
+                 (img * 31 + s * 7 + (s * s % 16) * (1 + img % 5) + bias) % 256
+                   AS a
+          FROM pts),
+        fp AS (
+          SELECT x.id,
+                 sum(CASE WHEN y.a > x.a THEN
+                       CASE WHEN x.t = 63 THEN (-9223372036854775807 - 1)
+                            ELSE (1::BIGINT << x.t) END
+                     ELSE 0 END)::BIGINT AS fingerprint
+          FROM amp x JOIN amp y ON y.id = x.id AND y.t = x.t + 1
+          GROUP BY x.id)
+    """
+
+    sql["audio_fingerprint"] = (
+        """
+        WITH snds AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents),
+        """
+        + _afp_ctes
+        + """
+        SELECT f.id::BIGINT AS doc_id,
+               CASE c.img % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                              WHEN 2 THEN 22050 ELSE 44100 END::BIGINT
+                 AS sample_rate,
+               c.n::BIGINT AS n_samples, f.fingerprint
+        FROM fp f JOIN clip c ON c.id = f.id
+        """
+    )
+
+    sql["audio_neardup"] = (
+        """
+        WITH snds AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS img, 4 AS bias FROM documents),
+        """
+        + _afp_ctes
+        + """
+        , bands AS (
+          SELECT id, fingerprint, bb.band,
+                 substr(printf('%016x', fingerprint), 1 + 4 * bb.band, 4)
+                   AS bucket
+          FROM fp, (VALUES (0), (1), (2), (3)) AS bb(band)),
+        bands_c AS (
+          SELECT id, fingerprint, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM bands)
+          WHERE bsz <= 64),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.fingerprint AS ha, b.fingerprint AS hb
           FROM bands_c a JOIN bands_c b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
         SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,

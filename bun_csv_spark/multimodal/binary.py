@@ -673,11 +673,22 @@ def attach_pcm_wav_payload(
     payload_col: str = "payload",
     base_samples: int = 16,
     mod_samples: int = 64,
+    bias: int = 0,
+    src_col: str | None = None,
+    texture: bool = False,
 ) -> DataFrame:
     """Materialize a REAL 8-bit PCM mono WAV per row with deterministic
-    samples: n = base + id % mod samples, sample i = (id*31 + i*7) % 256,
+    samples: n = base + id % mod samples, sample i = (id*31 + i*7
+    + bias [+ (i*i % 16) * (1 + id % 5) if texture]) % 256,
     rate = AUDIO_RATES[id % 4] — every sample restatable from ``id`` for
-    the SQL oracle."""
+    the SQL oracle.
+
+    ``bias`` models a DC/level shift of the same recording (near-dup
+    fixture for audio fingerprinting); ``src_col`` keys the samples off
+    a different column than the row id; ``texture`` adds an
+    id-dependent quadratic ripple so distinct ids produce waveforms
+    with DISTINCT local shape (the plain sawtooth is order-identical
+    across ids, which collapses difference fingerprints)."""
     import numpy as np
 
     from pyspark.sql.types import BinaryType
@@ -688,11 +699,13 @@ def attach_pcm_wav_payload(
         for i in ids:
             i = int(i)
             n = base_samples + i % mod_samples
-            data = ((i * 31 + np.arange(n) * 7) % 256).astype(np.uint8).tobytes()
+            idx = np.arange(n)
+            t = (idx * idx % 16) * (1 + i % 5) if texture else 0
+            data = ((i * 31 + idx * 7 + bias + t) % 256).astype(np.uint8).tobytes()
             out.append(make_wav_payload(data, AUDIO_RATES[i % 4]))
         return pd.Series(out)
 
-    return df.withColumn(payload_col, wav(F.col(id_col)))
+    return df.withColumn(payload_col, wav(F.col(src_col or id_col)))
 
 
 def extract_audio_stats(
@@ -988,6 +1001,55 @@ def extract_dhash(
                  "width": pd.Series(ws, dtype="int64"),
                  "height": pd.Series(hs, dtype="int64"),
                  "dhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def extract_audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_points: int = 65,
+) -> DataFrame:
+    """Difference fingerprint over decoded PCM samples — the waveform
+    analogue of ``extract_dhash`` (Chromaprint-style local-shape bits,
+    minus the spectral transform): nearest-neighbor sample ``n_points``
+    = 65 amplitudes across the clip (src = ((2t + 1) * n) // (2 *
+    n_points) — duration-invariant, so re-sampled/trimmed-pad twins
+    still align), bit t = amp(t+1) > amp(t), packed LSB-first into one
+    int64. DC/level shifts barely move it; different recordings land
+    far apart. Arrow-batched mapInPandas, zero shuffles; output
+    (id, sample_rate, n_samples, fingerprint) feeds
+    ``operators.dedup.hamming_pairs64``."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, sample_rate long, n_samples long, fingerprint long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, ns, fps = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, arr = decode_wav_samples(bytes(b))
+                mono = arr[:, 0]
+                n = mono.shape[0]
+                src = ((2 * np.arange(n_points) + 1) * n) // (2 * n_points)
+                amp = mono[src]
+                val = 0
+                for t in range(n_points - 1):
+                    if amp[t + 1] > amp[t]:
+                        val |= 1 << t
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(i))
+                rates.append(int(rate))
+                ns.append(int(n))
+                fps.append(val)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "sample_rate": pd.Series(rates, dtype="int64"),
+                 "n_samples": pd.Series(ns, dtype="int64"),
+                 "fingerprint": pd.Series(fps, dtype="int64")}
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

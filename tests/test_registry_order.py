@@ -33,6 +33,8 @@ def _load():
 
 
 def _bucket(g):
+    if (g or {}).get("defer"):
+        return 3  # conscious round-split: yields its window slot this round
     lg = (g or {}).get("last_green")
     return 0 if lg is None else (1 if (g or {}).get("stale") else 2)
 
@@ -72,6 +74,28 @@ def test_order_is_freshness_sorted():
         g = gates.get(n) or {}
         keys.append((_bucket(g), g.get("last_green") or 0))
     assert keys == sorted(keys), "queries() order does not match the green map"
+
+
+def test_deferred_gates_are_justified_and_bounded():
+    """Deferring is the conscious-split escape hatch, not a dumping
+    ground: every deferred gate must carry a written reason, and the
+    combined zero-evidence backlog (deferred included) must still fit
+    in at most TWO driver rounds."""
+    doc, names = _load()
+    gates = doc["gates"]
+    window = doc.get("window", 50)
+    deferred = [n for n, g in gates.items() if g.get("defer")]
+    for n in deferred:
+        assert gates[n].get("defer_reason"), f"deferred without a reason: {n}"
+        assert gates[n].get("last_green") is None or gates[n].get("stale"), (
+            f"{n} is deferred but has fresh green evidence — clear the flag"
+        )
+    zero_evidence = [n for n in names
+                     if (gates.get(n) or {}).get("last_green") is None
+                     or (gates.get(n) or {}).get("stale")]
+    assert len(zero_evidence) <= 2 * window, (
+        f"{len(zero_evidence)} zero-evidence gates cannot clear in two rounds"
+    )
 
 
 def test_oracles_subset_of_queries():

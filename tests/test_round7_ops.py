@@ -733,3 +733,35 @@ def test_dhash_width_height_match_payload(spark):
     for r in extract_dhash(attach_bmp_payload(docs)).collect():
         assert r["width"] == 1 + r["doc_id"] % 16
         assert r["height"] == 1 + (r["doc_id"] * 3) % 16
+
+
+def test_audio_fingerprint_dc_shift_near_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import (
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+    )
+
+    docs = spark.range(40).select((F.col("id") * 11 + 3).alias("doc_id"))
+    f0 = {r["doc_id"]: r["fingerprint"] for r in extract_audio_fingerprint(
+        attach_pcm_wav_payload(docs, texture=True)).collect()}
+    f4 = {r["doc_id"]: r["fingerprint"] for r in extract_audio_fingerprint(
+        attach_pcm_wav_payload(docs, texture=True, bias=4)).collect()}
+    for i in f0:
+        assert bin((f0[i] ^ f4[i]) & ((1 << 64) - 1)).count("1") <= 10
+
+
+def test_audio_fingerprint_meta_matches_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import (
+        AUDIO_RATES,
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+    )
+
+    docs = spark.range(16).select(F.col("id").alias("doc_id"))
+    for r in extract_audio_fingerprint(attach_pcm_wav_payload(docs)).collect():
+        assert r["n_samples"] == 16 + r["doc_id"] % 64
+        assert r["sample_rate"] == AUDIO_RATES[r["doc_id"] % 4]

@@ -184,6 +184,10 @@ EXPECTATIONS = {
     # banding window + capped bucket self-join — the simhash_pairs shape
     # over image fingerprints; never a cartesian
     "image_neardup": (6, ["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Arrow-batched WAV decode + fingerprint: zero shuffles
+    "audio_fingerprint": (0, ["MapInPandas"], ["Exchange"]),
+    # same banded pairing shape as image_neardup
+    "audio_neardup": (6, ["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 

@@ -138,6 +138,25 @@ def cluster_split_datapoint(spark):
                              {"train": 0.8, "val": 0.1, "test": 0.1}))
 
 
+def dhash_datapoint(spark):
+    from bun_csv_spark.multimodal.binary import attach_bmp_payload, extract_dhash
+
+    docs = spark.range(200_000).select(F.col("id").alias("doc_id"))
+    timed("extract_dhash 200k real BMP decodes (attach+decode+hash)",
+          extract_dhash(attach_bmp_payload(docs, texture=True)))
+
+
+def audio_fp_datapoint(spark):
+    from bun_csv_spark.multimodal.binary import (
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+    )
+
+    docs = spark.range(200_000).select(F.col("id").alias("doc_id"))
+    timed("extract_audio_fingerprint 200k real WAV decodes",
+          extract_audio_fingerprint(attach_pcm_wav_payload(docs, texture=True)))
+
+
 def main():
     spark = get_spark("scale_r7", cpus=8, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,6 +167,8 @@ def main():
     transition_datapoint(spark)
     cm_datapoint(spark)
     cluster_split_datapoint(spark)
+    dhash_datapoint(spark)
+    audio_fp_datapoint(spark)
 
 
 if __name__ == "__main__":

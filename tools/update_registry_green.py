@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--window", type=int, help="bump the first N of the current effective order")
     ap.add_argument("--fail", nargs="*", default=[], help="gates in the window that did NOT pass")
     ap.add_argument("--stale", nargs="*", default=[], help="mark gates stale (code/data changed since last green)")
+    ap.add_argument("--defer", nargs=2, action="append", default=[], dest="defers",
+                    metavar=("GATE", "REASON"),
+                    help="defer a zero-evidence gate to the end of the order "
+                         "(conscious round-split when never+stale overflow the window)")
     ap.add_argument("gates", nargs="*", help="explicit gates to bump")
     args = ap.parse_args()
 
@@ -69,13 +73,19 @@ def main() -> int:
     for name in to_bump:
         if name not in gates:
             ap.error(f"unknown gate: {name}")
-        gates[name] = {"last_green": args.round_no}
+        gates[name] = {"last_green": args.round_no}  # clears stale AND defer
         print(f"green @r{args.round_no}: {name}")
     for name in args.stale:
         if name not in gates:
             ap.error(f"unknown gate: {name}")
         gates[name]["stale"] = True
         print(f"stale: {name}")
+    for name, reason in args.defers:
+        if name not in gates:
+            ap.error(f"unknown gate: {name}")
+        gates[name]["defer"] = True
+        gates[name]["defer_reason"] = reason
+        print(f"defer: {name} ({reason})")
 
     with open(MAP_PATH, "w") as f:
         json.dump(doc, f, indent=1)
