@@ -26,3 +26,39 @@ def test_every_registry_query_analyzes_and_every_oracle_parses():
     assert not failures, "registry sweep failures: " + ", ".join(
         name for name, _ in failures
     ) + "\n\n" + "\n".join(err for _, err in failures[:3])
+
+
+# gates whose plans legitimately contain a SinglePartition window — each
+# runs over a BOUNDED row set by construction (audited per-gate in
+# tools/audit_plans.py), so the linter's global-window error is a false
+# positive here and ONLY here:
+#   quantile_sketch      window over <= n_bins histogram rows
+#   bm25                 idf table bounded by vocab term budget
+#   temperature_resample window over one row PER SOURCE (dim-sized)
+#   edit_overlay         window over the driver-side edit log
+#   csv_opts_errors      window over the skipped-error report rows
+BOUNDED_GLOBAL_WINDOW = {
+    "quantile_sketch", "bm25", "temperature_resample",
+    "edit_overlay", "csv_opts_errors",
+}
+
+
+def test_no_gate_plan_has_lint_errors(spark):
+    """Standing scale-antipattern gate: no registry query may plan a
+    cartesian product, a row-at-a-time Python UDF, or an unbounded
+    global window. New gates are linted automatically the moment they
+    enter the registry; new exceptions must be argued into the
+    allowlist above WITH the boundedness reason."""
+    import __spark_entry__ as entry_mod
+
+    from bun_csv_spark.plans.lint import lint_plan
+
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        errs = [f.code for f in lint_plan(df) if f.severity == "error"]
+        if name in BOUNDED_GLOBAL_WINDOW:
+            errs = [c for c in errs if c != "global-window"]
+        if errs:
+            bad[name] = errs
+    assert not bad, f"lint errors in gate plans: {bad}"

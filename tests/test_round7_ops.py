@@ -765,3 +765,45 @@ def test_audio_fingerprint_meta_matches_fixture(spark):
     for r in extract_audio_fingerprint(attach_pcm_wav_payload(docs)).collect():
         assert r["n_samples"] == 16 + r["doc_id"] % 64
         assert r["sample_rate"] == AUDIO_RATES[r["doc_id"] % 4]
+
+
+# ---------------------------------------------------------------------------
+# plan linter
+# ---------------------------------------------------------------------------
+
+
+def test_lint_flags_cartesian_and_global_window(spark):
+    from pyspark.sql import Window
+
+    from bun_csv_spark.plans.lint import lint_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    codes = {f.code for f in lint_plan(a.crossJoin(b))}
+    assert "cartesian-product" in codes or "nested-loop-join" in codes
+
+    w = Window.orderBy("id")  # no partitionBy: global window
+    df = spark.range(100).withColumn("rs", F.sum("id").over(w))
+    assert "global-window" in {f.code for f in lint_plan(df)}
+
+
+def test_lint_flags_python_udf_but_not_builtin(spark):
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    from bun_csv_spark.plans.lint import lint_plan
+
+    plus = udf(lambda x: x + 1, LongType())
+    codes = {f.code for f in lint_plan(spark.range(10).select(plus("id")))}
+    assert "python-udf" in codes
+    clean = lint_plan(spark.range(10).select((F.col("id") + 1).alias("x")))
+    assert {f.code for f in clean} == set()
+
+
+def test_lint_clean_on_pushed_down_gate(spark):
+    import __spark_entry__ as entry_mod
+
+    from bun_csv_spark.plans.lint import lint_plan
+
+    df = entry_mod.queries()["tpch_q1"](spark, "/root/testdata/sf0.001")
+    assert not [f for f in lint_plan(df) if f.severity == "error"]
