@@ -807,3 +807,27 @@ def test_lint_clean_on_pushed_down_gate(spark):
 
     df = entry_mod.queries()["tpch_q1"](spark, "/root/testdata/sf0.001")
     assert not [f for f in lint_plan(df) if f.severity == "error"]
+
+
+def test_dhash_is_container_invariant(spark):
+    """The same image bytes encoded as BMP (BGR rows) and as PNG (RGB +
+    zlib + scanline filters) must produce the IDENTICAL dHash — gray
+    sums all three channels, so container channel order cancels, and
+    the decode paths (struct/numpy view vs inflate+unfilter) must agree
+    pixel-for-pixel."""
+    from pyspark.sql import functions as F
+
+    from bun_csv_spark.multimodal.binary import (
+        attach_bmp_payload,
+        attach_png_rgb_payload,
+        decode_image,
+        extract_dhash,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    bmp = {r["doc_id"]: r["dhash"] for r in
+           extract_dhash(attach_bmp_payload(docs)).collect()}
+    png = {r["doc_id"]: r["dhash"] for r in
+           extract_dhash(attach_png_rgb_payload(docs),
+                         decoder=decode_image).collect()}
+    assert bmp == png
