@@ -2795,6 +2795,19 @@ def q_audio_neardup(spark, sf_dir):
     return hamming_pairs64(fps, "doc_id", "fingerprint", max_hamming=8, max_bucket=64)
 
 
+def q_scd2_build(spark, sf_dir):
+    """SCD Type 2 dimension build from the events change stream: each
+    user's events become versioned rows with eff_from/eff_to/version/
+    is_current — ONE keyed window, no self-join. The warehouse shape
+    asof_join resolves facts against."""
+    from bun_csv_spark.operators.maintenance import scd2_build
+
+    ev = read_events(spark, sf_dir)
+    return scd2_build(
+        ev, ["user_id"], "ts", ["event_type", "value"], tiebreak_col="event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2855,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_neardup": q_audio_neardup,
+        "scd2_build": q_scd2_build,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -3498,6 +3512,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.user_id, x.exact_count, e.est_count
         FROM est e JOIN exact x USING (user_id)
         ORDER BY e.est_count DESC, e.user_id LIMIT 20
+    """
+
+    sql["scd2_build"] = """
+        SELECT user_id, event_type, value,
+               epoch_ns(ts) AS eff_from,
+               lead(epoch_ns(ts)) OVER w AS eff_to,
+               row_number() OVER w AS version,
+               (lead(epoch_ns(ts)) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
     """
 
     sql["ohlc_resample"] = """

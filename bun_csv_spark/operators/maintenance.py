@@ -318,3 +318,39 @@ def skew_profile(
         .orderBy(F.col("cnt").desc(), F.col(key))
         .limit(top)
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a change stream: every
+    change row becomes a VERSIONED dimension row with
+    ``eff_from`` (its own timestamp), ``eff_to`` (the next change's
+    timestamp for the same key, NULL while current), ``version``
+    (1-based per key), and ``is_current`` — the classic warehouse shape
+    point-in-time joins consume (pair with operators.temporal.asof_join
+    to resolve facts against it).
+
+    ONE keyed window (lead + row_number over the same spec) — a single
+    shuffle on the dimension key, no self-join, cost scales with
+    changes per key, not history length. Ordering is made total with
+    ``tiebreak_col`` so same-timestamp changes version deterministically
+    on any engine (same contract as apply_changelog)."""
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("eff_from"),
+        F.lead(ts_col).over(w).alias("eff_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

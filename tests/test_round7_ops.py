@@ -831,3 +831,24 @@ def test_dhash_is_container_invariant(spark):
            extract_dhash(attach_png_rgb_payload(docs),
                          decoder=decode_image).collect()}
     assert bmp == png
+
+
+def test_scd2_build_versions_and_currency(spark):
+    from bun_csv_spark.operators.maintenance import scd2_build
+
+    rows = [
+        (1, 1, 10, "bronze"), (2, 1, 20, "silver"), (3, 1, 30, "gold"),
+        (4, 2, 15, "bronze"),
+        (5, 3, 10, "x"), (6, 3, 10, "y"),  # same ts: tiebreak on event_id
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "tier"])
+    out = {(r["user_id"], r["version"]): r for r in scd2_build(
+        df, ["user_id"], "ts", ["tier"], tiebreak_col="event_id").collect()}
+    assert out[(1, 1)]["tier"] == "bronze" and out[(1, 1)]["eff_to"] == 20
+    assert out[(1, 3)]["tier"] == "gold" and out[(1, 3)]["is_current"]
+    assert not out[(1, 1)]["is_current"] and not out[(1, 2)]["is_current"]
+    assert out[(2, 1)]["is_current"] and out[(2, 1)]["eff_to"] is None
+    # deterministic tie: event 5 ("x") versions before event 6 ("y")
+    assert out[(3, 1)]["tier"] == "x" and out[(3, 2)]["tier"] == "y"
+    # intervals tile the key's history: eff_to of v equals eff_from of v+1
+    assert out[(3, 1)]["eff_to"] == out[(3, 2)]["eff_from"]
