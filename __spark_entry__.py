@@ -2795,6 +2795,33 @@ def q_audio_neardup(spark, sf_dir):
     return hamming_pairs64(fps, "doc_id", "fingerprint", max_hamming=8, max_bucket=64)
 
 
+def q_quantile_merge(spark, sf_dir):
+    """Sharded quantile pipeline with FIXED-domain histogram states:
+    events split into two shards, each reduced to a <=120-counter state,
+    merged by plain counter sum, per-event-type p50/p90/p99 estimated
+    from the merged state — the persistable/mergeable quantile analogue
+    of hll_merge and cm_merge (oracle = undivided histogram: equality
+    IS the merge proof)."""
+    from bun_csv_spark.functions.sketches import (
+        histogram_merge,
+        histogram_state,
+        histogram_state_quantiles,
+    )
+
+    ev = read_events(spark, sf_dir)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    keys = ["event_type"]
+    merged = histogram_merge(
+        histogram_state(a, "value", 0.0, 600.0, 120, keys),
+        histogram_state(b, "value", 0.0, 600.0, 120, keys),
+        key_cols=keys,
+    )
+    return histogram_state_quantiles(
+        merged, [0.5, 0.9, 0.99], 0.0, 600.0, 120, keys
+    )
+
+
 def q_scd2_build(spark, sf_dir):
     """SCD Type 2 dimension build from the events change stream: each
     user's events become versioned rows with eff_from/eff_to/version/
@@ -2869,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "audio_neardup": q_audio_neardup,
         "scd2_build": q_scd2_build,
+        "quantile_merge": q_quantile_merge,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -3512,6 +3540,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.user_id, x.exact_count, e.est_count
         FROM est e JOIN exact x USING (user_id)
         ORDER BY e.est_count DESC, e.user_id LIMIT 20
+    """
+
+    sql["quantile_merge"] = """
+        WITH hist AS (
+          SELECT event_type,
+                 least(greatest(CAST(floor(value::DOUBLE / 5.0) AS BIGINT),
+                                0), 119) AS bin,
+                 count(*)::BIGINT AS cnt
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumc,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM hist),
+        wq AS (
+          SELECT event_type, bin, cnt, cumc, n, q
+          FROM cum, UNNEST([0.5, 0.9, 0.99]) AS t(q)),
+        cand AS (
+          SELECT event_type, q, bin,
+                 round(0.0 + (bin + least(greatest(
+                         (q * (n - 1) + 1 - (cumc - cnt)) / cnt, 0.0), 1.0))
+                       * 5.0, 6) AS est
+          FROM wq WHERE cumc >= q * (n - 1) + 1)
+        SELECT event_type, q, min_by(est, bin) AS est
+        FROM cand GROUP BY event_type, q
     """
 
     sql["scd2_build"] = """

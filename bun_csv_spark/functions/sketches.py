@@ -354,3 +354,87 @@ def cm_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("__ip"))
         .agg(F.min("__ip").alias("est_join_size"))
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """The quantile sketch's STATE as a table: (key_cols..., bin, cnt)
+    with CALLER-FIXED ``[lo, hi)`` bounds — the persistable/mergeable
+    half of ``histogram_quantiles`` (which derives bounds from the data
+    and is therefore whole-corpus only). Fixing the domain up front is
+    what makes per-shard/per-day states MERGEABLE: every shard bins
+    identically, so ``histogram_merge`` is a plain counter sum — the
+    same incremental-pipeline shape as ``hll_registers``/``cm_sketch``.
+    Out-of-range values clamp to the edge bins (count preserved, like
+    any production histogram). State is <= n_bins rows per key."""
+    key_cols = key_cols or []
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*key_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(
+    *states: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge histogram states (same lo/hi/n_bins): union + per-bin sum.
+    Exact — counters are linear, so merge(state(A), state(B)) ==
+    state(A ++ B) row-for-row; late or re-sent shards re-merge safely
+    only if delivered exactly once (sums are not idempotent — dedupe
+    shards upstream, unlike the max-merge HLL registers)."""
+    key_cols = key_cols or []
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_state_quantiles(
+    state: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram state — same linear
+    interpolation as ``histogram_quantiles`` (rank = q*(n-1)+1 inside
+    the straddling bin), but per key group. The cumulative window runs
+    over <= n_bins rows PER KEY (partitioned by the key, bounded by
+    construction); output is one row per (key, q)."""
+    key_cols = key_cols or []
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*key_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(*key_cols)
+    cum = state.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(wn)
+    )
+    withq = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    rank = F.col("q") * (F.col("__n") - 1) + 1
+    frac = (rank - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+    est = (
+        F.lit(lo)
+        + (F.col("bin") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))
+        * F.lit(width)
+    )
+    return (
+        withq.filter(F.col("__cum") >= rank)
+        .withColumn("__est", F.round(est, 6))
+        .groupBy(*key_cols, "q")
+        .agg(F.min_by("__est", "bin").alias("est"))
+    )

@@ -852,3 +852,40 @@ def test_scd2_build_versions_and_currency(spark):
     assert out[(3, 1)]["tier"] == "x" and out[(3, 2)]["tier"] == "y"
     # intervals tile the key's history: eff_to of v equals eff_from of v+1
     assert out[(3, 1)]["eff_to"] == out[(3, 2)]["eff_from"]
+
+
+def test_histogram_merge_equals_whole_and_bounded(spark):
+    from bun_csv_spark.functions.sketches import (
+        histogram_merge,
+        histogram_state,
+        histogram_state_quantiles,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.pmod(F.col("id") * 37, F.lit(1000)) / 10.0).alias("v"),
+    )
+    a, b = df.filter(F.col("id") % 2 == 0), df.filter(F.col("id") % 2 == 1)
+    merged = histogram_merge(
+        histogram_state(a, "v", 0.0, 100.0, 50, ["k"]),
+        histogram_state(b, "v", 0.0, 100.0, 50, ["k"]),
+        key_cols=["k"],
+    )
+    whole = histogram_state(df, "v", 0.0, 100.0, 50, ["k"])
+    as_map = lambda s: {(r["k"], r["bin"]): r["cnt"] for r in s.collect()}
+    assert as_map(merged) == as_map(whole)  # counter sums: merge is exact
+    assert merged.count() <= 3 * 50
+
+    qs = histogram_state_quantiles(merged, [0.5], 0.0, 100.0, 50, ["k"])
+    for r in qs.collect():
+        assert 40.0 <= r["est"] <= 60.0  # uniform-ish: median near 50
+
+
+def test_histogram_state_clamps_out_of_range(spark):
+    from bun_csv_spark.functions.sketches import histogram_state
+
+    df = spark.createDataFrame([(-5.0,), (0.0,), (99.0,), (250.0,)], ["v"])
+    bins = {r["bin"]: r["cnt"] for r in
+            histogram_state(df, "v", 0.0, 100.0, 10).collect()}
+    assert bins[0] == 2  # -5 clamps into bin 0
+    assert bins[9] == 2  # 250 clamps into the top bin
