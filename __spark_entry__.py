@@ -1947,8 +1947,12 @@ def q_label_centroids(spark, sf_dir):
     operators/clustering.py) re-assembles the vector for callers."""
     emb = _t(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    # + 0.0 normalizes IEEE negative zero: Spark's HALF_UP round gives
+    # +0.0 where DuckDB's round keeps the sign (-0.000033 -> -0.0), and
+    # -0.0 vs 0.0 derails any string-sorted row canonicalization (bitten
+    # at sf0.1; both sides normalize so the contract is "no -0.0")
     return exploded.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
-        F.round(F.avg(F.col("x").cast("double")), 4).alias("m")
+        (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("m")
     )
 
 
@@ -4870,7 +4874,8 @@ def oracle_sql() -> dict[str, str]:
                  unnest(embedding)::DOUBLE AS x,
                  unnest(generate_series(1, len(embedding))) AS pos
           FROM embeddings)
-        SELECT label, (pos - 1)::BIGINT AS pos, round(avg(x), 4) AS m
+        SELECT label, (pos - 1)::BIGINT AS pos,
+               round(avg(x), 4) + 0.0 AS m
         FROM e GROUP BY label, pos
     """
 

@@ -33,7 +33,7 @@ def norm_value(v):
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return float(int(v))
     if isinstance(v, (np.floating, float)):
-        return round(float(v), 9)
+        return round(float(v), 9) + 0.0  # normalize -0.0 (sorts as '-0.0')
     if isinstance(v, (np.bool_, bool)):
         return bool(v)
     if isinstance(v, pd.Timestamp):
