@@ -216,8 +216,13 @@ def histogram_quantiles(
     )
     b = df.crossJoin(F.broadcast(bounds))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
-    bin_ = F.least(
-        F.floor((v - F.col("__lo")) / width).cast("long"), F.lit(n_bins - 1)
+    # degenerate domain (all values equal): width is 0 and the bin
+    # expression would be 0/0 = NaN — pin every value to bin 0 so each
+    # quantile interpolates to __lo, identically in any engine
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((v - F.col("__lo")) / width).cast("long"), F.lit(n_bins - 1)
+        )
     )
     hist = (
         b.filter(v.isNotNull())

@@ -350,9 +350,16 @@ def hamming_pairs64(
     (SimHash, image dHash, audio chromaprint-style hashes, ...): four
     16-bit bands from the zero-padded hex (substring, not shifts —
     negative-long shift semantics differ between engines), candidates =
-    ids sharing any band (pigeonhole: distance <= 6 with flips in <= 3
-    bands guarantees one agreeing band), verification = exact popcount
-    of the XOR. Per-(band, bucket) groups above ``max_bucket`` are
+    ids sharing any band, verification = exact popcount of the XOR.
+
+    Recall contract: with 4 bands the pigeonhole principle only
+    GUARANTEES a shared band for Hamming distance <= 3. Pairs at
+    distance 4..max_hamming are found iff their flipped bits concentrate
+    in <= 3 bands — a pair whose flips touch all 4 bands is
+    deterministically missed (probabilistic recall above 3, like any
+    banded LSH). Oracle gates stay exact because the oracle replays the
+    same banding; callers needing guaranteed recall at d must band with
+    > d bands. Per-(band, bucket) groups above ``max_bucket`` are
     dropped before the self-join — one degenerate bucket of B near-equal
     fingerprints is B²/2 pairs. One banding shuffle, one keyed
     self-join, never n². Returns (id_a, id_b, hamming)."""

@@ -16,6 +16,8 @@ approx_count_distinct via ``approximate=True``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -124,7 +126,20 @@ def validate_rules(
     pass regardless of rule count, map-side combined, no shuffle beyond
     the 1-row reduce. Returns (rule, n_rows, n_violations,
     violation_rate rounded 6dp) — one row per rule via a stack of the
-    wide aggregate, still bounded by the rule count."""
+    wide aggregate, still bounded by the rule count.
+
+    Rule names are interpolated into a ``stack`` selectExpr, so they are
+    restricted to safe identifiers ([A-Za-z0-9_.-]) and the dict must be
+    non-empty — both rejected up front with a clear error rather than a
+    malformed-SQL failure downstream."""
+    if not rules:
+        raise ValueError("validate_rules: rules dict must be non-empty")
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+            raise ValueError(
+                f"validate_rules: rule name {name!r} is not a safe identifier "
+                "(allowed: letters, digits, underscore, dot, dash)"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules.items():
         aggs.append(

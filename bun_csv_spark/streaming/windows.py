@@ -183,7 +183,10 @@ def run_stream_to_table(
 
     This runs the REAL streaming engine (micro-batches, state store); the
     parquet file is just a bounded source, so processAllAvailable()
-    terminates."""
+    terminates. The in-memory sink materializes the RESULT table on the
+    driver — bounded by the aggregate-state / output size (live keys ×
+    windows), never the input stream; it is a test/gate harness, and a
+    production job would point writeStream at parquet/kafka instead."""
     import os
     import tempfile
 
@@ -311,7 +314,12 @@ def run_stream_checkpointed(
     the aggregation keys, not by history; re-running after a crash
     re-emits the last batch id to the sink, so downstream writes must
     key on (batch_id) for idempotence — exactly what this helper's
-    snapshot-replace semantics model."""
+    snapshot-replace semantics model. The foreachBatch ``collect()``
+    below is bounded by the AGGREGATE-STATE size (one row per live
+    aggregation key in complete mode), never by the input stream — the
+    same documented-bound standard as ``append_csv_file`` /
+    ``EditLog.get_cell``; a production job would write ``batch_df`` to a
+    table instead of collecting."""
     schema = spark.read.parquet(parquet_dir).schema
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
     out = transform(stream)

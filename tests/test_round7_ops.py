@@ -378,6 +378,28 @@ def test_validate_rules_single_pass(spark):
     assert plan.count("Range (0, 100") == 1
 
 
+def test_histogram_quantiles_degenerate_domain(spark):
+    # all values equal: width is 0; every quantile must resolve to that
+    # value (not NaN/null from a 0/0 bin expression)
+    from bun_csv_spark.functions.sketches import histogram_quantiles
+
+    df = spark.range(50).select(F.lit(7.25).alias("v"))
+    got = {r["q"]: r["est"] for r in histogram_quantiles(df, "v", [0.1, 0.5, 0.9]).collect()}
+    assert got == {0.1: 7.25, 0.5: 7.25, 0.9: 7.25}
+
+
+def test_validate_rules_rejects_bad_input(spark):
+    from bun_csv_spark.operators.stats import validate_rules
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_rules(df, {})
+    with pytest.raises(ValueError, match="safe identifier"):
+        validate_rules(df, {"bad'name": F.col("id") > 0})
+    with pytest.raises(ValueError, match="safe identifier"):
+        validate_rules(df, {"back`tick": F.col("id") > 0})
+
+
 # --- mergeable HLL registers -----------------------------------------------
 
 
