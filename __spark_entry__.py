@@ -2839,6 +2839,109 @@ def q_scd2_build(spark, sf_dir):
     )
 
 
+def q_incremental_day_pipeline(spark, sf_dir):
+    """The daily-maintenance composition gate: events sharded into 3
+    deterministic "days" (event_id % 3), ALL FOUR mergeable state
+    families built PER DAY — exact moments (maintenance.agg_state),
+    distinct users (sketches.hll_registers), value quantiles
+    (sketches.histogram_state, fixed [0,600)x120 domain), and
+    event-type frequencies (sketches.cm_sketch) — merged across the
+    days, finalized, and joined into ONE per-event_type summary row.
+
+    The oracle replays every estimator over the UNDIVIDED table, so
+    hash equality proves merge(day states) == single pass for the whole
+    composition, not just each family in isolation: exactly the nightly
+    job a 100 TB corpus runs (merge yesterday's persisted states with
+    today's delta, never re-scan history). Extends the reference's
+    stats surface (reference src/cli/commands/stats.ts) to incremental
+    maintenance.
+
+    Moments run on centi-units (floor(value*100) as LONG) so per-day
+    sums are integer-exact and the 3-way merge is bit-identical to the
+    one-shot aggregate — double sums would reassociate. All join inputs
+    are bounded (one row per event_type / per register / per bin /
+    per counter), so the final joins are broadcast-sized at any SF."""
+    from bun_csv_spark.functions.sketches import (
+        cm_estimate,
+        cm_merge,
+        cm_sketch,
+        histogram_merge,
+        histogram_state,
+        histogram_state_quantiles,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from bun_csv_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    keys = ["event_type"]
+    ev = read_events(spark, sf_dir).withColumn(
+        "v_c", F.floor(F.col("value") * 100).cast("long")
+    )
+    days = [ev.filter(F.col("event_id") % 3 == d) for d in range(3)]
+
+    # 1. exact moments: integer agg states merge bit-identically
+    st = agg_state(days[0], keys, "v_c")
+    for d in days[1:]:
+        st = merge_agg_states(st, agg_state(d, keys, "v_c"), keys)
+    moments = finalize_agg_state(st).select(
+        "event_type",
+        "n",
+        F.col("min").alias("min_c"),
+        F.col("max").alias("max_c"),
+        F.col("mean_e4").alias("mean_c_e4"),
+        F.col("stddev_pop_e4").alias("stddev_c_e4"),
+    )
+
+    # 2. distinct users: HLL registers max-merge losslessly
+    regs = hll_merge(
+        *[hll_registers(d, keys, "user_id") for d in days], key_cols=keys
+    )
+    users = hll_estimate(regs, keys).select(
+        "event_type", F.col("est_distinct").alias("est_distinct_users")
+    )
+
+    # 3. value quantiles: fixed-domain histogram counters sum-merge
+    hstate = histogram_merge(
+        *[histogram_state(d, "value", 0.0, 600.0, 120, keys) for d in days],
+        key_cols=keys,
+    )
+    quant = (
+        histogram_state_quantiles(hstate, [0.5, 0.9], 0.0, 600.0, 120, keys)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50"),
+            F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90"),
+        )
+    )
+
+    # 4. frequencies: count-min counters sum-merge; point-query per type
+    sk = cm_merge(*[cm_sketch(d, "event_type") for d in days])
+    freq = cm_estimate(sk, ev.select("event_type").distinct(), "event_type")
+
+    return (
+        moments.join(users, keys)
+        .join(quant, keys)
+        .join(freq, keys)
+        .select(
+            "event_type",
+            "n",
+            "min_c",
+            "max_c",
+            "mean_c_e4",
+            "stddev_c_e4",
+            "est_distinct_users",
+            "p50",
+            "p90",
+            F.col("est_count").alias("est_count_cm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2901,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "scd2_build": q_scd2_build,
         "quantile_merge": q_quantile_merge,
+        "incremental_day_pipeline": q_incremental_day_pipeline,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -5603,6 +5707,95 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_hll"] = (
         "WITH " + _hll_ctes.format(**_a)
         + _hll_sel.format(**_a).replace("g AS scope", "g AS event_type")
+    )
+
+    # incremental_day_pipeline: every estimator replayed over the
+    # UNDIVIDED events table — equality with the Spark side's 3-way
+    # day-state merge is the merge==single-pass proof for the whole
+    # composition. HLL CTEs reused verbatim from hll_distinct (_a:
+    # p=8/m=256, group event_type, value user_id); histogram replays
+    # quantile_merge's fixed [0,600)x120 domain; CM replays
+    # countmin_topk's addressing (depth 4, width 512, salt 'cm').
+    _idp_hll = (
+        _hll_sel.format(**_a)
+        .replace("g AS scope", "g AS event_type")
+        .replace("AS est_distinct", "AS est_distinct_users")
+    )
+    sql["incremental_day_pipeline"] = (
+        "WITH " + _hll_ctes.format(**_a) + """,
+        base AS (
+          SELECT event_type, user_id, value,
+                 CAST(floor(value * 100) AS BIGINT) AS v_c
+          FROM events),
+        ex AS (
+          SELECT event_type, count(v_c) AS n, sum(v_c) AS s,
+                 min(v_c) AS min_c, max(v_c) AS max_c,
+                 sum(v_c * v_c) AS ss
+          FROM base GROUP BY 1),
+        mom AS (
+          SELECT event_type, n::BIGINT AS n, min_c, max_c,
+                 floor((s::DOUBLE / n) * 10000)::BIGINT AS mean_c_e4,
+                 floor(sqrt(greatest(ss::DOUBLE / n
+                                     - (s::DOUBLE / n) * (s::DOUBLE / n),
+                                     0.0)) * 10000)::BIGINT AS stddev_c_e4
+          FROM ex),
+        hist AS (
+          SELECT event_type,
+                 least(greatest(CAST(floor(value::DOUBLE / 5.0) AS BIGINT),
+                                0), 119) AS bin,
+                 count(*)::BIGINT AS cnt
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumc,
+                 sum(cnt) OVER (PARTITION BY event_type) AS hn
+          FROM hist),
+        wq AS (
+          SELECT event_type, bin, cnt, cumc, hn, q
+          FROM cum, UNNEST([0.5, 0.9]) AS t(q)),
+        qcand AS (
+          SELECT event_type, q, bin,
+                 round(0.0 + (bin + least(greatest(
+                         (q * (hn - 1) + 1 - (cumc - cnt)) / cnt, 0.0), 1.0))
+                       * 5.0, 6) AS est
+          FROM wq WHERE cumc >= q * (hn - 1) + 1),
+        qp AS (
+          SELECT event_type,
+                 max(CASE WHEN q = 0.5 THEN est END) AS p50,
+                 max(CASE WHEN q = 0.9 THEN est END) AS p90
+          FROM (SELECT event_type, q, min_by(est, bin) AS est
+                FROM qcand GROUP BY 1, 2)
+          GROUP BY 1),
+        cmsk AS (
+          SELECT row, col, count(*)::BIGINT AS cnt FROM (
+            SELECT t.j AS row,
+                   CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                           || event_type), 1, 15)
+                        AS BIGINT) % 512 AS col
+            FROM events, (VALUES (0), (1), (2), (3)) AS t(j))
+          GROUP BY 1, 2),
+        cmest AS (
+          SELECT d.event_type, min(s.cnt)::BIGINT AS est_count_cm
+          FROM (SELECT DISTINCT event_type FROM events) d
+          CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+          JOIN cmsk s
+            ON s.row = t.j
+           AND s.col = CAST('0x' || substr(md5('cm' || t.j::VARCHAR || ':'
+                                               || d.event_type), 1, 15)
+                            AS BIGINT) % 512
+          GROUP BY 1),
+        hllv AS (""" + _idp_hll + """)
+        SELECT m.event_type, m.n, m.min_c, m.max_c, m.mean_c_e4,
+               m.stddev_c_e4, h.est_distinct_users, qp.p50, qp.p90,
+               c.est_count_cm
+        FROM mom m
+        JOIN hllv h USING (event_type)
+        JOIN qp USING (event_type)
+        JOIN cmest c USING (event_type)
+    """
     )
 
     sql["weighted_sample"] = """
