@@ -2942,6 +2942,87 @@ def q_incremental_day_pipeline(spark, sf_dir):
     )
 
 
+def q_multimodal_cluster_split(spark, sf_dir):
+    """Cross-modality leakage-safe split: near-dup EDGES from all three
+    perceptual pipelines — text MinHash-LSH pairs, image dHash Hamming
+    pairs, audio fingerprint Hamming pairs — unioned into ONE graph, so
+    each connected component (which may SPAN modalities: doc A text-twins
+    doc B whose image twins doc C) moves into train/val/test as a unit.
+    This is the contamination guarantee a multimodal training corpus
+    actually needs — an eval doc must have no train twin in ANY modality;
+    per-modality splits leak through the other two.
+
+    Scale shape identical to cluster_split: the three edge lists are
+    banded-LSH outputs (never all-pairs, degenerate buckets capped),
+    connected components runs over the UNION OF EDGES only, labels
+    broadcast back, and the corpus itself is never shuffled — the split
+    is a map-side md5 rule on the component label."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_bmp_payload,
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+        extract_dhash,
+    )
+    from bun_csv_spark.operators.corpus import leakage_safe_split
+    from bun_csv_spark.operators.dedup import hamming_pairs64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("doc_id").alias("src")
+    )
+
+    # text edges: MinHash-LSH over originals + ' the end' twins
+    tpairs = neardup_pairs_minhash(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text",
+        n_hashes=8, bands=4, shingle_k=5,
+        repartition=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+
+    # image edges: perceptual dHash over originals + brightness-shifted twins
+    ih = (
+        extract_dhash(attach_bmp_payload(docs, texture=True))
+        .unionByName(
+            extract_dhash(
+                attach_bmp_payload(
+                    twins, src_col="src", bias=5, texture=True
+                ).select("doc_id", "payload")
+            )
+        )
+        .filter((F.col("width") >= 8) & (F.col("height") >= 8))
+        .select("doc_id", "dhash")
+    )
+    ipairs = hamming_pairs64(
+        ih, "doc_id", "dhash", max_hamming=8, max_bucket=64
+    ).select("id_a", "id_b")
+
+    # audio edges: difference fingerprints over originals + DC-shifted twins
+    af = (
+        extract_audio_fingerprint(attach_pcm_wav_payload(docs, texture=True))
+        .unionByName(
+            extract_audio_fingerprint(
+                attach_pcm_wav_payload(
+                    twins, src_col="src", bias=4, texture=True
+                ).select("doc_id", "payload")
+            )
+        )
+        .select("doc_id", "fingerprint")
+    )
+    apairs = hamming_pairs64(
+        af, "doc_id", "fingerprint", max_hamming=8, max_bucket=64
+    ).select("id_a", "id_b")
+
+    edges = tpairs.unionByName(ipairs).unionByName(apairs).distinct()
+    corpus = docs.unionByName(twins.select("doc_id"))
+    out = leakage_safe_split(
+        corpus, edges, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split_group").cast("long").alias("split_group"),
+        "split",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3005,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "quantile_merge": q_quantile_merge,
         "incremental_day_pipeline": q_incremental_day_pipeline,
+        "multimodal_cluster_split": q_multimodal_cluster_split,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -4604,6 +4686,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
                bit_count(xor(ha, hb))::BIGINT AS hamming
         FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+        """
+    )
+
+    # multimodal_cluster_split: the three modality edge CTEs replayed
+    # verbatim (text = minhash/bands/bands_c, image = _dhash_ctes +
+    # i-prefixed banding, audio = _afp_ctes + a-prefixed banding), edges
+    # unioned, recursive CC, cluster_split's md5 split rule on the label
+    sql["multimodal_cluster_split"] = (
+        "WITH RECURSIVE " + _NEARDUP_CORPUS_SQL
+        + ", sig AS (" + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + "), " + _BANDS_CAPPED_SQL
+        + """,
+        tpairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands_c a JOIN bands_c b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        imgs AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS img, 5 AS bias
+          FROM documents),
+        """
+        + _dhash_ctes
+        + """,
+        ikept AS (
+          SELECT d.id, d.dhash FROM dh d JOIN dims m ON m.id = d.id
+          WHERE m.w >= 8 AND m.h >= 8),
+        ibands AS (
+          SELECT id, dhash, bb.band,
+                 substr(printf('%016x', dhash), 1 + 4 * bb.band, 4) AS bucket
+          FROM ikept, (VALUES (0), (1), (2), (3)) AS bb(band)),
+        ibands_c AS (
+          SELECT id, dhash, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM ibands)
+          WHERE bsz <= 64),
+        ipairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM ibands_c a JOIN ibands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 8),
+        snds AS (
+          SELECT doc_id AS id, doc_id AS img, 0 AS bias FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS img, 4 AS bias
+          FROM documents),
+        """
+        + _afp_ctes
+        + """,
+        abands AS (
+          SELECT id, fingerprint, bb.band,
+                 substr(printf('%016x', fingerprint), 1 + 4 * bb.band, 4)
+                   AS bucket
+          FROM fp, (VALUES (0), (1), (2), (3)) AS bb(band)),
+        abands_c AS (
+          SELECT id, fingerprint, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM abands)
+          WHERE bsz <= 64),
+        apairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM abands_c a JOIN abands_c b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8),
+        alledges AS (
+          SELECT id_a, id_b FROM tpairs
+          UNION SELECT id_a, id_b FROM ipairs
+          UNION SELECT id_a, id_b FROM apairs),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM alledges
+          UNION
+          SELECT id_b, id_a FROM alledges),
+        reach(node, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b),
+        labels AS (
+          SELECT node, min(r) AS label FROM reach GROUP BY node),
+        allids AS (
+          SELECT doc_id FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 FROM documents),
+        grouped AS (
+          SELECT c.doc_id::BIGINT AS doc_id,
+                 coalesce(l.label, c.doc_id)::BIGINT AS split_group
+          FROM allids c LEFT JOIN labels l ON l.node = c.doc_id)
+        SELECT doc_id, split_group,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, split_group,
+                 CAST('0x' || substr(md5('split:' || split_group::VARCHAR), 1, 15)
+                      AS BIGINT)::DOUBLE / 1152921504606846976.0 AS u
+          FROM grouped)
         """
     )
 

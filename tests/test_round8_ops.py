@@ -27,6 +27,85 @@ def test_incremental_day_pipeline_invariants(spark):
         assert r["min_c"] <= r["mean_c_e4"] / 10_000 <= r["max_c"]
 
 
+# --- cross-modality leakage-safe split -------------------------------------
+
+
+def test_multimodal_split_components_move_as_unit(spark):
+    """The contamination guarantee: every near-dup edge — whichever
+    modality produced it — must land both endpoints in the SAME split,
+    and at least one enforced pair must come from a non-text modality
+    (otherwise the gate degenerates to the text-only cluster_split)."""
+    import __spark_entry__ as entry
+    from bun_csv_spark.multimodal.binary import (
+        attach_bmp_payload,
+        attach_pcm_wav_payload,
+        extract_audio_fingerprint,
+        extract_dhash,
+    )
+    from bun_csv_spark.operators.dedup import hamming_pairs64, neardup_pairs_minhash
+
+    sf_dir = "/root/testdata/sf0.001"
+    split = {
+        r["doc_id"]: (r["split"], r["split_group"])
+        for r in entry.q_multimodal_cluster_split(spark, sf_dir).collect()
+    }
+
+    docs = entry._t(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("doc_id").alias("src")
+    )
+    tpairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs_minhash(
+            entry._neardup_corpus(spark, sf_dir), "doc_id", "text",
+            n_hashes=8, bands=4, shingle_k=5,
+        ).select("id_a", "id_b").collect()
+    }
+    ih = (
+        extract_dhash(attach_bmp_payload(docs, texture=True))
+        .unionByName(
+            extract_dhash(
+                attach_bmp_payload(twins, src_col="src", bias=5, texture=True)
+                .select("doc_id", "payload")
+            )
+        )
+        .filter((F.col("width") >= 8) & (F.col("height") >= 8))
+        .select("doc_id", "dhash")
+    )
+    ipairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs64(ih, "doc_id", "dhash", max_hamming=8)
+        .select("id_a", "id_b").collect()
+    }
+    af = (
+        extract_audio_fingerprint(attach_pcm_wav_payload(docs, texture=True))
+        .unionByName(
+            extract_audio_fingerprint(
+                attach_pcm_wav_payload(twins, src_col="src", bias=4, texture=True)
+                .select("doc_id", "payload")
+            )
+        )
+        .select("doc_id", "fingerprint")
+    )
+    apairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs64(af, "doc_id", "fingerprint", max_hamming=8)
+        .select("id_a", "id_b").collect()
+    }
+
+    edges = tpairs | ipairs | apairs
+    assert edges, "no near-dup edges at all — fixture broken"
+    for a, b in edges:
+        assert split[a][0] == split[b][0], (a, b, split[a], split[b])
+        assert split[a][1] == split[b][1], (a, b)
+
+    nontext = (ipairs | apairs) - tpairs
+    assert nontext, "every edge is a text edge — gate adds nothing over cluster_split"
+    # and the planted perceptual twin (doc, doc+100000) must co-travel
+    planted = [(a, b) for a, b in nontext if b == a + 100000 or a == b + 100000]
+    assert planted, "no planted cross-modality twin pair found"
+
+
 def test_incremental_day_pipeline_merge_associativity(spark):
     """The pipeline's merge step must not care HOW the days are grouped:
     merge(merge(d0, d1), d2) == merge(d0, merge(d1, d2)) for the agg
