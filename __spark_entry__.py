@@ -960,6 +960,27 @@ def q_multimodal_pixels(spark, sf_dir):
     return extract_pixel_stats(attach_bmp_payload(docs), "doc_id", "payload")
 
 
+def q_multimodal_jpeg_pixels(spark, sf_dir):
+    """REAL JPEG decode end to end: a genuine baseline-sequential JFIF
+    per doc (flat quant table, Annex K Huffman tables, real forward DCT
+    at encode), decoded through canonical Huffman + dequant + float IDCT
+    (multimodal.binary.decode_jpeg_pixels — no imaging library), reduced
+    to exact integer channel sums. Pixels are CONSTANT per 8x8 block, so
+    the DCT round trip is LOSSLESS by construction and the oracle
+    restates every decoded pixel from doc_id arithmetic — closing the
+    'JPEG is the external-codec boundary' gap documented since r3."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_jpeg_payload,
+        decode_jpeg_pixels,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(
+        attach_jpeg_payload(docs), "doc_id", "payload", decoder=decode_jpeg_pixels
+    )
+
+
 def q_multimodal_png(spark, sf_dir):
     """REAL PNG decode end-to-end: attach a complete zlib-compressed PNG
     per doc (attach_png_rgb_payload — same id-derived channel formulas
@@ -3241,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "interval_overlap": q_interval_overlap,
         "multimodal_pixels": q_multimodal_pixels,
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_samples": q_multimodal_samples,
@@ -4800,6 +4822,27 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["multimodal_png"] = sql["multimodal_pixels"]
+
+    # JPEG fixture: block-constant gray => flat-quant DCT round trip is
+    # lossless (constant block: DC = 8*(c-128) exact, AC = 0), so decoded
+    # sums restate from id arithmetic; each 8x8 block contributes 64x its
+    # gray value to every channel
+    sql["multimodal_jpeg_pixels"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 8 AS wb, 1 + (doc_id * 3) % 8 AS hb
+          FROM documents),
+        bs AS (SELECT doc_id, wb, hb, unnest(generate_series(0, wb - 1)) AS bx
+               FROM d),
+        b2 AS (SELECT doc_id, wb, hb, bx,
+                      unnest(generate_series(0, hb - 1)) AS by
+               FROM bs)
+        SELECT doc_id, (wb * 8)::BIGINT AS width, (hb * 8)::BIGINT AS height,
+               (wb * hb * 64)::BIGINT AS n_pixels,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_b,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_g,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_r
+        FROM b2 GROUP BY doc_id, wb, hb
+    """
 
     sql["multimodal_gif"] = """
         WITH d AS (

@@ -308,11 +308,11 @@ def decode_bmp_pixels(b: bytes):
 
 
 def decode_image(payload: bytes):
-    """Pixel decode dispatch — pure stdlib end to end: BMP (struct +
-    numpy view), 8-bit PNG (zlib inflate + the five unfilters), GIF
-    (pure-Python LZW + palette). JPEG's DCT entropy coding is the one
-    codec left to an external library; its METADATA still parses via
-    ``parse_image_dims``."""
+    """Pixel decode dispatch — pure stdlib+numpy end to end: BMP (struct
+    + numpy view), 8-bit PNG (zlib inflate + the five unfilters), GIF
+    (pure-Python LZW + palette), baseline-sequential JPEG (canonical
+    Huffman + dequant + IDCT, ``decode_jpeg_pixels``). Progressive JPEG
+    and subsampled chroma raise ValueError from the JPEG decoder."""
     raw = bytes(payload)
     if raw[:2] == b"BM":
         return decode_bmp_pixels(raw)
@@ -320,10 +320,9 @@ def decode_image(payload: bytes):
         return decode_png_pixels(raw)
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(raw)
-    raise ValueError(
-        "JPEG pixel decode requires an imaging library (PIL/libvips); "
-        "header metadata is available via parse_image_dims"
-    )
+    if raw[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(raw)
+    raise ValueError("unrecognized image container")
 
 
 def extract_image_meta(
@@ -1053,3 +1052,426 @@ def extract_audio_fingerprint(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+# --- JPEG baseline sequential (ITU-T T.81, public spec) ---------------------
+#
+# Closes the one "external-codec boundary" the earlier rounds documented:
+# a real baseline-DCT encoder + decoder in stdlib+numpy. The encoder
+# defaults to a flat (all-ones) quantization table, under which any image
+# that is CONSTANT WITHIN EACH 8x8 BLOCK round-trips LOSSLESSLY (constant
+# block => DC = 8*(c-128) exactly, AC = 0 exactly), which is what lets a
+# SQL oracle restate decoded pixel sums from id arithmetic alone — the
+# same fixture strategy as attach_bmp_payload. General images encode with
+# a real float DCT and decode within ~1 gray level (tested).
+#
+# Reference parity: reference src/parse/binary.zig stops at JPEG SOF
+# header metadata; this extends the repo's decode surface per SURVEY
+# §2's multimodal extension rows.
+
+# Annex K.3 typical Huffman tables (public ITU-T T.81 text)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> list:
+    """Scan-order -> raster-index table, COMPUTED by walking the 8x8
+    anti-diagonals (T.81 figure 5) rather than transcribed — even-sum
+    diagonals run up-right (row descending), odd-sum down-left."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 1:
+            diag.reverse()
+        order += [r * 8 + c for r, c in diag]
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """Canonical JPEG Huffman assignment: symbol -> (length, code)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, same canonical assignment."""
+    return {lc: sym for sym, lc in _huff_encode_table(bits, vals).items()}
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with T.81 byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def make_jpeg_gray_payload(
+    width: int, height: int, gray_rows: bytes, quant: list | None = None
+) -> bytes:
+    """A REAL baseline-sequential grayscale JFIF: SOI/APP0/DQT/SOF0/
+    DHT(DC+AC, Annex K typical tables)/SOS + Huffman-coded DCT MCUs.
+    ``gray_rows`` is width*height bytes top-down; edges pad by pixel
+    replication to 8-multiples (standard practice, decoder crops).
+
+    Default ``quant`` is all ones: real forward float DCT + rint
+    quantization, EXACTLY lossless for images constant within each 8x8
+    block (constant c => DC = 8*(c-128), every AC rounds to 0) — the
+    property the oracle-checked fixtures rely on."""
+    import numpy as np
+
+    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
+    assert q.shape == (64,) and (q > 0).all() and (q < 256).all()
+    img = (
+        np.frombuffer(gray_rows, np.uint8, width * height)
+        .reshape(height, width)
+        .astype(np.float64)
+    )
+    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
+    C = _dct_matrix()
+    dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qm = q.reshape(8, 8)[
+        [i // 8 for i in range(64)], [i % 8 for i in range(64)]
+    ].reshape(8, 8)
+
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
+            zz = coef.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = int(abs(diff)).bit_length()
+            ln, code = dc_t[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_t[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_t[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = ac_t[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # APP0: 1x1 density, no thumb
+    zz_q = q.reshape(-1)[_ZIGZAG]  # DQT stores zigzag order
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in zz_q)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + b"\x01\x11\x00"
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF 0x00,
+    surfaces RSTn markers to the MCU loop via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise ValueError("unexpected RST marker inside block")
+                else:
+                    raise ValueError(f"marker 0x{nxt:02x} inside entropy data")
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (DRI intervals)."""
+        self.n = 0
+        if self.d[self.pos] != 0xFF or not (0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected RST marker")
+        self.pos += 2
+
+
+def _huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_pixels(b: bytes):
+    """Baseline sequential JPEG decoder, stdlib+numpy: DQT/DHT/SOF0/
+    SOF1/SOS/DRI parsing, canonical Huffman decode, dequantize,
+    de-zigzag, float IDCT, level shift, clamp. Grayscale and 3-component
+    4:4:4 (no chroma subsampling) frames; progressive (SOF2) and
+    subsampled frames raise ValueError, like decode_gif_pixels does for
+    interlace.
+
+    Returns (width, height, ndarray[h, w, 3] uint8 BGR, matching
+    decode_bmp_pixels) — grayscale replicates into all three channels;
+    color converts JFIF YCbCr -> RGB (x1.402/0.344136/0.714136/1.772,
+    rint, clamp)."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (no SOI)")
+    pos = 2
+    qtabs: dict = {}
+    htabs: dict = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack_from(">H", b, pos)[0]
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                o += 1
+                if pq:
+                    vals = np.frombuffer(seg, ">u2", 64, o).astype(np.int64)
+                    o += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, o).astype(np.int64)
+                    o += 64
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = vals  # file stores zigzag order
+                qtabs[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                    for i in range(ns)]
+            pos += seglen
+            break  # entropy-coded data follows
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    w8, h8 = -(-w // 8) * 8, -(-h // 8) * 8
+    planes = {cid: np.zeros((h8, w8), np.float64) for cid, _ in comps}
+    quant = {cid: qtabs[tq] for cid, tq in comps}
+    dctab = {cid: htabs[(0, dc)] for cid, dc, _ in scan}
+    actab = {cid: htabs[(1, ac)] for cid, _, ac in scan}
+    C = _dct_matrix()
+    br = _JpegBitReader(b, pos)
+    pred = {cid: 0 for cid, _ in comps}
+    n_mcu = (w8 // 8) * (h8 // 8)
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            pred = {cid: 0 for cid, _ in comps}
+        by, bx = divmod(m, w8 // 8)
+        for cid, _tq in comps:
+            zz = np.zeros(64, np.int64)
+            s = _huff_decode(br, dctab[cid])
+            diff = _extend(br.bits(s), s) if s else 0
+            pred[cid] += diff
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, actab[cid])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            coef = np.zeros(64, np.float64)
+            coef[_ZIGZAG] = zz * quant[cid].reshape(-1)[_ZIGZAG]
+            blk = C.T @ coef.reshape(8, 8) @ C + 128.0
+            planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+    crop = [np.clip(np.rint(planes[cid][:h, :w]), 0, 255) for cid, _ in comps]
+    out = np.empty((h, w, 3), np.uint8)
+    if len(crop) == 1:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = crop[0]
+    else:
+        y, cb, cr = crop
+        r = np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255)
+        g = np.clip(np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+        bl = np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255)
+        out[:, :, 0], out[:, :, 1], out[:, :, 2] = bl, g, r
+    return w, h, out
+
+
+def attach_jpeg_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    src_col: str | None = None,
+    bias: int = 0,
+) -> DataFrame:
+    """Materialize a REAL baseline JPEG per row whose pixels are CONSTANT
+    within each 8x8 block — gray of block (bx, by) = (id + bx*7 + by*13
+    + bias) mod 256, dims (8*(1 + id%8), 8*(1 + id*3%8)) — so the flat
+    quant table makes the full DCT round trip LOSSLESS and the SQL
+    oracle restates every decoded pixel from id arithmetic (the JPEG
+    analogue of attach_bmp_payload's contract)."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def jpg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = 1 + i % 8, 1 + (i * 3) % 8
+            bx = np.arange(wb).reshape(1, wb)
+            by = np.arange(hb).reshape(hb, 1)
+            g = ((i + bx * 7 + by * 13 + bias) % 256).astype(np.uint8)
+            px = np.repeat(np.repeat(g, 8, axis=0), 8, axis=1)
+            out.append(make_jpeg_gray_payload(wb * 8, hb * 8, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))

@@ -27,6 +27,72 @@ def test_incremental_day_pipeline_invariants(spark):
         assert r["min_c"] <= r["mean_c_e4"] / 10_000 <= r["max_c"]
 
 
+# --- JPEG baseline codec ----------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_lossless():
+    """Flat quant + block-constant pixels: the DCT round trip must be
+    EXACT (constant block => DC = 8*(c-128), AC = 0) — the property the
+    multimodal_jpeg_pixels oracle relies on."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_gray_payload,
+        parse_image_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    px = np.repeat(np.repeat(g, 8, 0), 8, 1)
+    b = make_jpeg_gray_payload(40, 24, px.tobytes())
+    w, h, out = decode_jpeg_pixels(b)
+    assert (w, h) == (40, 24)
+    assert parse_image_dims(b) == (40, 24)  # SOF header parses too
+    for c in range(3):
+        assert (out[:, :, c] == px).all()
+
+
+def test_jpeg_general_image_near_lossless():
+    """Arbitrary pixels, non-multiple-of-8 dims: flat quant keeps the
+    decode within 1 gray level of the input (float DCT rounding only);
+    a real quant table compresses and stays bounded by quant/2-ish."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_gray_payload,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+    flat = make_jpeg_gray_payload(53, 41, img.tobytes())
+    w, h, out = decode_jpeg_pixels(flat)
+    assert (w, h) == (53, 41)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+    lossy = make_jpeg_gray_payload(53, 41, img.tobytes(), quant=[16] * 64)
+    assert len(lossy) < len(flat)  # real entropy coding actually compresses
+    _, _, out16 = decode_jpeg_pixels(lossy)
+    assert np.abs(out16[:, :, 0].astype(int) - img.astype(int)).max() <= 64
+
+
+def test_jpeg_decode_image_dispatch_and_errors():
+    import pytest as _pytest
+
+    from bun_csv_spark.multimodal.binary import decode_image, make_jpeg_gray_payload
+
+    b = make_jpeg_gray_payload(8, 8, bytes(64))
+    w, h, out = decode_image(b)
+    assert (w, h) == (8, 8) and (out == 0).all()
+    with _pytest.raises(ValueError):
+        decode_image(b"\x00\x01not an image")
+    # progressive SOF2 must raise, not mis-decode
+    prog = bytearray(b)
+    prog[prog.index(b"\xff\xc0")+1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_image(bytes(prog))
+
+
 # --- cross-modality leakage-safe split -------------------------------------
 
 
