@@ -188,6 +188,19 @@ EXPECTATIONS = {
     "audio_fingerprint": (0, ["MapInPandas"], ["Exchange"]),
     # same banded pairing shape as image_neardup
     "audio_neardup": (6, ["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r8 additions
+    # four mergeable families built per day and merged: every shuffle
+    # carries bounded STATE (per-key moments / registers / bins /
+    # counters), never raw rows twice; final joins are over <= |keys|
+    # rows; no global window, no cartesian anywhere
+    "incremental_day_pipeline": (24, ["HashAggregate"], ["CartesianProduct", "SinglePartition"]),
+    # three banded edge pipelines feed CC on the union edge list, which
+    # materializes eagerly (checkpointed, like cluster_split) — so the
+    # FINAL plan is just broadcast label join + map-side split rule and
+    # the corpus never shuffles
+    "multimodal_cluster_split": (2, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # Arrow-batched JPEG encode+decode: pure mapInPandas, zero shuffles
+    "multimodal_jpeg_pixels": (0, ["MapInPandas"], ["Exchange"]),
 }
 
 
