@@ -345,32 +345,40 @@ def hamming_pairs64(
     hash_col: str,
     max_hamming: int = 6,
     max_bucket: int | None = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Banded Hamming-distance pairs over ANY 64-bit fingerprint column
-    (SimHash, image dHash, audio chromaprint-style hashes, ...): four
-    16-bit bands from the zero-padded hex (substring, not shifts —
-    negative-long shift semantics differ between engines), candidates =
-    ids sharing any band, verification = exact popcount of the XOR.
+    (SimHash, image dHash, audio chromaprint-style hashes, ...):
+    ``n_bands`` equal hex slices of the zero-padded hex (substring, not
+    shifts — negative-long shift semantics differ between engines),
+    candidates = ids sharing any band, verification = exact popcount of
+    the XOR.
 
-    Recall contract: with 4 bands the pigeonhole principle only
-    GUARANTEES a shared band for Hamming distance <= 3. Pairs at
-    distance 4..max_hamming are found iff their flipped bits concentrate
-    in <= 3 bands — a pair whose flips touch all 4 bands is
-    deterministically missed (probabilistic recall above 3, like any
-    banded LSH). Oracle gates stay exact because the oracle replays the
-    same banding; callers needing guaranteed recall at d must band with
-    > d bands. Per-(band, bucket) groups above ``max_bucket`` are
-    dropped before the self-join — one degenerate bucket of B near-equal
-    fingerprints is B²/2 pairs. One banding shuffle, one keyed
-    self-join, never n². Returns (id_a, id_b, hamming)."""
+    Recall contract: the pigeonhole principle GUARANTEES a shared band
+    only for Hamming distance <= n_bands - 1 (default 4 bands: <= 3).
+    Pairs above that are found iff their flips concentrate in fewer
+    bands — a pair whose flips touch every band is deterministically
+    missed (probabilistic recall, like any banded LSH). Callers needing
+    guaranteed recall at distance d pass ``n_bands > d`` (2/4/8/16 —
+    must divide the 16 hex chars): more bands = full recall at higher d,
+    but coarser buckets = more candidates to verify, so pair the bump
+    with a realistic ``max_bucket``. Oracle gates stay exact because the
+    oracle replays the same banding. Per-(band, bucket) groups above
+    ``max_bucket`` are dropped before the self-join — one degenerate
+    bucket of B near-equal fingerprints is B²/2 pairs. One banding
+    shuffle, one keyed self-join, never n². Returns (id_a, id_b,
+    hamming)."""
+    if 16 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 16 hex chars, got {n_bands}")
+    width = 16 // n_bands
     hexs = F.lower(F.lpad(F.hex(hash_col), 16, "0"))
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.substring(hexs, 1 + 4 * b, 4).alias("bucket"),
+                F.substring(hexs, 1 + width * b, width).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     banded = df.select(

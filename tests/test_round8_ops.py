@@ -27,6 +27,32 @@ def test_incremental_day_pipeline_invariants(spark):
         assert r["min_c"] <= r["mean_c_e4"] / 10_000 <= r["max_c"]
 
 
+# --- banded Hamming pairing: guaranteed-recall banding ----------------------
+
+
+def test_hamming_pairs64_n_bands_recall(spark):
+    """A distance-7 pair whose flips hit all four 16-bit quarters is
+    deterministically MISSED by the default 4 bands (the documented
+    contract) and FOUND with n_bands=8 (pigeonhole: 7 flips can't cover
+    8 bands)."""
+    from bun_csv_spark.operators.dedup import hamming_pairs64
+
+    base = 0x1111222233334444
+    # 7 flips spread over all 4 quarters (2+2+2+1), but covering only
+    # 7 of the 8 eight-bit bands
+    flips = [0, 1, 16, 17, 32, 33, 48]
+    other = base
+    for f in flips:
+        other ^= 1 << f
+    df = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "fp"])
+    missed = hamming_pairs64(df, "doc_id", "fp", max_hamming=8).collect()
+    assert missed == [], missed  # every 16-bit quarter differs
+    found = hamming_pairs64(df, "doc_id", "fp", max_hamming=8, n_bands=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(1, 2, 7)]
+    with pytest.raises(ValueError, match="divide"):
+        hamming_pairs64(df, "doc_id", "fp", n_bands=3)
+
+
 # --- JPEG baseline codec ----------------------------------------------------
 
 
