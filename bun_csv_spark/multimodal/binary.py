@@ -1159,6 +1159,97 @@ class _JpegBitWriter:
             self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
 
 
+def _encode_baseline(planes: list, width: int, height: int, quant) -> bytes:
+    """Shared baseline-sequential encoder core: ``planes`` is 1 (gray)
+    or 3 (YCbCr) float arrays, all height x width, all 4:4:4. One quant
+    table and the Annex K luminance Huffman pair serve every component
+    (legal — SOS table selectors just all point at slot 0). MCUs
+    interleave one block per component with per-component DC
+    predictors."""
+    import numpy as np
+
+    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
+    assert q.shape == (64,) and (q > 0).all() and (q < 256).all()
+    nc = len(planes)
+    assert nc in (1, 3)
+    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = [
+        np.pad(
+            np.asarray(p, np.float64),
+            ((0, h8 - height), (0, w8 - width)),
+            mode="edge",
+        )
+        for p in planes
+    ]
+    C = _dct_matrix()
+    dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qm = q.reshape(8, 8)
+
+    bw = _JpegBitWriter()
+    prev_dc = [0] * nc
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            for ci in range(nc):
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                s = int(abs(diff)).bit_length()
+                ln, code = dc_t[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_t[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    ln, code = ac_t[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    ln, code = ac_t[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # APP0: 1x1 density, no thumb
+    zz_q = q.reshape(-1)[_ZIGZAG]  # DQT stores zigzag order
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in zz_q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0x00])
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += b"\x00\x3f\x00"
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def make_jpeg_gray_payload(
     width: int, height: int, gray_rows: bytes, quant: list | None = None
 ) -> bytes:
@@ -1173,82 +1264,33 @@ def make_jpeg_gray_payload(
     property the oracle-checked fixtures rely on."""
     import numpy as np
 
-    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
-    assert q.shape == (64,) and (q > 0).all() and (q < 256).all()
-    img = (
-        np.frombuffer(gray_rows, np.uint8, width * height)
-        .reshape(height, width)
+    img = np.frombuffer(gray_rows, np.uint8, width * height).reshape(
+        height, width
+    )
+    return _encode_baseline([img], width, height, quant)
+
+
+def make_jpeg_color_payload(
+    width: int, height: int, bgr_rows: bytes, quant: list | None = None
+) -> bytes:
+    """A REAL baseline-sequential 4:4:4 COLOR JFIF: BGR input (the
+    decode_bmp_pixels channel order) converted to JFIF YCbCr (BT.601
+    full range), three interleaved components sharing the flat quant
+    table. Round trip through ``decode_jpeg_pixels`` is near-lossless
+    (the YCbCr floats quantize once at the DCT and once at the final
+    rint — within ~2 levels for block-constant input, tested)."""
+    import numpy as np
+
+    px = (
+        np.frombuffer(bgr_rows, np.uint8, width * height * 3)
+        .reshape(height, width, 3)
         .astype(np.float64)
     )
-    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
-    C = _dct_matrix()
-    dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    qm = q.reshape(8, 8)[
-        [i // 8 for i in range(64)], [i % 8 for i in range(64)]
-    ].reshape(8, 8)
-
-    bw = _JpegBitWriter()
-    prev_dc = 0
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
-            zz = coef.reshape(-1)[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = int(abs(diff)).bit_length()
-            ln, code = dc_t[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_t[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s = abs(v).bit_length()
-                ln, code = ac_t[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                ln, code = ac_t[0x00]  # EOB
-                bw.write(code, ln)
-    bw.flush()
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)  # APP0: 1x1 density, no thumb
-    zz_q = q.reshape(-1)[_ZIGZAG]  # DQT stores zigzag order
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in zz_q)
-    out += (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 11, 8, height, width, 1)
-        + b"\x01\x11\x00"
-    )
-    out += (
-        b"\xff\xc4"
-        + struct.pack(">HB", 19 + len(_JPEG_DC_VALS), 0x00)
-        + bytes(_JPEG_DC_BITS)
-        + bytes(_JPEG_DC_VALS)
-    )
-    out += (
-        b"\xff\xc4"
-        + struct.pack(">HB", 19 + len(_JPEG_AC_VALS), 0x10)
-        + bytes(_JPEG_AC_BITS)
-        + bytes(_JPEG_AC_VALS)
-    )
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
-    out += bw.buf
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return _encode_baseline([y, cb, cr], width, height, quant)
 
 
 class _JpegBitReader:

@@ -102,6 +102,52 @@ def test_jpeg_general_image_near_lossless():
     assert np.abs(out16[:, :, 0].astype(int) - img.astype(int)).max() <= 64
 
 
+def test_jpeg_color_roundtrip():
+    """3-component 4:4:4 color: encode BGR -> YCbCr -> baseline JPEG,
+    decode back through the interleaved-MCU + YCbCr->RGB path; flat
+    quant on block-constant input stays within 2 levels per channel
+    (one rint at DCT quantization, one at output)."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+    )
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(g, 8, 0), 8, 1)  # 16x32 BGR, block-constant
+    b = make_jpeg_color_payload(32, 16, px.tobytes())
+    w, h, out = decode_jpeg_pixels(b)
+    assert (w, h) == (32, 16)
+    err = np.abs(out.astype(int) - px.astype(int)).max()
+    assert err <= 2, err
+
+
+def test_jpeg_nonflat_quant_table_ordering():
+    """A NON-uniform quant table pins the zigzag ordering of DQT vs the
+    coefficient stream: if encoder and decoder disagreed on the scan
+    order, dequantization would garble high-frequency content far past
+    the per-coefficient quantization bound."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_gray_payload,
+    )
+
+    # K.1-style ramp: DC fine, AC increasingly coarse
+    quant = [1 + (i // 8) * 2 + (i % 8) * 2 for i in range(64)]
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    bts = make_jpeg_gray_payload(24, 24, img.tobytes(), quant=quant)
+    _, _, out = decode_jpeg_pixels(bts)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int)).mean()
+    # worst-case per-coefficient error ~ q/2; mis-ordered tables measured
+    # ~4x this bound
+    assert err <= 12, err
+
+
 def test_jpeg_decode_image_dispatch_and_errors():
     import pytest as _pytest
 
