@@ -3044,6 +3044,32 @@ def q_multimodal_cluster_split(spark, sf_dir):
     )
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Cross-corpus distinct-shingle overlap WITHOUT comparing the
+    corpora directly: each side reduces to a KMV bottom-k state (k=512)
+    of its distinct 5-char shingle hashes in ONE scan, then |A|, |B|,
+    |A∪B|, |A∩B| and Jaccard come from the two <=k-row states alone
+    (Beyer et al. 2007 set algebra, sketches.kmv_set_estimates) — the
+    pre-flight that tells you HOW MUCH two 100 TB crawls share before
+    launching the expensive span-level decontamination pass. Sides here
+    are overlapping document subsets (doc_id % 2 == 0 vs % 3 == 0), so
+    the true intersection is large and the estimate is exercised off the
+    degenerate corners."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates, kmv_state
+    from bun_csv_spark.functions.text import char_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def shingle_hashes(side):
+        return side.select(
+            F.explode(F.array_distinct(char_shingles("text", 5))).alias("sh")
+        )
+
+    a = shingle_hashes(docs.filter(F.col("doc_id") % 2 == 0))
+    b = shingle_hashes(docs.filter(F.col("doc_id") % 3 == 0))
+    return kmv_set_estimates(kmv_state(a, "sh", 512), kmv_state(b, "sh", 512), 512)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3108,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_merge": q_quantile_merge,
         "incremental_day_pipeline": q_incremental_day_pipeline,
         "multimodal_cluster_split": q_multimodal_cluster_split,
+        "corpus_overlap": q_corpus_overlap,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -4806,6 +4833,48 @@ def oracle_sql() -> dict[str, str]:
           FROM grouped)
         """
     )
+
+    # corpus_overlap: KMV bottom-k replayed exactly — md5-uniform hashes
+    # (same 'kmv:' salt), ORDER BY h LIMIT k per side / merged, Beyer
+    # et al. estimators with the identical double op order
+    _KMV_D = "1152921504606846976.0"  # float(1 << 60), exact as a double
+    sql["corpus_overlap"] = f"""
+        WITH ta AS (
+          SELECT DISTINCT CAST('0x' || substr(md5('kmv:' || substr(text, i, 5)),
+                                              1, 15) AS BIGINT) AS h
+          FROM (SELECT text,
+                       unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                         AS i
+                FROM documents WHERE doc_id % 2 = 0)),
+        tb AS (
+          SELECT DISTINCT CAST('0x' || substr(md5('kmv:' || substr(text, i, 5)),
+                                              1, 15) AS BIGINT) AS h
+          FROM (SELECT text,
+                       unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                         AS i
+                FROM documents WHERE doc_id % 3 = 0)),
+        ka AS (SELECT h FROM ta ORDER BY h LIMIT 512),
+        kb AS (SELECT h FROM tb ORDER BY h LIMIT 512),
+        m AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+              ORDER BY h LIMIT 512),
+        sa AS (SELECT count(*)::BIGINT AS na, max(h) AS mxa FROM ka),
+        sb AS (SELECT count(*)::BIGINT AS nb, max(h) AS mxb FROM kb),
+        sm AS (SELECT count(*)::BIGINT AS kk, max(h) AS uk FROM m),
+        r AS (SELECT count(*)::BIGINT AS rho
+              FROM m JOIN ka USING (h) JOIN kb USING (h))
+        SELECT
+          round(CASE WHEN na < 512 THEN na::DOUBLE
+                     ELSE 511.0 * {_KMV_D} / mxa END, 4) AS est_distinct_a,
+          round(CASE WHEN nb < 512 THEN nb::DOUBLE
+                     ELSE 511.0 * {_KMV_D} / mxb END, 4) AS est_distinct_b,
+          round(CASE WHEN kk < 512 THEN kk::DOUBLE
+                     ELSE 511.0 * {_KMV_D} / uk END, 4) AS est_union,
+          round((rho / kk) * CASE WHEN kk < 512 THEN kk::DOUBLE
+                                  ELSE 511.0 * {_KMV_D} / uk END, 4)
+            AS est_intersection,
+          round(rho / kk, 4) AS est_jaccard
+        FROM sa, sb, sm, r
+    """
 
     sql["multimodal_pixels"] = """
         WITH d AS (

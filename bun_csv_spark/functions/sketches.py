@@ -67,6 +67,76 @@ def kmv_distinct(
     return per.select(*key_cols, F.round(est, 4).alias("est_distinct"))
 
 
+def kmv_state(
+    df: DataFrame, value_col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """The ungrouped KMV (bottom-k / theta-sketch) STATE: the ``k``
+    smallest DISTINCT md5-uniform hashes of the column, as a <=k-row
+    single-column table (h). Mergeable — the k smallest of the union of
+    two states IS the state of the union (Beyer et al., "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD 2007).
+
+    Plan: distinct collapses duplicates map-side, then
+    TakeOrderedAndProject keeps k rows per partition and reduces — never
+    a global sort; the state is broadcastable at any corpus size."""
+    u = md5_uniform_long(value_col, salt)
+    return df.select(u.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_set_estimates(
+    state_a: DataFrame, state_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Distinct-set ALGEBRA from two KMV states alone (Beyer et al.
+    2007): |A| and |B| from each state, |A∪B| from the merged bottom-k,
+    |A∩B| = (rho/K) * |A∪B| where rho counts members of the merged
+    state present in BOTH input states, Jaccard = rho/K. A state with
+    fewer than k rows holds its ENTIRE distinct hash set, so small
+    inputs degrade to EXACT counts (and rho/K collapses to the exact
+    intersection).
+
+    This is the decontamination pre-flight for two 100 TB crawls: one
+    scan per corpus builds its state; every join/aggregate here runs on
+    <= 2k rows. Returns ONE row: (est_distinct_a, est_distinct_b,
+    est_union, est_intersection, est_jaccard), rounded 4dp."""
+    kk = F.lit(float(k - 1)) * F.lit(KMV_DOMAIN)
+
+    def side(st, tag):
+        return st.agg(
+            F.count(F.lit(1)).alias(f"__n{tag}"), F.max("h").alias(f"__mx{tag}")
+        )
+
+    merged = (
+        state_a.unionByName(state_b).distinct().orderBy("h").limit(k)
+    )
+    mstats = merged.agg(
+        F.count(F.lit(1)).alias("__K"), F.max("h").alias("__uK")
+    )
+    rho = (
+        merged.join(state_a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+        .join(state_b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+        .agg(F.count(F.lit(1)).alias("__rho"))
+    )
+
+    def est(n, mx):
+        return F.when(n < k, n.cast("double")).otherwise(kk / mx)
+
+    row = (
+        side(state_a, "a")
+        .crossJoin(side(state_b, "b"))
+        .crossJoin(mstats)
+        .crossJoin(rho)
+    )
+    union_est = est(F.col("__K"), F.col("__uK"))
+    inter_est = F.col("__rho") / F.col("__K") * union_est
+    return row.select(
+        F.round(est(F.col("__na"), F.col("__mxa")), 4).alias("est_distinct_a"),
+        F.round(est(F.col("__nb"), F.col("__mxb")), 4).alias("est_distinct_b"),
+        F.round(union_est, 4).alias("est_union"),
+        F.round(inter_est, 4).alias("est_intersection"),
+        F.round(F.col("__rho") / F.col("__K"), 4).alias("est_jaccard"),
+    )
+
+
 #: HLL register width: 13 hex chars = 52 bits of hash tail per register,
 #: so 2^(53-rho) is an exact LONG and register sums are integer-exact
 #: (order-independent — double sums of 2^-rho would round differently

@@ -27,6 +27,45 @@ def test_incremental_day_pipeline_invariants(spark):
         assert r["min_c"] <= r["mean_c_e4"] / 10_000 <= r["max_c"]
 
 
+# --- KMV set algebra ---------------------------------------------------------
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    """Planted overlap: A = 0..9999, B = 5000..14999 hashed as strings —
+    truth |A|=|B|=10000, |A∪B|=15000, |A∩B|=5000, J=1/3. k=512 KMV
+    states must land within ~3/sqrt(k) (≈13%) of truth on every figure."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates, kmv_state
+
+    a = spark.range(0, 10_000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(5_000, 15_000).select(F.col("id").cast("string").alias("v"))
+    row = kmv_set_estimates(
+        kmv_state(a, "v", 512), kmv_state(b, "v", 512), 512
+    ).collect()[0]
+    for col, truth in [
+        ("est_distinct_a", 10_000), ("est_distinct_b", 10_000),
+        ("est_union", 15_000), ("est_intersection", 5_000),
+        ("est_jaccard", 1 / 3),
+    ]:
+        assert abs(row[col] - truth) / truth < 0.14, (col, row[col], truth)
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    """Inputs smaller than k: the states hold the full distinct sets, so
+    every figure must be EXACT, including the intersection."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates, kmv_state
+
+    a = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(60, 160).select(F.col("id").cast("string").alias("v"))
+    row = kmv_set_estimates(
+        kmv_state(a, "v", 512), kmv_state(b, "v", 512), 512
+    ).collect()[0]
+    assert row["est_distinct_a"] == 100.0
+    assert row["est_distinct_b"] == 100.0
+    assert row["est_union"] == 160.0
+    assert row["est_intersection"] == 40.0
+    assert row["est_jaccard"] == 0.25
+
+
 # --- banded Hamming pairing: guaranteed-recall banding ----------------------
 
 
