@@ -2688,6 +2688,64 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (adapted: the trimmed testdata
+    lineitem has no commit/receipt dates, so the EXISTS predicate is
+    'order has a returned line item' — same decorrelated-EXISTS shape):
+    date-windowed orders LEFT SEMI joined to the qualifying lineitem
+    keys, one priority-keyed count. The semi-join never duplicates
+    orders rows however many lineitems match — exactly what EXISTS
+    compiles to, and the scale reason to prefer it over a join+distinct."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers (threshold 200 for this SF):
+    orders whose total quantity exceeds the threshold (HAVING subquery
+    -> aggregate + filter + LEFT SEMI join, no correlated rescan),
+    re-joined to customer and lineitem for the per-order report, top-100
+    by price via TakeOrderedAndProject — the classic
+    aggregate-subquery-drives-a-join shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 200)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_ohlc_resample(spark, sf_dir):
     """Hourly OHLC candlesticks per event type: open/high/low/close from
     ONE hash aggregate (min_by/max_by over a total-order key — no sort,
@@ -3123,6 +3181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q18": q_tpch_q18,
         "ohlc_resample": q_ohlc_resample,
         "join_size_estimate": q_join_size_estimate,
         "streaming_hll": q_streaming_hll,
@@ -3753,6 +3813,31 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """
+
+    sql["tpch_q4"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """
+
+    sql["tpch_q18"] = """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """
 
     sql["countmin_topk"] = """

@@ -204,6 +204,12 @@ EXPECTATIONS = {
     # KMV bottom-k per side (TakeOrdered, never a global sort) + <=2k-row
     # set algebra; the 1-row agg crossJoins are the intended assembly
     "corpus_overlap": (12, ["TakeOrderedAndProject"], ["GlobalSort", "SortMergeJoin"]),
+    # decorrelated EXISTS: ONE semi join (orders never duplicated by
+    # matching lineitems), date predicates pushed into the orders scan
+    "tpch_q4": (4, ["Semi", "PushedFilters: [IsNotNull(o_orderdate)"], ["CartesianProduct"]),
+    # HAVING subquery -> agg + semi join; report joins keyed; top-100 via
+    # TakeOrdered, never a global sort
+    "tpch_q18": (8, ["Semi", "TakeOrderedAndProject"], ["CartesianProduct", "GlobalSort"]),
 }
 
 
