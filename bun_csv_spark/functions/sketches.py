@@ -83,6 +83,18 @@ def kmv_state(
     return df.select(u.alias("h")).distinct().orderBy("h").limit(k)
 
 
+def kmv_merge(*states: DataFrame, k: int = 256) -> DataFrame:
+    """Merge KMV states (same salt): the k smallest of the union of the
+    states IS the state of the unioned inputs (Beyer et al. 2007) —
+    idempotent and order-free like the HLL register max-merge, so
+    duplicated or re-sent shards merge safely. All inputs are <=k rows;
+    the merge never touches the corpora."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
 def kmv_set_estimates(
     state_a: DataFrame, state_b: DataFrame, k: int = 256
 ) -> DataFrame:
@@ -105,9 +117,7 @@ def kmv_set_estimates(
             F.count(F.lit(1)).alias(f"__n{tag}"), F.max("h").alias(f"__mx{tag}")
         )
 
-    merged = (
-        state_a.unionByName(state_b).distinct().orderBy("h").limit(k)
-    )
+    merged = kmv_merge(state_a, state_b, k=k)
     mstats = merged.agg(
         F.count(F.lit(1)).alias("__K"), F.max("h").alias("__uK")
     )

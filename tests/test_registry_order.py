@@ -98,6 +98,33 @@ def test_deferred_gates_are_justified_and_bounded():
     )
 
 
+def test_verification_debt_bounded():
+    """The round-7 verdict's structural finding: stale evidence must keep
+    BURNING faster than new gates accrue. Invariant: gates whose last
+    driver green is more than 4 rounds behind the newest green must fit
+    in ONE driver window — i.e. the oldest debt always clears within the
+    next round. (r8 baseline: newest=7, cutoff 2, 32 such gates; the
+    bound tightens as rotations land.)"""
+    doc, names = _load()
+    gates = doc["gates"]
+    window = doc.get("window", 50)
+    greens = [g.get("last_green") for g in gates.values() if g.get("last_green")]
+    if not greens:
+        return
+    cutoff = max(greens) - 5
+    ancient = [
+        n
+        for n in names
+        if (gates.get(n) or {}).get("last_green") is not None
+        and gates[n]["last_green"] <= cutoff
+    ]
+    assert len(ancient) <= window, (
+        f"{len(ancient)} gates last green at round <= {cutoff} exceed one "
+        f"{window}-slot window — the rotation is losing to gate additions: "
+        f"{ancient[:10]}..."
+    )
+
+
 def test_oracles_subset_of_queries():
     _, names = _load()
     oracles = entry_mod.oracle_sql()
