@@ -1375,6 +1375,8 @@ def decode_jpeg_pixels(b: bytes):
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
+        while b[pos + 1] == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -107,5 +107,79 @@ def main() -> None:
     print(f"speedup: {t_u / t_s:.2f}x  (unsalted {t_u:.2f}s / salted {t_s:.2f}s)")
 
 
+def incremental_vs_recompute() -> None:
+    """The incremental_day_pipeline claim, measured: with days 1-2
+    states PERSISTED (tiny parquet), day 3's update costs one day's scan
+    plus a state merge — versus re-scanning all three days. The gap is
+    the whole value of the mergeable-family algebra; at 100 TB/day the
+    ratio is bounded below by (history size / day size)."""
+    import shutil
+
+    spark = get_spark("scale_r8b", cpus=8, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    from bun_csv_spark.functions.sketches import (
+        histogram_merge,
+        histogram_state,
+        histogram_state_quantiles,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from bun_csv_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    n_day = 10_000_000
+    keys = ["k"]
+
+    def day(d):
+        return spark.range(d * n_day, (d + 1) * n_day, 1, 32).select(
+            (F.col("id") % 64).cast("string").alias("k"),
+            (F.col("id") * 7919 % 100_000).cast("long").alias("v"),
+            (F.col("id") % 1_000_000).cast("string").alias("u"),
+        )
+
+    def states_of(df):
+        return (
+            agg_state(df, keys, "v"),
+            hll_registers(df, keys, "u"),
+            histogram_state(df, "v", 0.0, 100_000.0, 120, keys),
+        )
+
+    base = "/tmp/scale_r8_states"
+    shutil.rmtree(base, ignore_errors=True)
+    hist12 = day(0).unionByName(day(1))
+    for name, st in zip(("agg", "hll", "hist"), states_of(hist12)):
+        st.write.mode("overwrite").parquet(f"{base}/{name}")
+
+    def finalize(agg, hll, hist):
+        timed("  agg", finalize_agg_state(agg))
+        timed("  hll", hll_estimate(hll, keys))
+        timed("  hist", histogram_state_quantiles(
+            hist, [0.5, 0.99], 0.0, 100_000.0, 120, keys))
+
+    print("incremental (persisted day1-2 states + day-3 scan + merge):")
+    t0 = time.time()
+    a3, h3, g3 = states_of(day(2))
+    finalize(
+        merge_agg_states(spark.read.parquet(f"{base}/agg"), a3, keys),
+        hll_merge(spark.read.parquet(f"{base}/hll"), h3, key_cols=keys),
+        histogram_merge(spark.read.parquet(f"{base}/hist"), g3, key_cols=keys),
+    )
+    t_inc = time.time() - t0
+    print(f"incremental total: {t_inc:.2f}s")
+
+    print("full recompute (re-scan all 3 days):")
+    t0 = time.time()
+    finalize(*states_of(hist12.unionByName(day(2))))
+    t_full = time.time() - t0
+    print(f"recompute total: {t_full:.2f}s")
+    print(f"incremental advantage: {t_full / t_inc:.2f}x at history/day = 2; "
+          "grows linearly with history")
+
+
 if __name__ == "__main__":
     main()
+    incremental_vs_recompute()
