@@ -141,6 +141,38 @@ def test_jpeg_general_image_near_lossless():
     assert np.abs(out16[:, :, 0].astype(int) - img.astype(int)).max() <= 64
 
 
+def test_jpeg_block_constant_property():
+    """Hypothesis property: ANY block-constant grayscale image (any
+    block grid up to 6x6, any gray values) round-trips bit-exactly under
+    the flat quant table — the invariant the oracle gate is built on,
+    pinned across the whole input space rather than one fixture."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_gray_payload,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        wb=st.integers(1, 6),
+        hb=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(wb, hb, seed):
+        g = np.random.default_rng(seed).integers(0, 256, (hb, wb), np.uint8)
+        px = np.repeat(np.repeat(g, 8, 0), 8, 1)
+        w, h, out = decode_jpeg_pixels(
+            make_jpeg_gray_payload(wb * 8, hb * 8, px.tobytes())
+        )
+        assert (w, h) == (wb * 8, hb * 8)
+        assert (out[:, :, 0] == px).all()
+
+    prop()
+
+
 def test_jpeg_color_roundtrip():
     """3-component 4:4:4 color: encode BGR -> YCbCr -> baseline JPEG,
     decode back through the interleaved-MCU + YCbCr->RGB path; flat
