@@ -80,7 +80,8 @@ def main() -> None:
     # across rounds. Calibrate on BOTH sides of the query block and keep
     # the faster: load arriving between the queries and a single trailing
     # calibration would otherwise skew every ratio at once
-    cal = min(cal_before, _calibrate(spark))
+    cal_after = _calibrate(spark)
+    cal = min(cal_before, cal_after)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +93,11 @@ def main() -> None:
                 "sf": sf,
                 "csv_parse_mb_per_sec": csv_mb_s,
                 "calibrate_sec": cal,
+                # both sides reported so calibrate noise is VISIBLE in the
+                # record — the r7->r8 "regression" was this yardstick
+                # swinging 27% within one process, not the queries
+                "calibrate_before_sec": cal_before,
+                "calibrate_after_sec": cal_after,
                 "queries_normalized": {
                     k: round(v / cal, 2) for k, v in timings.items()
                 },
