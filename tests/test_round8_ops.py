@@ -49,6 +49,29 @@ def test_kmv_set_estimates_accuracy(spark):
         assert abs(row[col] - truth) / truth < 0.14, (col, row[col], truth)
 
 
+def test_kmv_merge_associative_and_equals_union_state(spark):
+    """The mergeable-family law for KMV: any merge grouping of shard
+    states equals the state built from the unioned input — the property
+    that lets a daily pipeline fold new shards into yesterday's state."""
+    from bun_csv_spark.functions.sketches import kmv_merge, kmv_state
+
+    parts = [
+        spark.range(i * 2000, (i + 1) * 2000 + 500).select(
+            F.col("id").cast("string").alias("v")
+        )
+        for i in range(3)
+    ]
+    k = 128
+    states = [kmv_state(p, "v", k) for p in parts]
+    left = kmv_merge(kmv_merge(states[0], states[1], k=k), states[2], k=k)
+    right = kmv_merge(states[0], kmv_merge(states[1], states[2], k=k), k=k)
+    whole = kmv_state(parts[0].unionByName(parts[1]).unionByName(parts[2]), "v", k)
+    a = sorted(r["h"] for r in left.collect())
+    b = sorted(r["h"] for r in right.collect())
+    c = sorted(r["h"] for r in whole.collect())
+    assert a == b == c and len(a) == k
+
+
 def test_kmv_set_estimates_exact_below_k(spark):
     """Inputs smaller than k: the states hold the full distinct sets, so
     every figure must be EXACT, including the intersection."""
