@@ -78,9 +78,17 @@ def kmv_state(
 
     Plan: distinct collapses duplicates map-side, then
     TakeOrderedAndProject keeps k rows per partition and reduces — never
-    a global sort; the state is broadcastable at any corpus size."""
+    a global sort; the state is broadcastable at any corpus size.
+
+    NULL values are excluded (like histogram_state): a NULL hashes to
+    NULL, which Spark's ascending sort would place FIRST — permanently
+    occupying a bottom-k slot, skewing every estimate, and diverging
+    from SQL engines that sort NULLs last."""
     u = md5_uniform_long(value_col, salt)
-    return df.select(u.alias("h")).distinct().orderBy("h").limit(k)
+    return (
+        df.select(u.alias("h")).filter(F.col("h").isNotNull())
+        .distinct().orderBy("h").limit(k)
+    )
 
 
 def kmv_merge(*states: DataFrame, k: int = 256) -> DataFrame:

@@ -1450,7 +1450,9 @@ def decode_jpeg_pixels(b: bytes):
             br.restart()
             pred = {cid: 0 for cid, _ in comps}
         by, bx = divmod(m, w8 // 8)
-        for cid, _tq in comps:
+        # T.81: the interleave order of blocks within an MCU follows the
+        # SOS scan-component list, which may differ from the SOF order
+        for cid, _dc, _ac in scan:
             zz = np.zeros(64, np.int64)
             s = _huff_decode(br, dctab[cid])
             diff = _extend(br.bits(s), s) if s else 0

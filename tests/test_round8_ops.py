@@ -49,6 +49,23 @@ def test_kmv_set_estimates_accuracy(spark):
         assert abs(row[col] - truth) / truth < 0.14, (col, row[col], truth)
 
 
+def test_kmv_state_ignores_nulls(spark):
+    """A NULL value hashes to NULL, which ascending sort would place
+    FIRST — displacing a real bottom-k hash and corrupting every
+    estimate (and DuckDB sorts NULLs LAST, so the oracle would diverge).
+    Two identical small sets with NULLs must report exact equality."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates, kmv_state
+
+    rows = [("a",), ("b",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, ["v"])
+    st = kmv_state(df, "v", 8)
+    assert all(r["h"] is not None for r in st.collect())
+    row = kmv_set_estimates(st, kmv_state(df, "v", 8), 8).collect()[0]
+    assert row["est_distinct_a"] == 3.0
+    assert row["est_jaccard"] == 1.0
+    assert row["est_intersection"] == 3.0
+
+
 def test_kmv_merge_associative_and_equals_union_state(spark):
     """The mergeable-family law for KMV: any merge grouping of shard
     states equals the state built from the unioned input — the property
@@ -216,6 +233,37 @@ def test_jpeg_color_roundtrip():
     assert (w, h) == (32, 16)
     err = np.abs(out.astype(int) - px.astype(int)).max()
     assert err <= 2, err
+
+
+def test_jpeg_scan_order_respected():
+    """T.81 interleaves MCU blocks in SOS (scan) order, which may differ
+    from SOF (frame) order. Patch a color file's SOS list from (1,2,3)
+    to (3,2,1): the entropy stream is unchanged, so its first block now
+    belongs to component 3 — the correct decode equals a file whose
+    planes were encoded in that swapped order natively."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import _encode_baseline, decode_jpeg_pixels
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(g, 8, 0), 8, 1).astype(np.float64)
+    y, cb, cr = px[:, :, 0], px[:, :, 1], px[:, :, 2]  # arbitrary planes
+    f_norm = _encode_baseline([y, cb, cr], 24, 16, None)
+    f_swapped_planes = _encode_baseline([cr, cb, y], 24, 16, None)
+
+    # patch SOS component list (1,2,3) -> (3,2,1); stream bytes unchanged
+    i = f_norm.index(b"\xff\xda")
+    sos = bytearray(f_norm[i : i + 4 + 1 + 6 + 3])
+    assert sos[5] == 1 and sos[7] == 2 and sos[9] == 3
+    sos[5], sos[9] = 3, 1
+    f_patched = f_norm[:i] + bytes(sos) + f_norm[i + len(sos) :]
+
+    _, _, out_patched = decode_jpeg_pixels(f_patched)
+    _, _, out_swapped = decode_jpeg_pixels(f_swapped_planes)
+    _, _, out_norm = decode_jpeg_pixels(f_norm)
+    assert (out_patched == out_swapped).all()
+    assert not (out_patched == out_norm).all()  # the orders genuinely differ
 
 
 def test_jpeg_nonflat_quant_table_ordering():

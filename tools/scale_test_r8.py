@@ -52,10 +52,15 @@ def main() -> None:
     from bun_csv_spark.operators.maintenance import skew_profile
     from bun_csv_spark.operators.temporal import asof_join, asof_join_salted
 
-    # left: 9 of 10 ids are the hot key (90% of rows); ts strictly grows
+    # left: 9 of 10 ids are the hot key (90% of rows); the remainder
+    # spreads over ALL N_KEYS cold keys (id // 10 walks every residue —
+    # a bare id % N_KEYS would only ever hit the 9-ending residues);
+    # ts strictly grows
     left = spark.range(0, N_LEFT, 1, 32).select(
         F.when(F.col("id") % 10 < 9, F.lit("hot"))
-        .otherwise(F.concat(F.lit("k"), (F.col("id") % N_KEYS).cast("string")))
+        .otherwise(
+            F.concat(F.lit("k"), ((F.col("id") / 10).cast("long") % N_KEYS).cast("string"))
+        )
         .alias("key"),
         (F.col("id") * 1000).alias("ts"),
         (F.col("id") % 97).alias("v"),
