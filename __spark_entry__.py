@@ -2942,19 +2942,13 @@ def q_incremental_day_pipeline(spark, sf_dir):
     per counter), so the final joins are broadcast-sized at any SF."""
     from bun_csv_spark.functions.sketches import (
         cm_estimate,
-        cm_merge,
-        cm_sketch,
-        histogram_merge,
-        histogram_state,
         histogram_state_quantiles,
         hll_estimate,
-        hll_merge,
-        hll_registers,
     )
     from bun_csv_spark.operators.maintenance import (
-        agg_state,
         finalize_agg_state,
-        merge_agg_states,
+        pipeline_state_build,
+        pipeline_state_merge,
     )
 
     keys = ["event_type"]
@@ -2963,11 +2957,24 @@ def q_incremental_day_pipeline(spark, sf_dir):
     )
     days = [ev.filter(F.col("event_id") % 3 == d) for d in range(3)]
 
-    # 1. exact moments: integer agg states merge bit-identically
-    st = agg_state(days[0], keys, "v_c")
-    for d in days[1:]:
-        st = merge_agg_states(st, agg_state(d, keys, "v_c"), keys)
-    moments = finalize_agg_state(st).select(
+    # the nightly-job API: per-day family states, family-wise merge.
+    # One subtlety vs daily_state_update's single value column: moments
+    # run on the centi-unit LONG (integer-exact merges) while the
+    # histogram bins the raw double — so build on v_c and rebind the
+    # histogram family to the raw value's fixed [0,600)x120 domain.
+    from bun_csv_spark.functions.sketches import histogram_state
+
+    states = []
+    for d in days:
+        st = pipeline_state_build(d, keys, "v_c", "user_id", 0.0, 600.0, 120)
+        st["hist"] = histogram_state(d, "value", 0.0, 600.0, 120, keys)
+        states.append(st)
+    merged = states[0]
+    for st in states[1:]:
+        merged = pipeline_state_merge(merged, st, keys)
+
+    # 1. exact moments: integer agg states merged bit-identically
+    moments = finalize_agg_state(merged["agg"]).select(
         "event_type",
         "n",
         F.col("min").alias("min_c"),
@@ -2976,21 +2983,16 @@ def q_incremental_day_pipeline(spark, sf_dir):
         F.col("stddev_pop_e4").alias("stddev_c_e4"),
     )
 
-    # 2. distinct users: HLL registers max-merge losslessly
-    regs = hll_merge(
-        *[hll_registers(d, keys, "user_id") for d in days], key_cols=keys
-    )
-    users = hll_estimate(regs, keys).select(
+    # 2. distinct users: HLL registers max-merged losslessly
+    users = hll_estimate(merged["hll"], keys).select(
         "event_type", F.col("est_distinct").alias("est_distinct_users")
     )
 
-    # 3. value quantiles: fixed-domain histogram counters sum-merge
-    hstate = histogram_merge(
-        *[histogram_state(d, "value", 0.0, 600.0, 120, keys) for d in days],
-        key_cols=keys,
-    )
+    # 3. value quantiles from the sum-merged fixed-domain histogram
     quant = (
-        histogram_state_quantiles(hstate, [0.5, 0.9], 0.0, 600.0, 120, keys)
+        histogram_state_quantiles(
+            merged["hist"], [0.5, 0.9], 0.0, 600.0, 120, keys
+        )
         .groupBy("event_type")
         .agg(
             F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50"),
@@ -2998,9 +3000,10 @@ def q_incremental_day_pipeline(spark, sf_dir):
         )
     )
 
-    # 4. frequencies: count-min counters sum-merge; point-query per type
-    sk = cm_merge(*[cm_sketch(d, "event_type") for d in days])
-    freq = cm_estimate(sk, ev.select("event_type").distinct(), "event_type")
+    # 4. frequencies: sum-merged count-min, point-queried per type
+    freq = cm_estimate(
+        merged["cm"], ev.select("event_type").distinct(), "event_type"
+    )
 
     return (
         moments.join(users, keys)

@@ -354,3 +354,112 @@ def scd2_build(
         F.row_number().over(w).cast("long").alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+# --- incremental daily-state pipeline ---------------------------------------
+
+
+def pipeline_state_build(
+    df: DataFrame,
+    keys: "list[str]",
+    value_col: str,
+    distinct_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 120,
+    cm_depth: int = 4,
+    cm_width: int = 512,
+) -> "dict[str, DataFrame]":
+    """Build ALL FOUR mergeable state families for one shard/day in one
+    pass each: exact per-key moments (``agg_state``), per-key distinct
+    counts (``hll_registers``), fixed-domain value histograms
+    (``histogram_state``), and key-frequency counters (``cm_sketch``).
+    Every state is bounded (per key / 2^p registers / n_bins counters /
+    depth*width counters) and merges exactly with another shard's state
+    — the algebra the ``incremental_day_pipeline`` gate proves.
+
+    ``value_col`` should be integer-exact (e.g. fixed-point long) if the
+    merged moments must be bit-identical to a single pass — double sums
+    reassociate."""
+    from bun_csv_spark.functions.sketches import cm_sketch, histogram_state, hll_registers
+
+    return {
+        "agg": agg_state(df, keys, value_col),
+        "hll": hll_registers(df, keys, distinct_col),
+        "hist": histogram_state(df, value_col, lo, hi, n_bins, keys),
+        "cm": cm_sketch(df, keys[0], cm_depth, cm_width),
+    }
+
+
+def pipeline_state_merge(
+    a: "dict[str, DataFrame]",
+    b: "dict[str, DataFrame]",
+    keys: "list[str]",
+) -> "dict[str, DataFrame]":
+    """Merge two pipeline states family-by-family with each family's own
+    combine rule (moment sums / register max / counter sums / counter
+    sums). Associative and input-order-free, so any grouping of daily
+    shards produces the identical state."""
+    from bun_csv_spark.functions.sketches import cm_merge, histogram_merge, hll_merge
+
+    return {
+        "agg": merge_agg_states(a["agg"], b["agg"], keys),
+        "hll": hll_merge(a["hll"], b["hll"], key_cols=keys),
+        "hist": histogram_merge(a["hist"], b["hist"], key_cols=keys),
+        "cm": cm_merge(a["cm"], b["cm"]),
+    }
+
+
+def daily_state_update(
+    spark,
+    day_df: DataFrame,
+    state_dir: str,
+    keys: "list[str]",
+    value_col: str,
+    distinct_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 120,
+    cm_depth: int = 4,
+    cm_width: int = 512,
+) -> "dict[str, DataFrame]":
+    """The nightly-job API: fold TODAY's shard into the persisted state
+    under ``state_dir`` and write the updated state back. First call
+    bootstraps the directory. Each call costs ONE scan of the new day
+    plus a state-sized merge — history is never re-read (measured 1.73x
+    at history/day=2 in tools/scale_test_r8.py; the advantage grows
+    linearly with history).
+
+    Durability note: the read-merge-rewrite is staged through a fresh
+    subdirectory per generation and the previous generation is kept, so
+    a failed write cannot corrupt the current state; delivery must be
+    exactly-once per day (counter sums are not idempotent — dedupe the
+    day upstream, same caveat as histogram_merge)."""
+    import os
+
+    today = pipeline_state_build(
+        day_df, keys, value_col, distinct_col, lo, hi, n_bins, cm_depth, cm_width
+    )
+    gen_path = os.path.join(state_dir, "_GENERATION")
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gen = int(f.read().strip())
+        prev = {
+            fam: spark.read.parquet(os.path.join(state_dir, f"gen={gen}", fam))
+            for fam in ("agg", "hll", "hist", "cm")
+        }
+        merged = pipeline_state_merge(prev, today, keys)
+    else:
+        gen = 0
+        merged = today
+    new_gen = gen + 1
+    for fam, st in merged.items():
+        st.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"gen={new_gen}", fam)
+        )
+    with open(gen_path, "w") as f:
+        f.write(str(new_gen))
+    return {
+        fam: spark.read.parquet(os.path.join(state_dir, f"gen={new_gen}", fam))
+        for fam in ("agg", "hll", "hist", "cm")
+    }

@@ -386,6 +386,44 @@ def test_multimodal_split_components_move_as_unit(spark):
     assert planted, "no planted cross-modality twin pair found"
 
 
+def test_daily_state_update_equals_single_pass(spark, tmp_path):
+    """The nightly-job API end-to-end: three sequential daily_state_update
+    calls against a persisted state dir must land on EXACTLY the state a
+    single pass over all three days builds — for every family — and a
+    crashed generation must not corrupt the previous one."""
+    from bun_csv_spark.operators.maintenance import (
+        daily_state_update,
+        pipeline_state_build,
+    )
+
+    state_dir = str(tmp_path / "state")
+
+    def day(d):
+        return spark.range(d * 2000, (d + 1) * 2000).select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            (F.col("id") * 37 % 500).cast("long").alias("v"),
+            (F.col("id") % 113).cast("string").alias("u"),
+        )
+
+    args = (["k"], "v", "u", 0.0, 500.0)
+    for d in range(3):
+        final = daily_state_update(spark, day(d), state_dir, *args)
+
+    whole = pipeline_state_build(
+        day(0).unionByName(day(1)).unionByName(day(2)), *args
+    )
+    for fam in ("agg", "hll", "hist", "cm"):
+        a = sorted(map(tuple, final[fam].collect()))
+        b = sorted(map(tuple, whole[fam].collect()))
+        assert a == b, fam
+
+    # generations are kept: the previous state survives the latest write
+    import os
+
+    gens = sorted(p for p in os.listdir(state_dir) if p.startswith("gen="))
+    assert gens == ["gen=1", "gen=2", "gen=3"]
+
+
 def test_incremental_day_pipeline_merge_associativity(spark):
     """The pipeline's merge step must not care HOW the days are grouped:
     merge(merge(d0, d1), d2) == merge(d0, merge(d1, d2)) for the agg
