@@ -4957,10 +4957,12 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 511.0 * {_KMV_D} / mxb END, 4) AS est_distinct_b,
           round(CASE WHEN kk < 512 THEN kk::DOUBLE
                      ELSE 511.0 * {_KMV_D} / uk END, 4) AS est_union,
-          round((rho / kk) * CASE WHEN kk < 512 THEN kk::DOUBLE
-                                  ELSE 511.0 * {_KMV_D} / uk END, 4)
-            AS est_intersection,
-          round(rho / kk, 4) AS est_jaccard
+          CASE WHEN kk = 0 THEN 0 ELSE
+            floor((rho / kk) * CASE WHEN kk < 512 THEN kk::DOUBLE
+                                    ELSE 511.0 * {_KMV_D} / uk END
+                  * 10000)::BIGINT END AS est_intersection_e4,
+          CASE WHEN kk = 0 THEN 0 ELSE floor((rho / kk) * 10000)::BIGINT END
+            AS est_jaccard_e4
         FROM sa, sb, sm, r
     """
 

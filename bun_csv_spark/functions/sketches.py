@@ -117,7 +117,19 @@ def kmv_set_estimates(
     This is the decontamination pre-flight for two 100 TB crawls: one
     scan per corpus builds its state; every join/aggregate here runs on
     <= 2k rows. Returns ONE row: (est_distinct_a, est_distinct_b,
-    est_union, est_intersection, est_jaccard), rounded 4dp."""
+    est_union rounded 4dp, est_intersection_e4, est_jaccard_e4).
+
+    The two rho/K-derived outputs are fixed-point longs
+    (floor(x * 10000)), NOT round(x, 4) doubles: rho/K is an exact
+    multiple of 1/K, so at e.g. K=512 values like 16/512 = 0.03125 land
+    exactly on .xxxx5 ties where Spark's HALF_UP and DuckDB's
+    scaled-double rounding disagree (the same cross-engine hazard
+    maintenance.finalize_agg_state documents). floor-of-scaled is pure
+    IEEE and engine-portable. The max/ratio estimates (est_distinct_*,
+    est_union) keep round(): their values are quotients of 60-bit
+    hashes and never land on a decimal tie. Two EMPTY states yield
+    K = 0; the rho/K columns are defined as 0 in that case rather than
+    a divide-by-zero NULL (or an error under ANSI mode)."""
     kk = F.lit(float(k - 1)) * F.lit(KMV_DOMAIN)
 
     def side(st, tag):
@@ -145,13 +157,19 @@ def kmv_set_estimates(
         .crossJoin(rho)
     )
     union_est = est(F.col("__K"), F.col("__uK"))
-    inter_est = F.col("__rho") / F.col("__K") * union_est
+    ratio = F.col("__rho") / F.col("__K")
+
+    def e4(x):
+        return F.when(F.col("__K") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * 10000).cast("long")
+        )
+
     return row.select(
         F.round(est(F.col("__na"), F.col("__mxa")), 4).alias("est_distinct_a"),
         F.round(est(F.col("__nb"), F.col("__mxb")), 4).alias("est_distinct_b"),
         F.round(union_est, 4).alias("est_union"),
-        F.round(inter_est, 4).alias("est_intersection"),
-        F.round(F.col("__rho") / F.col("__K"), 4).alias("est_jaccard"),
+        e4(ratio * union_est).alias("est_intersection_e4"),
+        e4(ratio).alias("est_jaccard_e4"),
     )
 
 

@@ -1305,8 +1305,12 @@ class _JpegBitReader:
 
     def bit(self) -> int:
         if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
             b = self.d[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(self.d):
+                    raise ValueError("truncated JPEG entropy data")
                 nxt = self.d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
@@ -1330,6 +1334,8 @@ class _JpegBitReader:
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker (DRI intervals)."""
         self.n = 0
+        if self.pos + 1 >= len(self.d):
+            raise ValueError("truncated JPEG entropy data")
         if self.d[self.pos] != 0xFF or not (0xD0 <= self.d[self.pos + 1] <= 0xD7):
             raise ValueError("expected RST marker")
         self.pos += 2

@@ -43,8 +43,8 @@ def test_kmv_set_estimates_accuracy(spark):
     ).collect()[0]
     for col, truth in [
         ("est_distinct_a", 10_000), ("est_distinct_b", 10_000),
-        ("est_union", 15_000), ("est_intersection", 5_000),
-        ("est_jaccard", 1 / 3),
+        ("est_union", 15_000), ("est_intersection_e4", 5_000 * 10_000),
+        ("est_jaccard_e4", 10_000 / 3),
     ]:
         assert abs(row[col] - truth) / truth < 0.14, (col, row[col], truth)
 
@@ -62,8 +62,8 @@ def test_kmv_state_ignores_nulls(spark):
     assert all(r["h"] is not None for r in st.collect())
     row = kmv_set_estimates(st, kmv_state(df, "v", 8), 8).collect()[0]
     assert row["est_distinct_a"] == 3.0
-    assert row["est_jaccard"] == 1.0
-    assert row["est_intersection"] == 3.0
+    assert row["est_jaccard_e4"] == 10_000
+    assert row["est_intersection_e4"] == 3 * 10_000
 
 
 def test_kmv_merge_associative_and_equals_union_state(spark):
@@ -102,8 +102,24 @@ def test_kmv_set_estimates_exact_below_k(spark):
     assert row["est_distinct_a"] == 100.0
     assert row["est_distinct_b"] == 100.0
     assert row["est_union"] == 160.0
-    assert row["est_intersection"] == 40.0
-    assert row["est_jaccard"] == 0.25
+    assert row["est_intersection_e4"] == 40 * 10_000
+    assert row["est_jaccard_e4"] == 2_500
+
+
+def test_kmv_set_estimates_empty_states(spark):
+    """Two EMPTY states make K = 0: the rho/K-derived figures must be a
+    well-defined 0 (not a divide-by-zero NULL, nor an error under
+    spark.sql.ansi.enabled)."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates, kmv_state
+
+    empty = spark.createDataFrame([], "v string")
+    row = kmv_set_estimates(
+        kmv_state(empty, "v", 8), kmv_state(empty, "v", 8), 8
+    ).collect()[0]
+    assert row["est_distinct_a"] == 0.0
+    assert row["est_union"] == 0.0
+    assert row["est_intersection_e4"] == 0
+    assert row["est_jaccard_e4"] == 0
 
 
 # --- banded Hamming pairing: guaranteed-recall banding ----------------------
@@ -305,6 +321,24 @@ def test_jpeg_decode_image_dispatch_and_errors():
     prog[prog.index(b"\xff\xc0")+1] = 0xC2
     with _pytest.raises(ValueError, match="progressive"):
         decode_image(bytes(prog))
+
+
+def test_jpeg_truncated_entropy_raises_valueerror():
+    """A payload cut mid-entropy-segment must raise the ValueError
+    malformed-input contract (like progressive/subsampled inputs), not
+    leak an IndexError from the bit reader."""
+    import pytest as _pytest
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_gray_payload,
+    )
+
+    b = make_jpeg_gray_payload(24, 24, bytes(range(192)) * 3)
+    sos = b.index(b"\xff\xda")
+    for cut in (sos + 14, sos + 20, len(b) - 3):
+        with _pytest.raises(ValueError, match="truncated|marker|Huffman"):
+            decode_jpeg_pixels(b[:cut])
 
 
 # --- cross-modality leakage-safe split -------------------------------------
