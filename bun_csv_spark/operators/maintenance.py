@@ -410,6 +410,80 @@ def pipeline_state_merge(
     }
 
 
+_STATE_FAMILIES = ("agg", "hll", "hist", "cm")
+
+
+def _state_fs(spark, state_dir: str):
+    """(Hadoop FileSystem, Path ctor) for ``state_dir`` — resolves the
+    scheme (file:, hdfs:, s3a:, a bare local path) through the session's
+    Hadoop conf so every marker/listing/prune op below works on any
+    cluster filesystem, not just driver-local POSIX."""
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
+def _read_small_file(fs, path, limit: int = 64) -> str:
+    stream = fs.open(path)
+    try:
+        out = []
+        b = stream.read()
+        while b != -1 and len(out) < limit:
+            out.append(b)
+            b = stream.read()
+        return bytes(out).decode("utf-8", "replace")
+    finally:
+        stream.close()
+
+
+def _complete_generations(spark, state_dir: str) -> "list[int]":
+    """Generations under ``state_dir`` whose four family writes all
+    committed (``_SUCCESS`` present) — the marker-independent source of
+    truth a corrupt/missing ``_GENERATION`` falls back to."""
+    fs, path_cls = _state_fs(spark, state_dir)
+    base = path_cls(state_dir)
+    if not fs.exists(base):
+        return []
+    gens = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("gen=")):
+            continue
+        try:
+            n = int(name[4:])
+        except ValueError:
+            continue
+        if all(
+            fs.exists(path_cls(f"{state_dir}/gen={n}/{fam}/_SUCCESS"))
+            for fam in _STATE_FAMILIES
+        ):
+            gens.append(n)
+    return sorted(gens)
+
+
+def current_generation(spark, state_dir: str) -> "int | None":
+    """The generation the next update should merge onto: the
+    ``_GENERATION`` marker if readable, else the highest COMPLETE
+    ``gen=N`` directory (so a crash that lost or truncated the marker —
+    or died between family writes — recovers to the last durable state
+    without manual repair). None = bootstrap."""
+    fs, path_cls = _state_fs(spark, state_dir)
+    marker = path_cls(f"{state_dir}/_GENERATION")
+    if fs.exists(marker):
+        try:
+            gen = int(_read_small_file(fs, marker).strip())
+        except ValueError:
+            gen = None
+        if gen is not None and all(
+            fs.exists(path_cls(f"{state_dir}/gen={gen}/{fam}/_SUCCESS"))
+            for fam in _STATE_FAMILIES
+        ):
+            return gen
+    complete = _complete_generations(spark, state_dir)
+    return complete[-1] if complete else None
+
+
 def daily_state_update(
     spark,
     day_df: DataFrame,
@@ -422,6 +496,7 @@ def daily_state_update(
     n_bins: int = 120,
     cm_depth: int = 4,
     cm_width: int = 512,
+    keep_generations: int = 2,
 ) -> "dict[str, DataFrame]":
     """The nightly-job API: fold TODAY's shard into the persisted state
     under ``state_dir`` and write the updated state back. First call
@@ -430,36 +505,56 @@ def daily_state_update(
     at history/day=2 in tools/scale_test_r8.py; the advantage grows
     linearly with history).
 
-    Durability note: the read-merge-rewrite is staged through a fresh
-    subdirectory per generation and the previous generation is kept, so
-    a failed write cannot corrupt the current state; delivery must be
-    exactly-once per day (counter sums are not idempotent — dedupe the
-    day upstream, same caveat as histogram_merge)."""
-    import os
-
+    Cluster-portable durability: every marker/listing/delete goes
+    through the Hadoop FileSystem resolved from ``state_dir``'s scheme,
+    so ``file:``, ``hdfs://`` and ``s3a://`` state dirs all work. Each
+    update stages into a fresh ``gen=N+1`` directory, then swings the
+    ``_GENERATION`` pointer via write-temp + rename (atomic on HDFS /
+    POSIX; on stores without atomic rename the completeness scan below
+    is the real recovery path). A crash at ANY point recovers: mid
+    family-write leaves gen N+1 without ``_SUCCESS`` markers and the
+    pointer on N; a lost or truncated pointer falls back to the highest
+    COMPLETE generation (``current_generation``). The newest
+    ``keep_generations`` generations are retained (>=1 previous for
+    rollback by default); older ones are pruned so state disk use is
+    bounded. Delivery must be exactly-once per day (counter sums are not
+    idempotent — dedupe the day upstream, same caveat as
+    histogram_merge)."""
     today = pipeline_state_build(
         day_df, keys, value_col, distinct_col, lo, hi, n_bins, cm_depth, cm_width
     )
-    gen_path = os.path.join(state_dir, "_GENERATION")
-    if os.path.exists(gen_path):
-        with open(gen_path) as f:
-            gen = int(f.read().strip())
+    state_dir = state_dir.rstrip("/")
+    gen = current_generation(spark, state_dir)
+    if gen is not None:
         prev = {
-            fam: spark.read.parquet(os.path.join(state_dir, f"gen={gen}", fam))
-            for fam in ("agg", "hll", "hist", "cm")
+            fam: spark.read.parquet(f"{state_dir}/gen={gen}/{fam}")
+            for fam in _STATE_FAMILIES
         }
         merged = pipeline_state_merge(prev, today, keys)
+        new_gen = gen + 1
     else:
-        gen = 0
         merged = today
-    new_gen = gen + 1
-    for fam, st in merged.items():
-        st.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"gen={new_gen}", fam)
+        new_gen = 1
+    for fam in _STATE_FAMILIES:
+        merged[fam].write.mode("overwrite").parquet(
+            f"{state_dir}/gen={new_gen}/{fam}"
         )
-    with open(gen_path, "w") as f:
-        f.write(str(new_gen))
+    fs, path_cls = _state_fs(spark, state_dir)
+    tmp = path_cls(f"{state_dir}/_GENERATION.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(new_gen).encode()))
+    finally:
+        out.close()
+    marker = path_cls(f"{state_dir}/_GENERATION")
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    fs.rename(tmp, marker)
+    if keep_generations >= 1:
+        for old in _complete_generations(spark, state_dir):
+            if old <= new_gen - keep_generations:
+                fs.delete(path_cls(f"{state_dir}/gen={old}"), True)
     return {
-        fam: spark.read.parquet(os.path.join(state_dir, f"gen={new_gen}", fam))
-        for fam in ("agg", "hll", "hist", "cm")
+        fam: spark.read.parquet(f"{state_dir}/gen={new_gen}/{fam}")
+        for fam in _STATE_FAMILIES
     }

@@ -451,11 +451,114 @@ def test_daily_state_update_equals_single_pass(spark, tmp_path):
         b = sorted(map(tuple, whole[fam].collect()))
         assert a == b, fam
 
-    # generations are kept: the previous state survives the latest write
+    # retention (keep_generations=2 default): the previous state survives
+    # the latest write for rollback, older generations are pruned so disk
+    # use stays bounded
     import os
 
     gens = sorted(p for p in os.listdir(state_dir) if p.startswith("gen="))
-    assert gens == ["gen=1", "gen=2", "gen=3"]
+    assert gens == ["gen=2", "gen=3"]
+
+
+def _nightly_day(spark, d):
+    return spark.range(d * 2000, (d + 1) * 2000).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 37 % 500).cast("long").alias("v"),
+        (F.col("id") % 113).cast("string").alias("u"),
+    )
+
+
+_NIGHTLY_ARGS = (["k"], "v", "u", 0.0, 500.0)
+
+
+def test_daily_state_update_file_uri_and_retention_knob(spark, tmp_path):
+    """The state dir as an explicit ``file:`` URI must route every
+    marker / listing / prune op through the Hadoop FS API (the
+    cluster-portable path — hdfs:// and s3a:// take the same branch),
+    and keep_generations=1 must leave only the newest generation."""
+    import os
+
+    from bun_csv_spark.operators.maintenance import daily_state_update
+
+    local = tmp_path / "state"
+    state_dir = "file://" + str(local)
+    for d in range(3):
+        final = daily_state_update(
+            spark, _nightly_day(spark, d), state_dir, *_NIGHTLY_ARGS,
+            keep_generations=1,
+        )
+    gens = sorted(p for p in os.listdir(local) if p.startswith("gen="))
+    assert gens == ["gen=3"]
+    assert (local / "_GENERATION").read_text() == "3"
+    assert final["agg"].count() == 5
+
+
+def test_daily_state_update_recovers_from_truncated_marker(spark, tmp_path):
+    """A crash mid-marker-write (truncated/empty ``_GENERATION``) must
+    NOT brick the state dir: the next update falls back to the highest
+    COMPLETE generation and lands on the exact single-pass state."""
+    from bun_csv_spark.operators.maintenance import (
+        current_generation,
+        daily_state_update,
+        pipeline_state_build,
+    )
+
+    state_dir = str(tmp_path / "state")
+    for d in range(2):
+        daily_state_update(spark, _nightly_day(spark, d), state_dir, *_NIGHTLY_ARGS)
+    (tmp_path / "state" / "_GENERATION").write_text("")  # simulated torn write
+    assert current_generation(spark, state_dir) == 2
+    final = daily_state_update(
+        spark, _nightly_day(spark, 2), state_dir, *_NIGHTLY_ARGS
+    )
+    whole = pipeline_state_build(
+        _nightly_day(spark, 0)
+        .unionByName(_nightly_day(spark, 1))
+        .unionByName(_nightly_day(spark, 2)),
+        *_NIGHTLY_ARGS,
+    )
+    for fam in ("agg", "hll", "hist", "cm"):
+        assert sorted(map(tuple, final[fam].collect())) == sorted(
+            map(tuple, whole[fam].collect())
+        ), fam
+
+
+def test_daily_state_update_recovers_from_partial_generation(spark, tmp_path):
+    """A crash between family writes leaves gen N+1 incomplete (no
+    ``_SUCCESS`` on every family) with the marker gone: recovery must
+    skip the torn generation, merge onto gen N, and the rewrite of
+    gen N+1 must overwrite the debris."""
+    import shutil
+
+    from bun_csv_spark.operators.maintenance import (
+        current_generation,
+        daily_state_update,
+        pipeline_state_build,
+    )
+
+    state_dir = str(tmp_path / "state")
+    for d in range(2):
+        daily_state_update(spark, _nightly_day(spark, d), state_dir, *_NIGHTLY_ARGS)
+    # simulate: day-3 run crashed after ONE family write + marker loss
+    shutil.copytree(
+        tmp_path / "state" / "gen=2" / "agg", tmp_path / "state" / "gen=3" / "agg"
+    )
+    (tmp_path / "state" / "gen=3" / "agg" / "_SUCCESS").unlink()
+    (tmp_path / "state" / "_GENERATION").unlink()
+    assert current_generation(spark, state_dir) == 2
+    final = daily_state_update(
+        spark, _nightly_day(spark, 2), state_dir, *_NIGHTLY_ARGS
+    )
+    whole = pipeline_state_build(
+        _nightly_day(spark, 0)
+        .unionByName(_nightly_day(spark, 1))
+        .unionByName(_nightly_day(spark, 2)),
+        *_NIGHTLY_ARGS,
+    )
+    for fam in ("agg", "hll", "hist", "cm"):
+        assert sorted(map(tuple, final[fam].collect())) == sorted(
+            map(tuple, whole[fam].collect())
+        ), fam
 
 
 def test_incremental_day_pipeline_merge_associativity(spark):
