@@ -77,11 +77,13 @@ def main() -> None:
     # the round-2 commit side-by-side on the same box); cross-round deltas
     # reflect the box as much as the code, so every query is also reported
     # as a BOX-NORMALIZED ratio (query_sec / calibrate_sec) — compare THOSE
-    # across rounds. Calibrate on BOTH sides of the query block and keep
-    # the faster: load arriving between the queries and a single trailing
-    # calibration would otherwise skew every ratio at once
+    # across rounds, and treat WALL-CLOCK as the headline. Calibrate on
+    # BOTH sides of the query block and normalize by their MEAN (r8 used
+    # min, which let a one-sided 27% calibrate swing inflate every ratio
+    # at once; the mean bounds any one-sided swing's effect to half, and
+    # both raw sides stay in the record for attribution — SCALE.md r9)
     cal_after = _calibrate(spark)
-    cal = min(cal_before, cal_after)
+    cal = round((cal_before + cal_after) / 2, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
