@@ -125,6 +125,32 @@ def test_verification_debt_bounded():
     )
 
 
+def test_max_staleness_five_rounds():
+    """Codified from the round-8 verdict (ask #2): once the round-9
+    rotation lands (newest green >= 9), NO gate's evidence may be more
+    than 5 rounds behind the newest green — the debt-burn plan
+    (window-fill by freshness + <=4 new gates/round) keeps this true
+    structurally; this assert keeps it true after the verdict files
+    stop saying so. Deferred gates are exempt only while their written
+    reason stands (test_deferred_gates_are_justified_and_bounded)."""
+    doc, names = _load()
+    gates = doc["gates"]
+    greens = [g.get("last_green") for g in gates.values() if g.get("last_green")]
+    if not greens or max(greens) < 9:
+        return  # binds from the round-9 rotation onward
+    floor = max(greens) - 5
+    too_old = [
+        n
+        for n in names
+        if not (gates.get(n) or {}).get("defer")
+        and (gates.get(n) or {}).get("last_green") is not None
+        and gates[n]["last_green"] < floor
+    ]
+    assert not too_old, (
+        f"gates with evidence older than newest-5 (<{floor}): {too_old}"
+    )
+
+
 def test_oracles_subset_of_queries():
     _, names = _load()
     oracles = entry_mod.oracle_sql()
