@@ -3131,6 +3131,37 @@ def q_corpus_overlap(spark, sf_dir):
     return kmv_set_estimates(kmv_state(a, "sh", 512), kmv_state(b, "sh", 512), 512)
 
 
+def q_corpus_overlap_by_domain(spark, sf_dir):
+    """corpus_overlap lifted to PER-DOMAIN sketches — the real pre-flight
+    question is rarely "how much do two crawls share" but "which DOMAINS
+    do they share": one scan per corpus builds a <=k-row KMV bottom-k
+    state per source domain (sketches.kmv_state_by), then per-domain
+    |A|, |B|, |A∪B|, |A∩B| and Jaccard come from the state tables alone
+    (Beyer et al. 2007 set algebra per group). At 100 TB the estimate
+    stage touches only k longs per domain; the corpora are scanned
+    exactly once each. k=128 keeps most sf0.01 domains on the estimator
+    path (not the exact below-k degenerate)."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates_by, kmv_state_by
+    from bun_csv_spark.functions.text import char_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def shingle_hashes(side):
+        return side.select(
+            "source",
+            F.explode(F.array_distinct(char_shingles("text", 5))).alias("sh"),
+        )
+
+    a = shingle_hashes(docs.filter(F.col("doc_id") % 2 == 0))
+    b = shingle_hashes(docs.filter(F.col("doc_id") % 3 == 0))
+    return kmv_set_estimates_by(
+        kmv_state_by(a, ["source"], "sh", 128),
+        kmv_state_by(b, ["source"], "sh", 128),
+        ["source"],
+        128,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3198,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_day_pipeline": q_incremental_day_pipeline,
         "multimodal_cluster_split": q_multimodal_cluster_split,
         "corpus_overlap": q_corpus_overlap,
+        "corpus_overlap_by_domain": q_corpus_overlap_by_domain,
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "transition_counts": q_transition_counts,
@@ -4964,6 +4996,65 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN kk = 0 THEN 0 ELSE floor((rho / kk) * 10000)::BIGINT END
             AS est_jaccard_e4
         FROM sa, sb, sm, r
+    """
+
+    # corpus_overlap_by_domain: the same KMV replay PER source domain —
+    # row_number() per group bounds each state at k=128; groups present
+    # on one side only coalesce to 0 like the Spark left joins
+    sql["corpus_overlap_by_domain"] = f"""
+        WITH ta AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5('kmv:' || substr(text, i, 5)),
+                                     1, 15) AS BIGINT) AS h
+          FROM (SELECT source, text,
+                       unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                         AS i
+                FROM documents WHERE doc_id % 2 = 0)),
+        tb AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5('kmv:' || substr(text, i, 5)),
+                                     1, 15) AS BIGINT) AS h
+          FROM (SELECT source, text,
+                       unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                         AS i
+                FROM documents WHERE doc_id % 3 = 0)),
+        ka AS (SELECT source, h FROM (
+                 SELECT source, h,
+                        row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                 FROM ta) WHERE r <= 128),
+        kb AS (SELECT source, h FROM (
+                 SELECT source, h,
+                        row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                 FROM tb) WHERE r <= 128),
+        m AS (SELECT source, h FROM (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                FROM (SELECT source, h FROM ka UNION SELECT source, h FROM kb))
+              WHERE r <= 128),
+        sa AS (SELECT source, count(*)::BIGINT AS na, max(h) AS mxa
+               FROM ka GROUP BY source),
+        sb AS (SELECT source, count(*)::BIGINT AS nb, max(h) AS mxb
+               FROM kb GROUP BY source),
+        sm AS (SELECT source, count(*)::BIGINT AS kk, max(h) AS uk
+               FROM m GROUP BY source),
+        r AS (SELECT m.source, count(*)::BIGINT AS rho
+              FROM m JOIN ka USING (source, h) JOIN kb USING (source, h)
+              GROUP BY m.source)
+        SELECT
+          sm.source AS source,
+          round(CASE WHEN coalesce(na, 0) < 128 THEN coalesce(na, 0)::DOUBLE
+                     ELSE 127.0 * {_KMV_D} / mxa END, 4) AS est_distinct_a,
+          round(CASE WHEN coalesce(nb, 0) < 128 THEN coalesce(nb, 0)::DOUBLE
+                     ELSE 127.0 * {_KMV_D} / mxb END, 4) AS est_distinct_b,
+          round(CASE WHEN kk < 128 THEN kk::DOUBLE
+                     ELSE 127.0 * {_KMV_D} / uk END, 4) AS est_union,
+          floor((coalesce(rho, 0) / kk)
+                * CASE WHEN kk < 128 THEN kk::DOUBLE
+                       ELSE 127.0 * {_KMV_D} / uk END
+                * 10000)::BIGINT AS est_intersection_e4,
+          floor((coalesce(rho, 0) / kk) * 10000)::BIGINT AS est_jaccard_e4
+        FROM sm LEFT JOIN sa USING (source) LEFT JOIN sb USING (source)
+                LEFT JOIN r USING (source)
     """
 
     sql["multimodal_pixels"] = """

@@ -173,6 +173,138 @@ def kmv_set_estimates(
     )
 
 
+def kmv_state_by(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+    prune_buckets: int = 32,
+) -> DataFrame:
+    """PER-GROUP KMV bottom-k states: (group_cols..., h), <=k rows per
+    group — ``kmv_state`` lifted to one sketch per key, so "overlap
+    between corpus A and B *per domain*" costs one scan per corpus
+    instead of one scan per (corpus, domain). Same mergeable bottom-k
+    algebra (Beyer et al. 2007) per group.
+
+    Plan: distinct (group, hash) collapses duplicates map-side (that
+    shuffle keys on (group, hash) — well spread even when one domain
+    dominates), then TWO ranked windows: a pre-prune partitioned on
+    (group, hash mod ``prune_buckets``) keeps <=k rows per sub-bucket,
+    so the final per-group rank reads at most prune_buckets*k rows per
+    group instead of the group's whole distinct set. The prune is EXACT
+    (the k smallest per group are among the k smallest of each
+    sub-bucket) and is what keeps a viral domain with billions of
+    distinct shingles from serializing one reducer at 100 TB. The
+    post-rank state is <=k longs per group regardless of group size.
+    NULL values are excluded for the same reasons as ``kmv_state``."""
+    u = md5_uniform_long(value_col, salt)
+    d = (
+        df.select(*group_cols, u.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    if prune_buckets > 1:
+        w1 = Window.partitionBy(
+            *group_cols, F.pmod(F.col("h"), F.lit(prune_buckets))
+        ).orderBy("h")
+        d = (
+            d.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        d.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_merge_by(
+    *states: DataFrame, group_cols: "list[str]", k: int = 256
+) -> DataFrame:
+    """Merge per-group KMV states (same salt): per group, the k smallest
+    of the union of the states IS the state of the unioned inputs —
+    associative, commutative, idempotent, so daily shards merge in any
+    grouping (the mergeable-family law the nightly pipeline relies on).
+    All inputs are state-sized (<=k rows per group); the merge never
+    touches the corpora."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_set_estimates_by(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: "list[str]",
+    k: int = 256,
+) -> DataFrame:
+    """Per-group distinct-set algebra from two per-group KMV state
+    tables (``kmv_state_by``): one row per group present in EITHER
+    state, with the same five figures (and the same fixed-point e4
+    encoding for the rho/K-derived two) as ``kmv_set_estimates``.
+    A group present on one side only reports est_* = 0 for the missing
+    side and Jaccard 0. Every group in the output has K >= 1 by
+    construction (it appears via a non-NULL hash), so no zero guard is
+    needed on the ratios.
+
+    Everything here runs on state-sized tables (<=k rows per group):
+    one window re-rank for the merge, per-group aggregates, and
+    group+hash semi-joins for rho — nothing corpus-sized."""
+    kk = F.lit(float(k - 1)) * F.lit(KMV_DOMAIN)
+    gc = list(group_cols)
+    merged = kmv_merge_by(state_a, state_b, group_cols=gc, k=k)
+
+    def side(st, tag):
+        return st.groupBy(*gc).agg(
+            F.count(F.lit(1)).alias(f"__n{tag}"), F.max("h").alias(f"__mx{tag}")
+        )
+
+    mstats = merged.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("__K"), F.max("h").alias("__uK")
+    )
+    rho = (
+        merged.join(state_a, [*gc, "h"], "left_semi")
+        .join(state_b, [*gc, "h"], "left_semi")
+        .groupBy(*gc)
+        .agg(F.count(F.lit(1)).alias("__rho"))
+    )
+    base = (
+        mstats.join(side(state_a, "a"), gc, "left")
+        .join(side(state_b, "b"), gc, "left")
+        .join(rho, gc, "left")
+    )
+
+    def est(n, mx):
+        return F.when(n < k, n.cast("double")).otherwise(kk / mx)
+
+    na = F.coalesce(F.col("__na"), F.lit(0))
+    nb = F.coalesce(F.col("__nb"), F.lit(0))
+    union_est = est(F.col("__K"), F.col("__uK"))
+    ratio = F.coalesce(F.col("__rho"), F.lit(0)) / F.col("__K")
+
+    def e4(x):
+        return F.floor(x * 10000).cast("long")
+
+    return base.select(
+        *gc,
+        F.round(est(na, F.col("__mxa")), 4).alias("est_distinct_a"),
+        F.round(est(nb, F.col("__mxb")), 4).alias("est_distinct_b"),
+        F.round(union_est, 4).alias("est_union"),
+        e4(ratio * union_est).alias("est_intersection_e4"),
+        e4(ratio).alias("est_jaccard_e4"),
+    )
+
+
 #: HLL register width: 13 hex chars = 52 bits of hash tail per register,
 #: so 2^(53-rho) is an exact LONG and register sums are integer-exact
 #: (order-independent — double sums of 2^-rho would round differently

@@ -1,0 +1,107 @@
+"""Round-9 operator tests: per-group KMV states (grouped bottom-k set
+algebra), the auto-salt decision helpers, and supporting fixes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import spark  # noqa: F401
+
+
+# --- per-group KMV -----------------------------------------------------------
+
+
+def _tagged(spark, groups):
+    """groups: {name: (start, stop)} -> (g, v) rows of stringified ints."""
+    parts = [
+        spark.range(a, b).select(
+            F.lit(g).alias("g"), F.col("id").cast("string").alias("v")
+        )
+        for g, (a, b) in groups.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_kmv_state_by_bounds_and_exact_below_k(spark):
+    """Each group's state holds at most k rows; a group with fewer than k
+    distinct values holds its ENTIRE distinct hash set (exact path)."""
+    from bun_csv_spark.functions.sketches import kmv_state_by
+
+    df = _tagged(spark, {"big": (0, 5000), "small": (0, 40)})
+    st = kmv_state_by(df, ["g"], "v", k=128)
+    counts = {r["g"]: r["n"] for r in st.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 128, "small": 40}
+
+
+def test_kmv_set_estimates_by_accuracy_and_one_sided_groups(spark):
+    """Planted per-group overlap: group x has A=0..4999, B=2500..7499
+    (truth J=1/3); group y exists only on side A (exact figures, J=0);
+    group z only on side B. k=256 must land within ~3/sqrt(k) of truth
+    for x and be EXACT for the one-sided groups."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates_by, kmv_state_by
+
+    a = _tagged(spark, {"x": (0, 5000), "y": (0, 60)})
+    b = _tagged(spark, {"x": (2500, 7500), "z": (100, 180)})
+    k = 256
+    out = kmv_set_estimates_by(
+        kmv_state_by(a, ["g"], "v", k), kmv_state_by(b, ["g"], "v", k), ["g"], k
+    )
+    rows = {r["g"]: r for r in out.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    x = rows["x"]
+    for col, truth in [
+        ("est_distinct_a", 5000), ("est_distinct_b", 5000),
+        ("est_union", 7500), ("est_intersection_e4", 2500 * 10_000),
+        ("est_jaccard_e4", 10_000 / 3),
+    ]:
+        assert abs(x[col] - truth) / truth < 0.20, (col, x[col], truth)
+    y = rows["y"]
+    assert (y["est_distinct_a"], y["est_distinct_b"]) == (60.0, 0.0)
+    assert y["est_union"] == 60.0
+    assert y["est_intersection_e4"] == 0 and y["est_jaccard_e4"] == 0
+    z = rows["z"]
+    assert (z["est_distinct_a"], z["est_distinct_b"]) == (0.0, 80.0)
+    assert z["est_jaccard_e4"] == 0
+
+
+def test_kmv_merge_by_associative_and_equals_union_state(spark):
+    """The per-group mergeable-family law: any merge grouping of shard
+    states equals the state built from the unioned input, PER GROUP —
+    what lets a nightly job fold per-domain shard sketches into
+    yesterday's per-domain state."""
+    from bun_csv_spark.functions.sketches import kmv_merge_by, kmv_state_by
+
+    k = 64
+    shards = [
+        _tagged(spark, {"d1": (i * 500, i * 500 + 700), "d2": (i * 300, i * 300 + 350)})
+        for i in range(3)
+    ]
+    states = [kmv_state_by(s, ["g"], "v", k) for s in shards]
+    left = kmv_merge_by(
+        kmv_merge_by(states[0], states[1], group_cols=["g"], k=k),
+        states[2], group_cols=["g"], k=k,
+    )
+    right = kmv_merge_by(
+        states[0],
+        kmv_merge_by(states[1], states[2], group_cols=["g"], k=k),
+        group_cols=["g"], k=k,
+    )
+    whole = kmv_state_by(
+        shards[0].unionByName(shards[1]).unionByName(shards[2]), ["g"], "v", k
+    )
+    key = lambda df: sorted((r["g"], r["h"]) for r in df.collect())
+    assert key(left) == key(right) == key(whole)
+    per_group = {
+        r["g"]: r["n"]
+        for r in whole.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group["d1"] == k  # estimator path actually exercised

@@ -204,6 +204,11 @@ EXPECTATIONS = {
     # KMV bottom-k per side (TakeOrdered, never a global sort) + <=2k-row
     # set algebra; the 1-row agg crossJoins are the intended assembly
     "corpus_overlap": (12, ["TakeOrderedAndProject"], ["GlobalSort", "SortMergeJoin"]),
+    # per-domain KMV: distinct keys on (source,h); the two-level ranked
+    # prune bounds the per-group window at prune_buckets*k rows; all set
+    # algebra runs on state-sized tables (broadcast joins, no SMJ)
+    "corpus_overlap_by_domain": (28, ["Window", "BroadcastHashJoin"],
+                                 ["GlobalSort", "SortMergeJoin", "CartesianProduct"]),
     # decorrelated EXISTS: ONE semi join (orders never duplicated by
     # matching lineitems), date predicates pushed into the orders scan
     "tpch_q4": (4, ["Semi", "PushedFilters: [IsNotNull(o_orderdate)"], ["CartesianProduct"]),
