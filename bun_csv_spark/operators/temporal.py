@@ -153,6 +153,45 @@ def asof_join_salted(
     return out.drop("__salt")
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    n_salt: int = 8,
+    skew_threshold: float | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    tolerance: int | None = None,
+    right_ts_col: str | None = None,
+) -> DataFrame:
+    """Profile-first as-of join: measures the LEFT side's key skew
+    (``skew.key_skew_factor``, on a sample at scale via
+    ``sample_fraction``) and takes the salted path only above the
+    measured-at-r8 threshold (SCALE.md: salted wins 2.48x at
+    skew_factor ~900, loses ~0.45x at mild imbalance). Turns the
+    documented profile-then-salt rule into one call a user can't
+    misapply. EAGER: the profile runs one aggregation job before the
+    join is planned; semantics and output schema are ``asof_join``'s
+    either way."""
+    from bun_csv_spark.operators.skew import SALT_SKEW_THRESHOLD, key_skew_factor
+
+    if skew_threshold is None:
+        skew_threshold = SALT_SKEW_THRESHOLD
+    factor = key_skew_factor(left, [key], sample_fraction, seed)
+    if factor > skew_threshold:
+        return asof_join_salted(
+            left, right, key, ts, right_cols,
+            n_salt=n_salt, seed=seed,
+            tolerance=tolerance, right_ts_col=right_ts_col,
+        )
+    return asof_join(
+        left, right, key, ts, right_cols,
+        tolerance=tolerance, right_ts_col=right_ts_col,
+    )
+
+
 def range_join_buckets(
     points: DataFrame,
     intervals: DataFrame,

@@ -105,3 +105,71 @@ def test_kmv_merge_by_associative_and_equals_union_state(spark):
         for r in whole.groupBy("g").agg(F.count("*").alias("n")).collect()
     }
     assert per_group["d1"] == k  # estimator path actually exercised
+
+
+# --- auto-salt decision helpers ---------------------------------------------
+
+
+def _skewed_events(spark, n, hot_share_pct):
+    """(k, ts, v): `hot_share_pct`% of rows on key 0, rest uniform 1..99."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 100 < hot_share_pct, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(99)) + 1)
+        .alias("k"),
+        F.col("id").alias("ts"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_key_skew_factor_measures_both_regimes(spark):
+    from bun_csv_spark.operators.skew import key_skew_factor
+
+    hot = _skewed_events(spark, 20_000, 90)
+    mild = _skewed_events(spark, 20_000, 2)
+    assert key_skew_factor(hot, ["k"]) > 50
+    assert key_skew_factor(mild, ["k"]) < 5
+    assert key_skew_factor(hot.limit(0), ["k"]) == 0.0  # empty: never salt
+
+
+def test_salted_aggregate_auto_picks_by_threshold(spark):
+    """Above the threshold the plan must be the two-phase salted rewrite
+    (visible as the seeded rand() salt in the analyzed plan); below it
+    the plain one-phase groupBy (no rand). Results must be identical to
+    the plain aggregate in BOTH regimes."""
+    from bun_csv_spark.operators.skew import salted_aggregate_auto
+
+    def plan_has_salt(df):
+        return "rand(" in df._jdf.queryExecution().analyzed().toString()
+
+    for pct, expect_salt in ((90, True), (2, False)):
+        df = _skewed_events(spark, 20_000, pct)
+        out = salted_aggregate_auto(df, ["k"], ["v"])
+        assert plan_has_salt(out) is expect_salt, pct
+        truth = df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, truth.collect())
+        ), pct
+
+
+def test_asof_join_auto_picks_by_threshold_and_matches_plain(spark):
+    from bun_csv_spark.operators.temporal import asof_join, asof_join_auto
+
+    r = spark.range(0, 200).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("k"),
+        (F.col("id") * 97).alias("ts"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+
+    def plan_has_salt(df):
+        return "rand(" in df._jdf.queryExecution().analyzed().toString()
+
+    for pct, expect_salt in ((90, True), (2, False)):
+        left = _skewed_events(spark, 5_000, pct)
+        auto = asof_join_auto(left, r, "k", "ts", ["price"])
+        assert plan_has_salt(auto) is expect_salt, pct
+        plain = asof_join(left, r, "k", "ts", ["price"])
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), pct
