@@ -981,6 +981,29 @@ def q_multimodal_jpeg_pixels(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_420(spark, sf_dir):
+    """4:2:0-subsampled JPEG decode end to end — the layout virtually
+    every real-world camera/web JPEG uses (16x16 MCUs: 4 Y + 1 Cb +
+    1 Cr blocks, chroma at quarter resolution). The fixture is
+    gray-valued and constant per 16x16 macroblock, so chroma
+    box-averaging and replication-upsample are both exact and the
+    flat-quant DCT round trip is LOSSLESS — every decoded pixel
+    restates from doc_id arithmetic in the oracle. Exercises the
+    sampling-factor parse, the 6-block MCU interleave, per-component
+    plane geometry, and the upsample path that the 4:4:4 gate
+    (multimodal_jpeg_pixels) never touches."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_jpeg420_payload,
+        decode_jpeg_pixels,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(
+        attach_jpeg420_payload(docs), "doc_id", "payload", decoder=decode_jpeg_pixels
+    )
+
+
 def q_multimodal_png(spark, sf_dir):
     """REAL PNG decode end-to-end: attach a complete zlib-compressed PNG
     per doc (attach_png_rgb_payload — same id-derived channel formulas
@@ -3385,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        "multimodal_jpeg_420": q_multimodal_jpeg_420,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_samples": q_multimodal_samples,
@@ -5091,6 +5115,26 @@ def oracle_sql() -> dict[str, str]:
                (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_b,
                (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_g,
                (sum((doc_id + bx * 7 + by * 13) % 256) * 64)::BIGINT AS sum_r
+        FROM b2 GROUP BY doc_id, wb, hb
+    """
+
+    # 4:2:0 fixture: gray-valued color constant per 16x16 MACROBLOCK =>
+    # chroma box-average and replication-upsample are exact, flat-quant
+    # DCT is lossless; each macroblock contributes 256x its value
+    sql["multimodal_jpeg_420"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + (doc_id * 3) % 4 AS hb
+          FROM documents),
+        bs AS (SELECT doc_id, wb, hb, unnest(generate_series(0, wb - 1)) AS bx
+               FROM d),
+        b2 AS (SELECT doc_id, wb, hb, bx,
+                      unnest(generate_series(0, hb - 1)) AS by
+               FROM bs)
+        SELECT doc_id, (wb * 16)::BIGINT AS width, (hb * 16)::BIGINT AS height,
+               (wb * hb * 256)::BIGINT AS n_pixels,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 256)::BIGINT AS sum_b,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 256)::BIGINT AS sum_g,
+               (sum((doc_id + bx * 7 + by * 13) % 256) * 256)::BIGINT AS sum_r
         FROM b2 GROUP BY doc_id, wb, hb
     """
 

@@ -1159,28 +1159,40 @@ class _JpegBitWriter:
             self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
 
 
-def _encode_baseline(planes: list, width: int, height: int, quant) -> bytes:
+def _encode_baseline(
+    planes: list, width: int, height: int, quant, samp: list | None = None
+) -> bytes:
     """Shared baseline-sequential encoder core: ``planes`` is 1 (gray)
-    or 3 (YCbCr) float arrays, all height x width, all 4:4:4. One quant
-    table and the Annex K luminance Huffman pair serve every component
-    (legal — SOS table selectors just all point at slot 0). MCUs
-    interleave one block per component with per-component DC
-    predictors."""
+    or 3 (YCbCr) float arrays, all FULL-RES height x width. ``samp`` is
+    the per-component (h, v) sampling-factor list (default all (1,1) =
+    4:4:4); a subsampled component is box-averaged down to its T.81
+    A.1.1 dimensions before the DCT. One quant table and the Annex K
+    luminance Huffman pair serve every component (legal — SOS table
+    selectors just all point at slot 0). Each MCU interleaves h*v
+    blocks per component in raster order (T.81 A.2.3) with
+    per-component DC predictors."""
     import numpy as np
 
     q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
     assert q.shape == (64,) and (q > 0).all() and (q < 256).all()
     nc = len(planes)
     assert nc in (1, 3)
-    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
-    padded = [
-        np.pad(
-            np.asarray(p, np.float64),
-            ((0, h8 - height), (0, w8 - width)),
-            mode="edge",
+    samp = samp or [(1, 1)] * nc
+    assert len(samp) == nc
+    hmax = max(hv[0] for hv in samp)
+    vmax = max(hv[1] for hv in samp)
+    assert all(hmax % hv[0] == 0 and vmax % hv[1] == 0 for hv in samp)
+    mcx, mcy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    comp = []
+    for p, (hi, vi) in zip(planes, samp):
+        p = np.asarray(p, np.float64)
+        fx, fy = hmax // hi, vmax // vi
+        cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
+        pf = np.pad(p, ((0, ch * fy - height), (0, cw * fx - width)), mode="edge")
+        c = pf.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        comp.append(
+            np.pad(c, ((0, mcy * vi * 8 - ch), (0, mcx * hi * 8 - cw)), mode="edge")
         )
-        for p in planes
-    ]
     C = _dct_matrix()
     dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1188,37 +1200,44 @@ def _encode_baseline(planes: list, width: int, height: int, quant) -> bytes:
 
     bw = _JpegBitWriter()
     prev_dc = [0] * nc
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            for ci in range(nc):
-                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
-                zz = coef.reshape(-1)[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                s = int(abs(diff)).bit_length()
-                ln, code = dc_t[s]
+
+    def emit(ci: int, by: int, bx: int) -> None:
+        blk = comp[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
+        zz = coef.reshape(-1)[_ZIGZAG]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        s = int(abs(diff)).bit_length()
+        ln, code = dc_t[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_t[0xF0]  # ZRL
                 bw.write(code, ln)
-                if s:
-                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_t[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = abs(v).bit_length()
-                    ln, code = ac_t[(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    ln, code = ac_t[0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_t[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_t[0x00]  # EOB
+            bw.write(code, ln)
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        emit(ci, my * vi + v, mx * hi + hh)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1228,7 +1247,7 @@ def _encode_baseline(planes: list, width: int, height: int, quant) -> bytes:
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in zz_q)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0x00])
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0x00])
     out += (
         b"\xff\xc4"
         + struct.pack(">HB", 19 + len(_JPEG_DC_VALS), 0x00)
@@ -1271,16 +1290,26 @@ def make_jpeg_gray_payload(
 
 
 def make_jpeg_color_payload(
-    width: int, height: int, bgr_rows: bytes, quant: list | None = None
+    width: int,
+    height: int,
+    bgr_rows: bytes,
+    quant: list | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """A REAL baseline-sequential 4:4:4 COLOR JFIF: BGR input (the
+    """A REAL baseline-sequential COLOR JFIF: BGR input (the
     decode_bmp_pixels channel order) converted to JFIF YCbCr (BT.601
     full range), three interleaved components sharing the flat quant
-    table. Round trip through ``decode_jpeg_pixels`` is near-lossless
-    (the YCbCr floats quantize once at the DCT and once at the final
-    rint — within ~2 levels for block-constant input, tested)."""
+    table. ``subsampling`` is ``"444"`` (one block per component per
+    MCU) or ``"420"`` (Y at 2x2, chroma box-averaged to quarter size —
+    the layout virtually every camera/web JPEG uses; 16x16-pixel MCUs
+    with 4 Y + 1 Cb + 1 Cr blocks). Round trip through
+    ``decode_jpeg_pixels`` is near-lossless for 4:4:4 block-constant
+    input and for 4:2:0 input constant per 16x16 macroblock (chroma
+    box-average of a constant is the constant)."""
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     px = (
         np.frombuffer(bgr_rows, np.uint8, width * height * 3)
         .reshape(height, width, 3)
@@ -1290,7 +1319,8 @@ def make_jpeg_color_payload(
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    return _encode_baseline([y, cb, cr], width, height, quant)
+    samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else None
+    return _encode_baseline([y, cb, cr], width, height, quant, samp)
 
 
 class _JpegBitReader:
@@ -1360,9 +1390,12 @@ def decode_jpeg_pixels(b: bytes):
     """Baseline sequential JPEG decoder, stdlib+numpy: DQT/DHT/SOF0/
     SOF1/SOS/DRI parsing, canonical Huffman decode, dequantize,
     de-zigzag, float IDCT, level shift, clamp. Grayscale and 3-component
-    4:4:4 (no chroma subsampling) frames; progressive (SOF2) and
-    subsampled frames raise ValueError, like decode_gif_pixels does for
-    interlace.
+    frames at any sampling-factor layout where each component's factors
+    divide the maxima — 4:4:4, 4:2:0 (the layout virtually every
+    camera/web JPEG uses: 16x16 MCUs of 4 Y + 1 Cb + 1 Cr blocks),
+    4:2:2, 4:1:1; subsampled chroma upsamples by pixel replication
+    (box/nearest, spec-legal). Progressive (SOF2) raises ValueError,
+    like decode_gif_pixels does for interlace.
 
     Returns (width, height, ndarray[h, w, 3] uint8 BGR, matching
     decode_bmp_pixels) — grayscale replicates into all three channels;
@@ -1420,10 +1453,11 @@ def decode_jpeg_pixels(b: bytes):
                 raise ValueError("only 8-bit precision supported")
             comps = []
             for ci in range(nc):
-                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                cid, sampb, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors in SOF")
+                comps.append((cid, tq, hi, vi))
             frame = (w, h, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported")
@@ -1442,48 +1476,71 @@ def decode_jpeg_pixels(b: bytes):
     w, h, comps = frame
     if len(scan) != len(comps):
         raise ValueError("scan/frame component mismatch")
-    w8, h8 = -(-w // 8) * 8, -(-h // 8) * 8
-    planes = {cid: np.zeros((h8, w8), np.float64) for cid, _ in comps}
-    quant = {cid: qtabs[tq] for cid, tq in comps}
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        raise ValueError("unsupported sampling-factor combination")
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcy * vi * 8, mcx * hi * 8), np.float64)
+        for cid, _, hi, vi in comps
+    }
+    sampmap = {cid: (hi, vi) for cid, _, hi, vi in comps}
+    quant = {cid: qtabs[tq] for cid, tq, _, _ in comps}
     dctab = {cid: htabs[(0, dc)] for cid, dc, _ in scan}
     actab = {cid: htabs[(1, ac)] for cid, _, ac in scan}
     C = _dct_matrix()
     br = _JpegBitReader(b, pos)
-    pred = {cid: 0 for cid, _ in comps}
-    n_mcu = (w8 // 8) * (h8 // 8)
-    for m in range(n_mcu):
+    pred = {cid: 0 for cid, _, _, _ in comps}
+
+    def read_block(cid, by, bx):
+        zz = np.zeros(64, np.int64)
+        s = _huff_decode(br, dctab[cid])
+        diff = _extend(br.bits(s), s) if s else 0
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, actab[cid])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[_ZIGZAG] = zz * quant[cid].reshape(-1)[_ZIGZAG]
+        blk = C.T @ coef.reshape(8, 8) @ C + 128.0
+        planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+    for m in range(mcx * mcy):
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
-            pred = {cid: 0 for cid, _ in comps}
-        by, bx = divmod(m, w8 // 8)
+            pred = {cid: 0 for cid, _, _, _ in comps}
+        my, mx = divmod(m, mcx)
         # T.81: the interleave order of blocks within an MCU follows the
-        # SOS scan-component list, which may differ from the SOF order
+        # SOS scan-component list, which may differ from the SOF order;
+        # within a component the h*v blocks go in raster order (A.2.3)
         for cid, _dc, _ac in scan:
-            zz = np.zeros(64, np.int64)
-            s = _huff_decode(br, dctab[cid])
-            diff = _extend(br.bits(s), s) if s else 0
-            pred[cid] += diff
-            zz[0] = pred[cid]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, actab[cid])
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            coef = np.zeros(64, np.float64)
-            coef[_ZIGZAG] = zz * quant[cid].reshape(-1)[_ZIGZAG]
-            blk = C.T @ coef.reshape(8, 8) @ C + 128.0
-            planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            hi, vi = sampmap[cid]
+            for v in range(vi):
+                for hh in range(hi):
+                    read_block(cid, my * vi + v, mx * hi + hh)
 
-    crop = [np.clip(np.rint(planes[cid][:h, :w]), 0, 255) for cid, _ in comps]
+    crop = []
+    for cid, _, hi, vi in comps:
+        up = planes[cid]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            up = up.repeat(fy, axis=0)
+        if fx > 1:
+            up = up.repeat(fx, axis=1)
+        crop.append(np.clip(np.rint(up[:h, :w]), 0, 255))
     out = np.empty((h, w, 3), np.uint8)
     if len(crop) == 1:
         out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = crop[0]
@@ -1524,6 +1581,47 @@ def attach_jpeg_payload(
             g = ((i + bx * 7 + by * 13 + bias) % 256).astype(np.uint8)
             px = np.repeat(np.repeat(g, 8, axis=0), 8, axis=1)
             out.append(make_jpeg_gray_payload(wb * 8, hb * 8, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))
+
+
+def attach_jpeg420_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    src_col: str | None = None,
+) -> DataFrame:
+    """Materialize a REAL 4:2:0-subsampled color JPEG per row (the
+    layout virtually every camera/web JPEG uses: 16x16 MCUs of 4 Y +
+    1 Cb + 1 Cr blocks). Pixels are gray-valued (b=g=r) and CONSTANT
+    within each 16x16 MACROBLOCK — value of macroblock (bx, by) =
+    (id + bx*7 + by*13) mod 256, dims (16*(1 + id%4), 16*(1 + id*3%4)).
+    Chroma box-averaging of a constant is the constant and gray-valued
+    input keeps Cb=Cr=128 with integer Y, so the flat-quant round trip
+    is EXACTLY lossless and the SQL oracle restates every decoded pixel
+    from id arithmetic — the subsampled analogue of
+    attach_jpeg_payload's contract."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def jpg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = 1 + i % 4, 1 + (i * 3) % 4
+            bx = np.arange(wb).reshape(1, wb)
+            by = np.arange(hb).reshape(hb, 1)
+            g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
+            px = np.repeat(np.repeat(g, 16, axis=0), 16, axis=1)
+            bgr = np.stack([px, px, px], axis=-1)
+            out.append(
+                make_jpeg_color_payload(
+                    wb * 16, hb * 16, bgr.tobytes(), subsampling="420"
+                )
+            )
         return pd.Series(out)
 
     return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))

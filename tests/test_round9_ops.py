@@ -173,3 +173,98 @@ def test_asof_join_auto_picks_by_threshold_and_matches_plain(spark):
         assert sorted(map(tuple, auto.collect())) == sorted(
             map(tuple, plain.collect())
         ), pct
+
+
+# --- 4:2:0 JPEG --------------------------------------------------------------
+
+
+def test_jpeg_420_macroblock_constant_roundtrip_lossless():
+    """Gray-valued color constant per 16x16 macroblock + flat quant:
+    chroma box-average of a constant is the constant, replication
+    upsample restores it, the DCT round trip is exact — the property
+    the multimodal_jpeg_420 oracle relies on."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+        parse_image_dims,
+    )
+
+    rng = np.random.default_rng(5)
+    mb = rng.integers(0, 256, (3, 2), dtype=np.uint8)
+    px = np.repeat(np.repeat(mb, 16, 0), 16, 1)
+    bgr = np.stack([px, px, px], -1)
+    b = make_jpeg_color_payload(32, 48, bgr.tobytes(), subsampling="420")
+    assert parse_image_dims(b) == (32, 48)
+    w, h, out = decode_jpeg_pixels(b)
+    assert (w, h) == (32, 48)
+    assert (out == bgr).all()
+
+
+def test_jpeg_420_block_placement_not_symmetric():
+    """Distinct per-macroblock values in an asymmetric grid: any MCU
+    raster-order or Y-block placement bug scrambles which value lands
+    where — decoded pixels must match position by position (the 4:2:0
+    analogue of the r8 scan-order regression test)."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+    )
+
+    mb = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    px = np.repeat(np.repeat(mb, 16, 0), 16, 1)
+    bgr = np.stack([px, px, px], -1)
+    _, _, out = decode_jpeg_pixels(
+        make_jpeg_color_payload(64, 48, bgr.tobytes(), subsampling="420")
+    )
+    assert (out == bgr).all()
+
+
+def test_jpeg_420_general_color_luma_bounded_and_compresses():
+    """Arbitrary color at non-multiple-of-16 dims: the full-res Y
+    channel must reconstruct within ~2 levels wherever no RGB clipping
+    occurs (chroma loss is by design at quarter resolution), and the
+    4:2:0 payload must be smaller than the 4:4:4 one (2 chroma blocks
+    per MCU instead of 8)."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(60, 196, (37, 45, 3), dtype=np.uint8)  # clip-free band
+    b420 = make_jpeg_color_payload(45, 37, img.tobytes(), subsampling="420")
+    b444 = make_jpeg_color_payload(45, 37, img.tobytes(), subsampling="444")
+    assert len(b420) < len(b444)
+    w, h, out = decode_jpeg_pixels(b420)
+    assert (w, h) == (45, 37)
+
+    def luma(a):
+        return 0.114 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.299 * a[:, :, 2]
+
+    err = np.abs(luma(out.astype(float)) - luma(img.astype(float))).max()
+    assert err <= 2.5, err
+
+
+def test_jpeg_422_also_decodes():
+    """The sampling generalization is not 4:2:0-specific: 4:2:2
+    (Y 2x1) frames decode too — constant 16x8 tiles, exact."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        _encode_baseline,
+        decode_jpeg_pixels,
+    )
+
+    mb = np.array([[40, 200], [90, 150]], dtype=np.uint8)
+    px = np.repeat(np.repeat(mb, 8, 0), 16, 1).astype(np.float64)  # 16x32
+    b = _encode_baseline([px, np.full_like(px, 128.0), np.full_like(px, 128.0)],
+                         32, 16, None, samp=[(2, 1), (1, 1), (1, 1)])
+    w, h, out = decode_jpeg_pixels(b)
+    assert (w, h) == (32, 16)
+    assert (out[:, :, 0] == px.astype(np.uint8)).all()

@@ -201,6 +201,7 @@ EXPECTATIONS = {
     "multimodal_cluster_split": (2, ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # Arrow-batched JPEG encode+decode: pure mapInPandas, zero shuffles
     "multimodal_jpeg_pixels": (0, ["MapInPandas"], ["Exchange"]),
+    "multimodal_jpeg_420": (0, ["MapInPandas"], ["Exchange"]),
     # KMV bottom-k per side (TakeOrdered, never a global sort) + <=2k-row
     # set algebra; the 1-row agg crossJoins are the intended assembly
     "corpus_overlap": (12, ["TakeOrderedAndProject"], ["GlobalSort", "SortMergeJoin"]),
