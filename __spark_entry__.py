@@ -2769,6 +2769,61 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting (adapted to the trimmed
+    schema): one quarter of orders joined to their RETURNED lineitems,
+    revenue per customer, nation name attached from the fixed 25-row
+    dim (broadcast — the only forced hint), top-20 customers via
+    TakeOrderedAndProject (never a global sort). The
+    selective-fact-join + group + top-k report shape.
+
+    Revenue is an INTEGER-EXACT fixed-point long: price and discount
+    both carry 2 decimals, so per-row revenue*1e4 rounds to an exact
+    integer in any engine and the sum is reassociation-free — a
+    round(sum(double), 2) here sat exactly on a .xx5 tie at sf0.01 and
+    flipped between Spark and DuckDB (the finalize_agg_state hazard);
+    the exact long also makes the top-20 cut fully deterministic."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_e4).alias("revenue_e4"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT join keeps
+    zero-order customers, count per customer, then re-aggregate the
+    counts into a distribution — the group-then-regroup shape no other
+    gate covers. Scale note: the per-customer groupBy keys on the SAME
+    column the join keyed on, so Catalyst reuses the join's
+    partitioning and the first aggregate is shuffle-free; only the
+    tiny distribution re-group (<= distinct counts rows) shuffles
+    again."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 def q_ohlc_resample(spark, sf_dir):
     """Hourly OHLC candlesticks per event type: open/high/low/close from
     ONE hash aggregate (min_by/max_by over a total-order key — no sort,
@@ -3240,6 +3295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q4": q_tpch_q4,
         "tpch_q18": q_tpch_q18,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "ohlc_resample": q_ohlc_resample,
         "join_size_estimate": q_join_size_estimate,
         "streaming_hll": q_streaming_hll,
@@ -3897,6 +3954,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """
+
+    sql["tpch_q10"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT))::BIGINT AS revenue_e4,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue_e4 DESC, c_custkey
+        LIMIT 20
+    """
+
+    sql["tpch_q13"] = """
+        SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
     """
 
     sql["countmin_topk"] = """

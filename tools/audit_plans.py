@@ -216,6 +216,14 @@ EXPECTATIONS = {
     # HAVING subquery -> agg + semi join; report joins keyed; top-100 via
     # TakeOrdered, never a global sort
     "tpch_q18": (8, ["Semi", "TakeOrderedAndProject"], ["CartesianProduct", "GlobalSort"]),
+    # returned-item report: pushed date/returnflag predicates, nation the
+    # only forced broadcast, top-20 via TakeOrdered; revenue is an exact
+    # fixed-point long so the cut is deterministic
+    "tpch_q10": (6, ["TakeOrderedAndProject", "PushedFilters: [IsNotNull(o_orderdate)"],
+                 ["CartesianProduct", "GlobalSort"]),
+    # group-then-regroup distribution: left join + per-customer count +
+    # tiny re-aggregation; never a cartesian, never a global sort
+    "tpch_q13": (4, ["HashAggregate"], ["CartesianProduct", "GlobalSort"]),
 }
 
 
