@@ -40,8 +40,9 @@ SF1_DIR = os.path.join(
 SF01_DIR = "/root/testdata/sf0.1"
 
 SUBSET = [
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q14",
-    "tpch_q18", "join_inner", "groupby_reference_aggs", "sort_topk",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q18", "join_inner",
+    "groupby_reference_aggs", "sort_topk",
 ]
 
 N_ORDERS = 1_500_000
