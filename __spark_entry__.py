@@ -2737,28 +2737,26 @@ def q_tpch_q4(spark, sf_dir):
 
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 large-volume customers (threshold 200 for this SF):
-    orders whose total quantity exceeds the threshold (HAVING subquery
-    -> aggregate + filter + LEFT SEMI join, no correlated rescan),
-    re-joined to customer and lineitem for the per-order report, top-100
-    by price via TakeOrderedAndProject — the classic
-    aggregate-subquery-drives-a-join shape."""
+    the HAVING-subquery shape, but planned the way a column engine
+    should — the per-order quantity aggregate that decides WHICH orders
+    qualify IS the report's total_qty, so lineitem is scanned and
+    aggregated ONCE and the filtered (tiny) result joins orders and
+    customer directly. The canonical SQL's semi-join + re-join +
+    re-group (how r8 wrote it: two full lineitem scans) computes the
+    identical rows — the oracle keeps that form, this plan halves the
+    fact-table work. Top-100 by price via TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 200)
-        .select("l_orderkey")
+        .select("l_orderkey", F.round(F.col("__qty"), 2).alias("total_qty"))
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li.select("l_orderkey", "l_quantity"),
-              F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),

@@ -41,20 +41,33 @@ def kmv_distinct(
     value_col: str,
     k: int = 64,
     salt: str = "kmv",
+    prune_buckets: int = 32,
 ) -> DataFrame:
     """Per-group distinct-count estimate via the KMV sketch.
 
     Plan: distinct (group, hash) pairs — the map-side combine collapses
-    duplicates before the shuffle — then one ranked window bounded at k
-    rows per group. Groups with fewer than k distinct values report the
-    EXACT count (the sketch holds the whole distinct set below k). At
-    100 TB the per-group state after ranking is k longs regardless of
-    group size; no distinct set is ever materialized per group.
+    duplicates before the shuffle (keyed on BOTH columns, so even one
+    viral group spreads) — then the same two-level exact ranked prune
+    as ``kmv_state_by``: a (group, hash mod ``prune_buckets``) pre-rank
+    bounds the final per-group window at prune_buckets*k rows, so a hot
+    group's full distinct set never lands on one reducer. Groups with
+    fewer than k distinct values report the EXACT count (the sketch
+    holds the whole distinct set below k). At 100 TB the per-group
+    state after ranking is k longs regardless of group size.
 
     Returns (key_cols..., est_distinct double rounded to 4dp).
     """
     u = md5_uniform_long(value_col, salt)
     d = df.select(*key_cols, u.alias("__u")).distinct()
+    if prune_buckets > 1:
+        w1 = Window.partitionBy(
+            *key_cols, F.pmod(F.col("__u"), F.lit(prune_buckets))
+        ).orderBy("__u")
+        d = (
+            d.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
     w = Window.partitionBy(*key_cols).orderBy("__u")
     ranked = d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
     per = ranked.groupBy(*key_cols).agg(

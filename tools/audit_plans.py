@@ -75,7 +75,9 @@ EXPECTATIONS = {
     # r4 operator batch — every keyed window asserts it never degrades to
     # a single-partition global window; 1-row bounds/ref broadcasts are
     # the only BroadcastNestedLoopJoins allowed (crossJoin of an agg row)
-    "kmv_distinct": (2, ["WindowGroupLimit"], ["SinglePartition"]),
+    # +1 exchange r9: the (group, hash-bucket) pre-rank that bounds the
+    # final per-group window at prune_buckets*k rows (hot-group safety)
+    "kmv_distinct": (3, ["WindowGroupLimit"], ["SinglePartition"]),
     "rolling_range": (1, ["Window"], ["SinglePartition"]),
     "anomaly_zscore": (1, ["Window"], ["SinglePartition"]),
     "funnel": (2, [], ["SinglePartition"]),
@@ -213,9 +215,10 @@ EXPECTATIONS = {
     # decorrelated EXISTS: ONE semi join (orders never duplicated by
     # matching lineitems), date predicates pushed into the orders scan
     "tpch_q4": (4, ["Semi", "PushedFilters: [IsNotNull(o_orderdate)"], ["CartesianProduct"]),
-    # HAVING subquery -> agg + semi join; report joins keyed; top-100 via
-    # TakeOrdered, never a global sort
-    "tpch_q18": (8, ["Semi", "TakeOrderedAndProject"], ["CartesianProduct", "GlobalSort"]),
+    # HAVING subquery folded into the report: ONE lineitem scan+agg
+    # drives the joins (r9 rewrite — the semi-join + re-join + re-group
+    # form scanned the fact table twice); top-100 via TakeOrdered
+    "tpch_q18": (5, ["TakeOrderedAndProject"], ["CartesianProduct", "GlobalSort"]),
     # returned-item report: pushed date/returnflag predicates, nation the
     # only forced broadcast, top-20 via TakeOrdered; revenue is an exact
     # fixed-point long so the cut is deterministic
