@@ -369,45 +369,74 @@ def pipeline_state_build(
     n_bins: int = 120,
     cm_depth: int = 4,
     cm_width: int = 512,
+    kmv_k: "int | None" = None,
 ) -> "dict[str, DataFrame]":
-    """Build ALL FOUR mergeable state families for one shard/day in one
-    pass each: exact per-key moments (``agg_state``), per-key distinct
+    """Build the mergeable state families for one shard/day in one pass
+    each: exact per-key moments (``agg_state``), per-key distinct
     counts (``hll_registers``), fixed-domain value histograms
     (``histogram_state``), and key-frequency counters (``cm_sketch``).
-    Every state is bounded (per key / 2^p registers / n_bins counters /
-    depth*width counters) and merges exactly with another shard's state
-    — the algebra the ``incremental_day_pipeline`` gate proves.
+    ``kmv_k`` adds a FIFTH optional family: per-key KMV bottom-k states
+    (``kmv_state_by`` over ``distinct_col``) — unlike the HLL register
+    family (counts only), KMV states support SET ALGEBRA after the
+    fact: overlap/Jaccard between any two days, key groups, or the
+    union-so-far, from the persisted states alone. Every state is
+    bounded (per key / 2^p registers / n_bins counters / depth*width
+    counters / k rows per key) and merges exactly with another shard's
+    state — the algebra the ``incremental_day_pipeline`` gate proves.
 
     ``value_col`` should be integer-exact (e.g. fixed-point long) if the
     merged moments must be bit-identical to a single pass — double sums
     reassociate."""
-    from bun_csv_spark.functions.sketches import cm_sketch, histogram_state, hll_registers
+    from bun_csv_spark.functions.sketches import (
+        cm_sketch,
+        histogram_state,
+        hll_registers,
+        kmv_state_by,
+    )
 
-    return {
+    out = {
         "agg": agg_state(df, keys, value_col),
         "hll": hll_registers(df, keys, distinct_col),
         "hist": histogram_state(df, value_col, lo, hi, n_bins, keys),
         "cm": cm_sketch(df, keys[0], cm_depth, cm_width),
     }
+    if kmv_k:
+        out["kmv"] = kmv_state_by(df, keys, distinct_col, k=kmv_k)
+    return out
 
 
 def pipeline_state_merge(
     a: "dict[str, DataFrame]",
     b: "dict[str, DataFrame]",
     keys: "list[str]",
+    kmv_k: "int | None" = None,
 ) -> "dict[str, DataFrame]":
     """Merge two pipeline states family-by-family with each family's own
     combine rule (moment sums / register max / counter sums / counter
-    sums). Associative and input-order-free, so any grouping of daily
-    shards produces the identical state."""
-    from bun_csv_spark.functions.sketches import cm_merge, histogram_merge, hll_merge
+    sums / per-key bottom-k). Associative and input-order-free, so any
+    grouping of daily shards produces the identical state. ``kmv_k``
+    must be passed (same k as the build) when the states carry the
+    optional KMV family."""
+    from bun_csv_spark.functions.sketches import (
+        cm_merge,
+        histogram_merge,
+        hll_merge,
+        kmv_merge_by,
+    )
 
-    return {
+    out = {
         "agg": merge_agg_states(a["agg"], b["agg"], keys),
         "hll": hll_merge(a["hll"], b["hll"], key_cols=keys),
         "hist": histogram_merge(a["hist"], b["hist"], key_cols=keys),
         "cm": cm_merge(a["cm"], b["cm"]),
     }
+    if "kmv" in a or "kmv" in b:
+        if not kmv_k:
+            raise ValueError("states carry a kmv family; pass kmv_k to merge it")
+        if "kmv" not in a or "kmv" not in b:
+            raise ValueError("one side is missing the kmv family — rebuild it")
+        out["kmv"] = kmv_merge_by(a["kmv"], b["kmv"], group_cols=keys, k=kmv_k)
+    return out
 
 
 _STATE_FAMILIES = ("agg", "hll", "hist", "cm")
@@ -497,6 +526,7 @@ def daily_state_update(
     cm_depth: int = 4,
     cm_width: int = 512,
     keep_generations: int = 2,
+    kmv_k: "int | None" = None,
 ) -> "dict[str, DataFrame]":
     """The nightly-job API: fold TODAY's shard into the persisted state
     under ``state_dir`` and write the updated state back. First call
@@ -519,23 +549,37 @@ def daily_state_update(
     rollback by default); older ones are pruned so state disk use is
     bounded. Delivery must be exactly-once per day (counter sums are not
     idempotent — dedupe the day upstream, same caveat as
-    histogram_merge)."""
+    histogram_merge). ``kmv_k`` carries the optional per-key KMV
+    bottom-k family through build, merge, and persistence (use the SAME
+    k every day; a state dir bootstrapped without it cannot grow the
+    family later — its history is already gone — so that raises)."""
     today = pipeline_state_build(
-        day_df, keys, value_col, distinct_col, lo, hi, n_bins, cm_depth, cm_width
+        day_df, keys, value_col, distinct_col, lo, hi, n_bins, cm_depth,
+        cm_width, kmv_k=kmv_k,
     )
+    families = list(today)
     state_dir = state_dir.rstrip("/")
     gen = current_generation(spark, state_dir)
     if gen is not None:
+        fs, path_cls = _state_fs(spark, state_dir)
+        if kmv_k and not fs.exists(
+            path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS")
+        ):
+            raise ValueError(
+                "state dir has no kmv family — its history cannot be "
+                "reconstructed from the other families; rebuild the state "
+                "from raw days with kmv_k set"
+            )
         prev = {
             fam: spark.read.parquet(f"{state_dir}/gen={gen}/{fam}")
-            for fam in _STATE_FAMILIES
+            for fam in families
         }
-        merged = pipeline_state_merge(prev, today, keys)
+        merged = pipeline_state_merge(prev, today, keys, kmv_k=kmv_k)
         new_gen = gen + 1
     else:
         merged = today
         new_gen = 1
-    for fam in _STATE_FAMILIES:
+    for fam in families:
         merged[fam].write.mode("overwrite").parquet(
             f"{state_dir}/gen={new_gen}/{fam}"
         )
@@ -556,5 +600,5 @@ def daily_state_update(
                 fs.delete(path_cls(f"{state_dir}/gen={old}"), True)
     return {
         fam: spark.read.parquet(f"{state_dir}/gen={new_gen}/{fam}")
-        for fam in _STATE_FAMILIES
+        for fam in families
     }

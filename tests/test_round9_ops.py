@@ -268,3 +268,52 @@ def test_jpeg_422_also_decodes():
     w, h, out = decode_jpeg_pixels(b)
     assert (w, h) == (32, 16)
     assert (out[:, :, 0] == px.astype(np.uint8)).all()
+
+
+# --- per-key KMV as the fifth nightly-state family ---------------------------
+
+from tests.test_round8_ops import _NIGHTLY_ARGS, _nightly_day  # noqa: E402
+
+
+def test_daily_state_update_kmv_family_equals_single_pass(spark, tmp_path):
+    """kmv_k threads the per-key bottom-k family through build, merge,
+    and persistence: three nightly updates must land on EXACTLY the
+    per-key state one pass over all three days builds (the mergeable-
+    family law, persisted), alongside the four core families."""
+    from bun_csv_spark.functions.sketches import kmv_state_by
+    from bun_csv_spark.operators.maintenance import daily_state_update
+
+    state_dir = str(tmp_path / "state")
+    for d in range(3):
+        final = daily_state_update(
+            spark, _nightly_day(spark, d), state_dir, *_NIGHTLY_ARGS, kmv_k=32
+        )
+    assert set(final) == {"agg", "hll", "hist", "cm", "kmv"}
+    union = (
+        _nightly_day(spark, 0)
+        .unionByName(_nightly_day(spark, 1))
+        .unionByName(_nightly_day(spark, 2))
+    )
+    whole = kmv_state_by(union, ["k"], "u", k=32)
+    got = sorted((r["k"], r["h"]) for r in final["kmv"].collect())
+    want = sorted((r["k"], r["h"]) for r in whole.collect())
+    assert got == want
+    counts = {
+        r["k"]: r["n"]
+        for r in final["kmv"].groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(counts.values()) == 32  # bounded AND the estimator path hit
+
+
+def test_daily_state_update_kmv_family_cannot_appear_late(spark, tmp_path):
+    """A state dir bootstrapped WITHOUT the kmv family has already
+    discarded the history the family would need — asking for it later
+    must raise, not silently return a one-day sketch."""
+    from bun_csv_spark.operators.maintenance import daily_state_update
+
+    state_dir = str(tmp_path / "state")
+    daily_state_update(spark, _nightly_day(spark, 0), state_dir, *_NIGHTLY_ARGS)
+    with pytest.raises(ValueError, match="kmv"):
+        daily_state_update(
+            spark, _nightly_day(spark, 1), state_dir, *_NIGHTLY_ARGS, kmv_k=32
+        )
