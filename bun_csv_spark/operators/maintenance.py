@@ -602,3 +602,43 @@ def daily_state_update(
         fam: spark.read.parquet(f"{state_dir}/gen={new_gen}/{fam}")
         for fam in families
     }
+
+
+def load_pipeline_state(spark, state_dir: str) -> "dict[str, DataFrame]":
+    """Read-only load of a state dir's CURRENT generation — the
+    consumer half of ``daily_state_update`` (dashboards, overlap
+    pre-flights, finalize_agg_state reports read state without writing
+    a new generation). Returns the four core families plus ``kmv`` when
+    the dir carries it; raises on an empty/unreadable dir."""
+    state_dir = state_dir.rstrip("/")
+    gen = current_generation(spark, state_dir)
+    if gen is None:
+        raise ValueError(f"no complete generation under {state_dir}")
+    fs, path_cls = _state_fs(spark, state_dir)
+    families = list(_STATE_FAMILIES)
+    if fs.exists(path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS")):
+        families.append("kmv")
+    return {
+        fam: spark.read.parquet(f"{state_dir}/gen={gen}/{fam}")
+        for fam in families
+    }
+
+
+def state_overlap_by_key(
+    spark, state_dir_a: str, state_dir_b: str, keys: "list[str]", kmv_k: int
+) -> DataFrame:
+    """Per-key distinct-set overlap between two PERSISTED pipeline
+    states (both maintained with the same ``kmv_k`` and key columns):
+    |A|, |B|, union, intersection and Jaccard per key, computed from
+    the two <=k-row-per-key kmv families alone — the cross-pipeline
+    pre-flight ("which user segments did yesterday's crawl share with
+    the reference corpus?") without touching either corpus. Raises if
+    either state dir lacks the kmv family."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates_by
+
+    a = load_pipeline_state(spark, state_dir_a)
+    b = load_pipeline_state(spark, state_dir_b)
+    missing = [d for d, st in ((state_dir_a, a), (state_dir_b, b)) if "kmv" not in st]
+    if missing:
+        raise ValueError(f"state dir(s) without a kmv family: {missing}")
+    return kmv_set_estimates_by(a["kmv"], b["kmv"], keys, k=kmv_k)

@@ -317,3 +317,35 @@ def test_daily_state_update_kmv_family_cannot_appear_late(spark, tmp_path):
         daily_state_update(
             spark, _nightly_day(spark, 1), state_dir, *_NIGHTLY_ARGS, kmv_k=32
         )
+
+
+def test_state_overlap_by_key_from_persisted_dirs(spark, tmp_path):
+    """Two independently-maintained state dirs -> per-key overlap from
+    their kmv families alone. Keys built from overlapping user ranges:
+    the shared keys must show high Jaccard, and the figures must equal
+    calling kmv_set_estimates_by on directly-built states."""
+    from bun_csv_spark.functions.sketches import kmv_set_estimates_by, kmv_state_by
+    from bun_csv_spark.operators.maintenance import (
+        daily_state_update,
+        load_pipeline_state,
+        state_overlap_by_key,
+    )
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    daily_state_update(spark, _nightly_day(spark, 0), da, *_NIGHTLY_ARGS, kmv_k=32)
+    daily_state_update(spark, _nightly_day(spark, 1), da, *_NIGHTLY_ARGS, kmv_k=32)
+    daily_state_update(spark, _nightly_day(spark, 1), db, *_NIGHTLY_ARGS, kmv_k=32)
+    daily_state_update(spark, _nightly_day(spark, 2), db, *_NIGHTLY_ARGS, kmv_k=32)
+
+    got = state_overlap_by_key(spark, da, db, ["k"], 32)
+    ua = _nightly_day(spark, 0).unionByName(_nightly_day(spark, 1))
+    ub = _nightly_day(spark, 1).unionByName(_nightly_day(spark, 2))
+    want = kmv_set_estimates_by(
+        kmv_state_by(ua, ["k"], "u", 32), kmv_state_by(ub, ["k"], "u", 32), ["k"], 32
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    st = load_pipeline_state(spark, da)
+    assert set(st) == {"agg", "hll", "hist", "cm", "kmv"}
+    with pytest.raises(ValueError, match="no complete generation"):
+        load_pipeline_state(spark, str(tmp_path / "nope"))
