@@ -1231,13 +1231,22 @@ def _encode_baseline(
             ln, code = ac_t[0x00]  # EOB
             bw.write(code, ln)
 
-    for my in range(mcy):
-        for mx in range(mcx):
-            for ci in range(nc):
-                hi, vi = samp[ci]
-                for v in range(vi):
-                    for hh in range(hi):
-                        emit(ci, my * vi + v, mx * hi + hh)
+    if nc == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is one data unit and blocks go in pure raster order regardless
+        # of the declared sampling factors (identical to the MCU walk
+        # when samp=(1,1), the only gray layout the public helpers emit)
+        for by in range(-(-height // 8)):
+            for bx in range(-(-width // 8)):
+                emit(0, by, bx)
+    else:
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in range(nc):
+                    hi, vi = samp[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            emit(ci, my * vi + v, mx * hi + hh)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1518,19 +1527,34 @@ def decode_jpeg_pixels(b: bytes):
         blk = C.T @ coef.reshape(8, 8) @ C + 128.0
         planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
 
-    for m in range(mcx * mcy):
-        if restart_interval and m and m % restart_interval == 0:
-            br.restart()
-            pred = {cid: 0 for cid, _, _, _ in comps}
-        my, mx = divmod(m, mcx)
-        # T.81: the interleave order of blocks within an MCU follows the
-        # SOS scan-component list, which may differ from the SOF order;
-        # within a component the h*v blocks go in raster order (A.2.3)
-        for cid, _dc, _ac in scan:
-            hi, vi = sampmap[cid]
-            for v in range(vi):
-                for hh in range(hi):
-                    read_block(cid, my * vi + v, mx * hi + hh)
+    if len(scan) == 1:
+        # T.81 A.2: single-component scan = NON-interleaved, MCU is one
+        # data unit in raster order over the component's full block grid
+        # (its dimensions are the frame's: the sole component's factors
+        # equal the maxima by A.1.1), whatever the SOF factors say
+        cid0 = scan[0][0]
+        bw_cols = -(-w // 8)
+        for m in range(bw_cols * -(-h // 8)):
+            if restart_interval and m and m % restart_interval == 0:
+                br.restart()
+                pred = {cid0: 0}
+            by, bx = divmod(m, bw_cols)
+            read_block(cid0, by, bx)
+    else:
+        for m in range(mcx * mcy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.restart()
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            my, mx = divmod(m, mcx)
+            # T.81: the interleave order of blocks within an MCU follows
+            # the SOS scan-component list, which may differ from the SOF
+            # order; within a component the h*v blocks go in raster
+            # order (A.2.3)
+            for cid, _dc, _ac in scan:
+                hi, vi = sampmap[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        read_block(cid, my * vi + v, mx * hi + hh)
 
     crop = []
     for cid, _, hi, vi in comps:

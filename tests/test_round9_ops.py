@@ -349,3 +349,24 @@ def test_state_overlap_by_key_from_persisted_dirs(spark, tmp_path):
     assert set(st) == {"agg", "hll", "hist", "cm", "kmv"}
     with pytest.raises(ValueError, match="no complete generation"):
         load_pipeline_state(spark, str(tmp_path / "nope"))
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2: a single-component scan is NON-interleaved — blocks in
+    pure raster order, MCU = one data unit — regardless of the SOF
+    sampling factors. A grayscale frame DECLARING 2x2 factors must
+    round-trip exactly (block-constant fixture): treating it as 16x16
+    interleaved MCUs would scramble block placement."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import _encode_baseline, decode_jpeg_pixels
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(g, 8, 0), 8, 1).astype(np.float64)  # 40x24
+    b = _encode_baseline([px], 24, 40, None, samp=[(2, 2)])
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 11] == 0x22  # factors really are declared 2x2
+    w, h, out = decode_jpeg_pixels(b)
+    assert (w, h) == (24, 40)
+    assert (out[:, :, 0] == px.astype(np.uint8)).all()
