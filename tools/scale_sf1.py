@@ -19,8 +19,8 @@ cannot download — the same-shape synthetic keeps the comparison
 apples-to-apples with the driver's own sf0.1 tables anyway.
 
 Usage:
-    python tools/scale_sf1.py gen    # writes /root/repo/.scale/sf1 (~25s)
-    python tools/scale_sf1.py run    # times the subset at sf0.1 AND sf1
+    python tools/scale_sf1.py gen [SF]   # writes /root/repo/.scale/sf{SF} (~25s @sf1)
+    python tools/scale_sf1.py run [SF]   # times the subset at sf0.1 AND sf{SF}
 """
 
 from __future__ import annotations
@@ -34,9 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-SF1_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
-)
+def _dir(sf: float) -> str:
+    tag = f"sf{sf:g}"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", tag
+    )
+
+
 SF01_DIR = "/root/testdata/sf0.1"
 
 SUBSET = [
@@ -45,6 +49,7 @@ SUBSET = [
     "groupby_reference_aggs", "sort_topk",
 ]
 
+#: sf1 base sizes; gen scales them linearly by --sf
 N_ORDERS = 1_500_000
 N_CUST = 150_000
 N_PART = 200_000
@@ -65,24 +70,27 @@ def _days_ts(start: str, days):
     return F.date_add(F.lit(start).cast("date"), days.cast("int")).cast("timestamp_ntz")
 
 
-def generate(spark) -> None:
-    os.makedirs(SF1_DIR, exist_ok=True)
+def generate(spark, sf: float = 1.0) -> None:
+    out_dir = _dir(sf)
+    os.makedirs(out_dir, exist_ok=True)
+    n_orders, n_cust = int(N_ORDERS * sf), int(N_CUST * sf)
+    n_part, n_supp = int(N_PART * sf), int(N_SUPP * sf)
     sid = F.col("id")
 
-    orders = spark.range(0, N_ORDERS, 1, 32).select(
+    orders = spark.range(0, n_orders, 1, 32).select(
         sid.alias("o_orderkey"),
-        F.pmod(F.xxhash64(sid, F.lit(1)), F.lit(N_CUST)).alias("o_custkey"),
+        F.pmod(F.xxhash64(sid, F.lit(1)), F.lit(n_cust)).alias("o_custkey"),
         _pick(sid, 2, ["O", "P", "F"]).alias("o_orderstatus"),
         F.round(1000.0 + _u(sid, 3) * 499_000.0, 2).alias("o_totalprice"),
         _days_ts("1995-01-01", F.floor(_u(sid, 4) * 2404)).alias("o_orderdate"),
         _pick(sid, 5, ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]).alias("o_orderpriority"),
     )
-    orders.write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet")
+    orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     # 1..7 lines per order (avg 4 -> ~6M rows), line-level hash key = ok*8+ln
     lk = F.col("l_orderkey") * 8 + F.col("l_linenumber")
     lineitem = (
-        spark.range(0, N_ORDERS, 1, 32)
+        spark.range(0, n_orders, 1, 32)
         .select(
             sid.alias("l_orderkey"),
             F.explode(
@@ -91,8 +99,8 @@ def generate(spark) -> None:
         )
         .select(
             "l_orderkey",
-            F.pmod(F.xxhash64(lk, F.lit(11)), F.lit(N_PART)).alias("l_partkey"),
-            F.pmod(F.xxhash64(lk, F.lit(12)), F.lit(N_SUPP)).alias("l_suppkey"),
+            F.pmod(F.xxhash64(lk, F.lit(11)), F.lit(n_part)).alias("l_partkey"),
+            F.pmod(F.xxhash64(lk, F.lit(12)), F.lit(n_supp)).alias("l_suppkey"),
             F.col("l_linenumber").cast("int"),
             (F.pmod(F.xxhash64(lk, F.lit(13)), F.lit(50)) + 1).cast("double").alias("l_quantity"),
             F.round(900.0 + _u(lk, 14) * 104_100.0, 2).alias("l_extendedprice"),
@@ -103,18 +111,18 @@ def generate(spark) -> None:
             _days_ts("1995-01-02", F.floor(_u(lk, 19) * 2498)).alias("l_shipdate"),
         )
     )
-    lineitem.write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+    lineitem.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
-    customer = spark.range(0, N_CUST, 1, 8).select(
+    customer = spark.range(0, n_cust, 1, 8).select(
         sid.alias("c_custkey"),
         F.format_string("Customer#%09d", sid).alias("c_name"),
         F.pmod(F.xxhash64(sid, F.lit(21)), F.lit(25)).cast("int").alias("c_nationkey"),
         F.round(_u(sid, 22) * 10_000.0, 2).alias("c_acctbal"),
         _pick(sid, 23, ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]).alias("c_mktsegment"),
     )
-    customer.write.mode("overwrite").parquet(f"{SF1_DIR}/customer.parquet")
+    customer.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
-    part = spark.range(0, N_PART, 1, 4).select(
+    part = spark.range(0, n_part, 1, 4).select(
         sid.alias("p_partkey"),
         F.concat(
             _pick(sid, 31, ["blue", "cold", "hot", "large", "new", "old", "red", "small"]),
@@ -126,34 +134,35 @@ def generate(spark) -> None:
         (F.pmod(F.xxhash64(sid, F.lit(35)), F.lit(50)) + 1).cast("int").alias("p_size"),
         F.round(900.0 + _u(sid, 36) * 99.9, 2).alias("p_retailprice"),
     )
-    part.write.mode("overwrite").parquet(f"{SF1_DIR}/part.parquet")
+    part.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
 
-    supplier = spark.range(0, N_SUPP, 1, 2).select(
+    supplier = spark.range(0, n_supp, 1, 2).select(
         sid.alias("s_suppkey"),
         F.format_string("Supplier#%09d", sid).alias("s_name"),
         F.pmod(F.xxhash64(sid, F.lit(41)), F.lit(25)).cast("int").alias("s_nationkey"),
         F.round(_u(sid, 42) * 10_000.0, 2).alias("s_acctbal"),
     )
-    supplier.write.mode("overwrite").parquet(f"{SF1_DIR}/supplier.parquet")
+    supplier.write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
 
     # fixed dims: copy the driver's own 5/25-row tables verbatim
     for dim in ("nation", "region"):
         spark.read.parquet(f"{SF01_DIR}/{dim}.parquet").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{SF1_DIR}/{dim}.parquet")
-    print(f"generated sf1 at {SF1_DIR}")
+        ).parquet(f"{out_dir}/{dim}.parquet")
+    print(f"generated sf{sf:g} at {out_dir}")
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run(spark) -> None:
+def run(spark, sf: float = 1.0) -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
     out: dict[str, dict[str, float]] = {}
-    for label, sf_dir in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
+    big = f"sf{sf:g}"
+    for label, sf_dir in (("sf0.1", SF01_DIR), (big, _dir(sf))):
         timings = {}
         for name in SUBSET:
             _force(queries[name](spark, sf_dir))  # warmup / codegen
@@ -165,11 +174,11 @@ def run(spark) -> None:
             timings[name] = round(best, 3)
         out[label] = timings
         print(label, json.dumps(timings), flush=True)
-    print(f"{'query':<24}{'sf0.1':>8}{'sf1':>8}{'ratio':>7}")
+    print(f"{'query':<24}{'sf0.1':>8}{big:>8}{'ratio':>7}")
     for name in SUBSET:
-        a, b = out["sf0.1"][name], out["sf1"][name]
+        a, b = out["sf0.1"][name], out[big][name]
         print(f"{name:<24}{a:>8.3f}{b:>8.3f}{b / a:>7.2f}")
-    ta, tb = sum(out["sf0.1"].values()), sum(out["sf1"].values())
+    ta, tb = sum(out["sf0.1"].values()), sum(out[big].values())
     print(f"{'TOTAL':<24}{ta:>8.3f}{tb:>8.3f}{tb / ta:>7.2f}")
 
 
@@ -177,14 +186,15 @@ def main() -> int:
     from bun_csv_spark.session import get_spark
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     spark = get_spark("scale_sf1", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "gen":
-        generate(spark)
+        generate(spark, sf)
     else:
-        if not os.path.isdir(SF1_DIR):
-            generate(spark)
-        run(spark)
+        if not os.path.isdir(_dir(sf)):
+            generate(spark, sf)
+        run(spark, sf)
     return 0
 
 
