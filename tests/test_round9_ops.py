@@ -370,3 +370,50 @@ def test_jpeg_single_component_scan_is_noninterleaved():
     w, h, out = decode_jpeg_pixels(b)
     assert (w, h) == (24, 40)
     assert (out[:, :, 0] == px.astype(np.uint8)).all()
+
+
+def test_streaming_kmv_state_equals_batch(spark, tmp_path):
+    """The streamed per-key bottom-k state after a 3-micro-batch replay
+    must equal kmv_state_by over the unioned input EXACTLY (deterministic
+    md5 hashes + order/batching-free bottom-k merge), and intermediate
+    versions must be monotone per key."""
+    from pyspark.sql import Window
+
+    from bun_csv_spark.functions.sketches import kmv_state_by
+    from bun_csv_spark.streaming.windows import run_stream_to_table, streaming_kmv_state
+
+    src = tmp_path / "src"
+    parts = []
+    for i in range(3):
+        part = spark.range(i * 400, (i + 1) * 400 + 100).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("string").alias("v"),
+        )
+        part.coalesce(1).write.mode("append").parquet(str(src))
+        parts.append(part)
+
+    out = run_stream_to_table(
+        spark,
+        str(src),
+        lambda s: streaming_kmv_state(s, "g", "v", k=32),
+        output_mode="update",
+        max_files_per_trigger=1,
+    )
+    final = (
+        out.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.col("version").desc())
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("g", F.explode("hs").alias("h"))
+    )
+    union = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    want = kmv_state_by(union, ["g"], "v", k=32)
+    got_rows = sorted((r["g"], r["h"]) for r in final.collect())
+    want_rows = sorted((r["g"], r["h"]) for r in want.collect())
+    assert got_rows == want_rows and len(got_rows) == 3 * 32
+    # every key saw multiple micro-batch updates
+    vmax = {r["g"]: r["m"] for r in out.groupBy("g").agg(F.max("version").alias("m")).collect()}
+    assert all(v >= 2 for v in vmax.values()), vmax
