@@ -417,3 +417,78 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
     # every key saw multiple micro-batch updates
     vmax = {r["g"]: r["m"] for r in out.groupBy("g").agg(F.max("version").alias("m")).collect()}
     assert all(v >= 2 for v in vmax.values()), vmax
+
+
+def test_jpeg_420_macroblock_constant_property():
+    """Hypothesis property: ANY gray-valued color image constant per
+    16x16 macroblock (any grid up to 4x4, any values) round-trips
+    bit-exactly through the 4:2:0 encode+decode — the invariant the
+    multimodal_jpeg_420 oracle is built on, pinned across the input
+    space rather than one fixture."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        wb=st.integers(1, 4),
+        hb=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(wb, hb, seed):
+        g = np.random.default_rng(seed).integers(0, 256, (hb, wb), np.uint8)
+        px = np.repeat(np.repeat(g, 16, 0), 16, 1)
+        bgr = np.stack([px, px, px], -1)
+        w, h, out = decode_jpeg_pixels(
+            make_jpeg_color_payload(wb * 16, hb * 16, bgr.tobytes(),
+                                    subsampling="420")
+        )
+        assert (w, h) == (wb * 16, hb * 16)
+        assert (out == bgr).all()
+
+    prop()
+
+
+def test_kmv_bottom_k_prune_property(spark):
+    """Hypothesis property: for ANY partition of a value universe into
+    shards and ANY k, kmv_state_by(k) of the union equals the k
+    smallest distinct hashes computed directly — i.e. the two-level
+    prune is EXACT and sharding-invariant (the correctness the
+    corpus_overlap_by_domain oracle and nightly kmv family lean on).
+    Driver-side reference, Spark-side operator."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.functions.sketches import kmv_state_by, md5_uniform_long
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(10, 400),
+        k=st.sampled_from([4, 16, 64]),
+        buckets=st.sampled_from([1, 4, 32]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(n, k, buckets, seed):
+        import random
+
+        rnd = random.Random(seed)
+        vals = [str(rnd.randrange(10 * n)) for _ in range(n)]
+        df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        got = sorted(
+            r["h"]
+            for r in kmv_state_by(df, ["g"], "v", k=k, prune_buckets=buckets).collect()
+        )
+        ref_hashes = sorted(
+            r["h"]
+            for r in df.select(md5_uniform_long("v", "kmv").alias("h"))
+            .distinct()
+            .collect()
+        )[:k]
+        assert got == ref_hashes
+
+    prop()
