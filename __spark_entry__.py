@@ -2875,6 +2875,62 @@ def q_streaming_hll(spark, sf_dir):
     )
 
 
+def q_streaming_kmv(spark, sf_dir):
+    """Per-key KMV bottom-k maintained LIVE over the real streaming
+    engine (streaming/windows.py streaming_kmv_state,
+    applyInPandasWithState): the events replay is staged as THREE
+    deterministic micro-batches (event_id % 3, stage_phased_replay +
+    maxFilesPerTrigger=1), the state store carries <=k sorted hashes
+    per event_type across batches, and each batch emits that key's
+    updated state with a bumped version. Because the hashes are
+    deterministic md5 (JVM-side, same 'kmv:' salt as kmv_distinct) and
+    bottom-k union-merge is order- and batching-free, the final state
+    must equal the batch bottom-64 over the undivided table EXACTLY —
+    and the final version must equal the number of batches that
+    contained the key (count of distinct event_id % 3 residues), which
+    is what proves the state actually crossed micro-batch boundaries.
+    Unlike streaming_hll (a built-in streaming agg over registers),
+    bottom-k needs a per-key rank and so exercises the CUSTOM stateful
+    operator path."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window as _W
+
+    from bun_csv_spark.streaming.windows import (
+        run_stream_to_table,
+        stage_phased_replay,
+        streaming_kmv_state,
+    )
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    src = _tempfile.mkdtemp(prefix="kmv_replay_")
+    stage_phased_replay(
+        ev,
+        [
+            ("r0", F.col("event_id") % 3 == 0),
+            ("r1", F.col("event_id") % 3 == 1),
+            ("r2", F.col("event_id") % 3 == 2),
+        ],
+        src,
+    )
+    out = run_stream_to_table(
+        spark,
+        src,
+        lambda s: streaming_kmv_state(s, "event_type", "user_id", k=64),
+        output_mode="update",
+        max_files_per_trigger=1,
+    )
+    final = out.withColumn(
+        "__rk",
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy(F.col("version").desc())
+        ),
+    ).filter(F.col("__rk") == 1)
+    return final.select(
+        "event_type", F.explode("hs").alias("h"), "version"
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash over REAL decoded BMP pixels: id-derived textured
     images, nearest-neighbor 9x8 grayscale sample, adjacent-column
@@ -3286,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 10 ---------------------------------------------------
+        "streaming_kmv": q_streaming_kmv,
         # -- NEW round 7 ----------------------------------------------------
         "countmin_topk": q_countmin_topk,
         "cluster_split": q_cluster_split,
@@ -6631,6 +6689,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT i::BIGINT AS i, j::BIGINT AS j,
                round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
         FROM m
+    """
+
+    # -- round-10 additions ---------------------------------------------------
+
+    # streaming_kmv: the streamed per-key bottom-64 state must equal the
+    # batch bottom-64 over the undivided table (same 'kmv:' md5 stream as
+    # kmv_distinct), and the final version must equal the number of
+    # micro-batches (event_id % 3 residues) that contained the key —
+    # the cross-batch state-carry proof.
+    sql["streaming_kmv"] = """
+        WITH d AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15)
+                      AS BIGINT) AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM d),
+        v AS (
+          SELECT event_type,
+                 count(DISTINCT event_id % 3)::BIGINT AS version
+          FROM events GROUP BY 1)
+        SELECT r.event_type, r.h, v.version
+        FROM r JOIN v USING (event_type)
+        WHERE r.rn <= 64
     """
 
     return sql

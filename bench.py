@@ -104,6 +104,10 @@ def main() -> None:
                     k: round(v / cal, 2) for k, v in timings.items()
                 },
                 "total_normalized": round(total / cal, 2),
+                # normalization-rule version: r<=8 divided by min(before,
+                # after), r9+ divides by their mean — normalized totals are
+                # only comparable within the same rule
+                "normalization": "mean-r9+",
             }
         )
     )

@@ -440,6 +440,11 @@ def pipeline_state_merge(
 
 
 _STATE_FAMILIES = ("agg", "hll", "hist", "cm")
+# the kmv family's salt is fixed in the pipeline path (pipeline_state_build
+# calls kmv_state_by with its default) — recorded in each generation's
+# _FAMILIES metadata and validated on merge/load so a state built with one
+# hash stream is never merged with another
+_STATE_KMV_SALT = "kmv"
 
 
 def _state_fs(spark, state_dir: str):
@@ -466,10 +471,71 @@ def _read_small_file(fs, path, limit: int = 64) -> str:
         stream.close()
 
 
+def _write_small_file(fs, path, text: str) -> None:
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _gen_meta(spark, state_dir: str, n: int) -> "dict | None":
+    """The ``gen=N/_FAMILIES`` metadata written at the START of each
+    generation's build: the intended family list plus the kmv family's
+    (k, salt). None for generations written before the metadata existed
+    (legacy dirs fall back to directory inspection)."""
+    import json as _json
+
+    fs, path_cls = _state_fs(spark, state_dir)
+    p = path_cls(f"{state_dir}/gen={n}/_FAMILIES")
+    if not fs.exists(p):
+        return None
+    try:
+        return _json.loads(_read_small_file(fs, p, limit=512))
+    except ValueError:
+        return None
+
+
+def _gen_families_present(spark, state_dir: str, n: int) -> "list[str]":
+    """Family subdirectories physically present under ``gen=N``
+    (committed or not) — the legacy-dir substitute for ``_FAMILIES``."""
+    fs, path_cls = _state_fs(spark, state_dir)
+    base = path_cls(f"{state_dir}/gen={n}")
+    if not fs.exists(base):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(base)
+        if st.isDirectory()
+    ]
+
+
+def _gen_is_complete(spark, state_dir: str, n: int) -> bool:
+    """A generation counts as complete only when EVERY family it was
+    meant to carry has a committed ``_SUCCESS``: the list comes from
+    ``_FAMILIES`` (written before any family data, so a crash mid-write
+    of the LAST family still leaves the intent on disk), or for legacy
+    dirs from the family directories present plus the core four. This
+    is what keeps a torn kmv write + lost marker from silently serving
+    kmv-less state while an older intact generation exists."""
+    fs, path_cls = _state_fs(spark, state_dir)
+    meta = _gen_meta(spark, state_dir, n)
+    if meta is not None:
+        families = meta.get("families", list(_STATE_FAMILIES))
+    else:
+        present = _gen_families_present(spark, state_dir, n)
+        families = sorted(set(present) | set(_STATE_FAMILIES))
+    return all(
+        fs.exists(path_cls(f"{state_dir}/gen={n}/{fam}/_SUCCESS"))
+        for fam in families
+    )
+
+
 def _complete_generations(spark, state_dir: str) -> "list[int]":
-    """Generations under ``state_dir`` whose four family writes all
-    committed (``_SUCCESS`` present) — the marker-independent source of
-    truth a corrupt/missing ``_GENERATION`` falls back to."""
+    """Generations under ``state_dir`` whose family writes ALL committed
+    (``_SUCCESS`` present for every intended family, kmv included) — the
+    marker-independent source of truth a corrupt/missing
+    ``_GENERATION`` falls back to."""
     fs, path_cls = _state_fs(spark, state_dir)
     base = path_cls(state_dir)
     if not fs.exists(base):
@@ -483,20 +549,18 @@ def _complete_generations(spark, state_dir: str) -> "list[int]":
             n = int(name[4:])
         except ValueError:
             continue
-        if all(
-            fs.exists(path_cls(f"{state_dir}/gen={n}/{fam}/_SUCCESS"))
-            for fam in _STATE_FAMILIES
-        ):
+        if _gen_is_complete(spark, state_dir, n):
             gens.append(n)
     return sorted(gens)
 
 
 def current_generation(spark, state_dir: str) -> "int | None":
     """The generation the next update should merge onto: the
-    ``_GENERATION`` marker if readable, else the highest COMPLETE
-    ``gen=N`` directory (so a crash that lost or truncated the marker —
-    or died between family writes — recovers to the last durable state
-    without manual repair). None = bootstrap."""
+    ``_GENERATION`` marker if readable and pointing at a COMPLETE
+    generation, else the highest complete ``gen=N`` directory (so a
+    crash that lost or truncated the marker — or died between family
+    writes, including a torn write of the kmv family — recovers to the
+    last durable state without manual repair). None = bootstrap."""
     fs, path_cls = _state_fs(spark, state_dir)
     marker = path_cls(f"{state_dir}/_GENERATION")
     if fs.exists(marker):
@@ -504,10 +568,7 @@ def current_generation(spark, state_dir: str) -> "int | None":
             gen = int(_read_small_file(fs, marker).strip())
         except ValueError:
             gen = None
-        if gen is not None and all(
-            fs.exists(path_cls(f"{state_dir}/gen={gen}/{fam}/_SUCCESS"))
-            for fam in _STATE_FAMILIES
-        ):
+        if gen is not None and _gen_is_complete(spark, state_dir, gen):
             return gen
     complete = _complete_generations(spark, state_dir)
     return complete[-1] if complete else None
@@ -553,6 +614,8 @@ def daily_state_update(
     bottom-k family through build, merge, and persistence (use the SAME
     k every day; a state dir bootstrapped without it cannot grow the
     family later — its history is already gone — so that raises)."""
+    import json as _json
+
     today = pipeline_state_build(
         day_df, keys, value_col, distinct_col, lo, hi, n_bins, cm_depth,
         cm_width, kmv_k=kmv_k,
@@ -562,14 +625,35 @@ def daily_state_update(
     gen = current_generation(spark, state_dir)
     if gen is not None:
         fs, path_cls = _state_fs(spark, state_dir)
-        if kmv_k and not fs.exists(
-            path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS")
-        ):
+        has_kmv = fs.exists(path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS"))
+        if kmv_k and not has_kmv:
             raise ValueError(
                 "state dir has no kmv family — its history cannot be "
                 "reconstructed from the other families; rebuild the state "
                 "from raw days with kmv_k set"
             )
+        if has_kmv and not kmv_k:
+            # the reverse direction: dropping kmv_k against a dir that
+            # carries the family would write a kmv-less generation and
+            # generation pruning would then destroy the history
+            raise ValueError(
+                "state dir carries a kmv family; pass kmv_k (same k as "
+                "the build) or its history is silently lost"
+            )
+        meta = _gen_meta(spark, state_dir, gen)
+        if kmv_k and meta is not None:
+            rec_k, rec_salt = meta.get("kmv_k"), meta.get("kmv_salt")
+            if rec_k is not None and rec_k != kmv_k:
+                raise ValueError(
+                    f"state dir's kmv family was built with k={rec_k}, "
+                    f"got kmv_k={kmv_k} — merging would truncate states "
+                    "and skew every estimate"
+                )
+            if rec_salt is not None and rec_salt != _STATE_KMV_SALT:
+                raise ValueError(
+                    f"state dir's kmv family uses salt={rec_salt!r}, this "
+                    f"build uses {_STATE_KMV_SALT!r} — hash streams differ"
+                )
         prev = {
             fam: spark.read.parquet(f"{state_dir}/gen={gen}/{fam}")
             for fam in families
@@ -579,11 +663,27 @@ def daily_state_update(
     else:
         merged = today
         new_gen = 1
+    fs, path_cls = _state_fs(spark, state_dir)
+    # declare the generation's intended families (and the kmv hash
+    # parameters) BEFORE any family data lands: a crash mid-write of any
+    # family — even the last one — leaves a generation that fails the
+    # completeness scan instead of masquerading as a kmv-less state
+    fs.mkdirs(path_cls(f"{state_dir}/gen={new_gen}"))
+    _write_small_file(
+        fs,
+        path_cls(f"{state_dir}/gen={new_gen}/_FAMILIES"),
+        _json.dumps(
+            {
+                "families": families,
+                "kmv_k": kmv_k,
+                "kmv_salt": _STATE_KMV_SALT if kmv_k else None,
+            }
+        ),
+    )
     for fam in families:
         merged[fam].write.mode("overwrite").parquet(
             f"{state_dir}/gen={new_gen}/{fam}"
         )
-    fs, path_cls = _state_fs(spark, state_dir)
     tmp = path_cls(f"{state_dir}/_GENERATION.tmp")
     out = fs.create(tmp, True)
     try:
@@ -615,13 +715,31 @@ def load_pipeline_state(spark, state_dir: str) -> "dict[str, DataFrame]":
     if gen is None:
         raise ValueError(f"no complete generation under {state_dir}")
     fs, path_cls = _state_fs(spark, state_dir)
-    families = list(_STATE_FAMILIES)
-    if fs.exists(path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS")):
-        families.append("kmv")
+    meta = _gen_meta(spark, state_dir, gen)
+    if meta is not None:
+        families = list(meta.get("families", _STATE_FAMILIES))
+    else:
+        families = list(_STATE_FAMILIES)
+        if fs.exists(path_cls(f"{state_dir}/gen={gen}/kmv/_SUCCESS")):
+            families.append("kmv")
     return {
         fam: spark.read.parquet(f"{state_dir}/gen={gen}/{fam}")
         for fam in families
     }
+
+
+def state_kmv_params(spark, state_dir: str) -> "tuple[int | None, str | None]":
+    """(k, salt) the state dir's CURRENT generation built its kmv family
+    with, from the ``_FAMILIES`` metadata; (None, None) when the dir has
+    no kmv family or predates the metadata."""
+    state_dir = state_dir.rstrip("/")
+    gen = current_generation(spark, state_dir)
+    if gen is None:
+        return None, None
+    meta = _gen_meta(spark, state_dir, gen)
+    if meta is None:
+        return None, None
+    return meta.get("kmv_k"), meta.get("kmv_salt")
 
 
 def state_overlap_by_key(
@@ -633,9 +751,19 @@ def state_overlap_by_key(
     the two <=k-row-per-key kmv families alone — the cross-pipeline
     pre-flight ("which user segments did yesterday's crawl share with
     the reference corpus?") without touching either corpus. Raises if
-    either state dir lacks the kmv family."""
+    either state dir lacks the kmv family, or if either dir's recorded
+    (k, salt) metadata contradicts ``kmv_k`` — estimating with the
+    wrong k silently rescales the (k-1)*KMV_DOMAIN factor."""
     from bun_csv_spark.functions.sketches import kmv_set_estimates_by
 
+    for d in (state_dir_a, state_dir_b):
+        rec_k, rec_salt = state_kmv_params(spark, d)
+        if rec_k is not None and rec_k != kmv_k:
+            raise ValueError(
+                f"{d} built its kmv family with k={rec_k}, got kmv_k={kmv_k}"
+            )
+        if rec_salt is not None and rec_salt != _STATE_KMV_SALT:
+            raise ValueError(f"{d} built its kmv family with salt={rec_salt!r}")
     a = load_pipeline_state(spark, state_dir_a)
     b = load_pipeline_state(spark, state_dir_b)
     missing = [d for d, st in ((state_dir_a, a), (state_dir_b, b)) if "kmv" not in st]

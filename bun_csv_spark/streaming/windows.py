@@ -82,11 +82,28 @@ def sliding_counts(
     )
 
 
+def _check_state_timeout(timeout: str, ttl_ms: "int | None") -> None:
+    """Shared guard for the stateful ops below. EventTimeTimeout is
+    rejected (neither op sets a timeout timestamp, which Spark requires —
+    passing it through would fail at runtime or, worse, never expire);
+    ProcessingTimeTimeout requires a ttl so the re-arm below has a
+    duration to set."""
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            f"unsupported timeout {timeout!r}: use 'NoTimeout' or "
+            "'ProcessingTimeTimeout' (EventTimeTimeout needs a per-key "
+            "timeout timestamp these operators do not define)"
+        )
+    if timeout == "ProcessingTimeTimeout" and not ttl_ms:
+        raise ValueError("ProcessingTimeTimeout requires ttl_ms > 0")
+
+
 def stateful_user_counts(
     events: DataFrame,
     user_col: str = "user_id",
     value_col: str = "value",
     timeout: str = "NoTimeout",
+    ttl_ms: "int | None" = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event count + value sum carried across micro-batches.
@@ -94,19 +111,29 @@ def stateful_user_counts(
     This is the pattern for operators Spark's windowed aggs can't express
     (custom session logic, decaying counters, CEP-ish state machines):
     state lives in the state store, keyed by user, bounded by the key
-    cardinality — executors scale it horizontally."""
+    cardinality — executors scale it horizontally. With
+    ``timeout="ProcessingTimeTimeout"`` + ``ttl_ms``, a key idle for the
+    ttl has its state dropped (hasTimedOut branch) and the timeout is
+    re-armed on every update — the state store stays bounded by LIVE
+    keys, not all keys ever seen."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
+    _check_state_timeout(timeout, ttl_ms)
     out_schema = f"{user_col} long, n_events long, sum_value double"
     state_schema = "n long, s double"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf[value_col].sum())
         state.update((n, s))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {user_col: [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
         )
@@ -123,6 +150,7 @@ def streaming_kmv_state(
     k: int = 64,
     salt: str = "kmv",
     timeout: str = "NoTimeout",
+    ttl_ms: "int | None" = None,
 ) -> DataFrame:
     """Per-key KMV bottom-k as a CUSTOM STATEFUL streaming operator —
     the set-algebra sketch (sketches.kmv_state_by) maintained live over
@@ -138,11 +166,15 @@ def streaming_kmv_state(
     Emits one row per key per micro-batch: (key, hs array<long>,
     version) where version counts that key's updates — consumers of an
     update-mode sink keep each key's max-version row. State per key is
-    O(k); at 100 TB/day the store scales with live keys x k longs."""
+    O(k); at 100 TB/day the store scales with live keys x k longs —
+    and with ``timeout="ProcessingTimeTimeout"`` + ``ttl_ms``, with
+    LIVE keys only: an idle key's bottom-k is dropped on timeout
+    (hasTimedOut branch) and the ttl re-arms on every update."""
     import pandas as pd
 
     from bun_csv_spark.functions.sketches import md5_uniform_long
 
+    _check_state_timeout(timeout, ttl_ms)
     ktype = events.schema[key_col].dataType.simpleString()
     hashed = events.select(
         F.col(key_col), md5_uniform_long(value_col, salt).alias("__h")
@@ -151,6 +183,9 @@ def streaming_kmv_state(
     state_schema = "hs array<long>, v long"
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             prev, v = state.get
             cur = set(int(x) for x in prev)
@@ -161,6 +196,8 @@ def streaming_kmv_state(
         best = sorted(cur)[:k]
         v += 1
         state.update((best, v))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({key_col: [key[0]], "hs": [best], "version": [v]})
 
     return hashed.groupBy(key_col).applyInPandasWithState(
@@ -288,6 +325,52 @@ def run_stream_to_table(
     finally:
         if q.isActive:
             q.stop()
+    return spark.table(name)
+
+
+def run_stream_polling(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    done,
+    output_mode: str = "update",
+    max_files_per_trigger: int | None = None,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drain variant for stateful transforms carrying
+    ``ProcessingTimeTimeout``: with processing-time timers in play the
+    engine treats 'another batch may be required' as permanently true
+    (it cannot know no future timer will fire), so an AvailableNow
+    query never self-terminates and ``processAllAvailable`` never sees
+    the no-new-data condition — both drains in ``run_stream_to_table``
+    block forever. Here the query runs on the default micro-batch
+    trigger and the MEMORY SINK is polled: ``done(df) -> bool`` decides
+    when the expected output has landed, then the query is stopped.
+    Raises TimeoutError if ``done`` never holds within ``timeout_s``."""
+    import time as _time
+    import uuid as _uuid
+
+    batch = spark.read.parquet(parquet_path)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
+    out = transform(stream)
+    name = f"stream_poll_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout_s
+        while not done(spark.table(name)):
+            if _time.time() > deadline:
+                raise TimeoutError(f"sink condition not met in {timeout_s}s")
+            _time.sleep(0.5)
+    finally:
+        q.stop()
     return spark.table(name)
 
 

@@ -230,6 +230,26 @@ EXPECTATIONS = {
 }
 
 
+# Fact-scan budget: how many times each SCALING table may appear in a
+# query's scan list. The r9 sf1 run caught tpch_q18's canonical shape
+# scanning lineitem TWICE (semi-join + re-join) — a cliff the shuffle
+# count alone never saw. Pinning scan counts makes the next double-scan
+# fail the audit at sf0.01 instead of waiting for a 10x-scale run.
+FACT_SCAN_BUDGET = {
+    "tpch_q1": {"lineitem": 1},
+    "tpch_q3": {"lineitem": 1, "orders": 1, "customer": 1},
+    "tpch_q4": {"lineitem": 1, "orders": 1},
+    "tpch_q5": {"lineitem": 1, "orders": 1, "customer": 1},
+    "tpch_q6": {"lineitem": 1},
+    "tpch_q10": {"lineitem": 1, "orders": 1, "customer": 1},
+    "tpch_q13": {"orders": 1, "customer": 1},
+    "tpch_q14": {"lineitem": 1},
+    "tpch_q18": {"lineitem": 1, "orders": 1, "customer": 1},
+    "join_inner": {"lineitem": 1, "orders": 1},
+    "dedup_apply": {"documents": 2},  # corpus + final anti-join probe
+}
+
+
 # Forced-broadcast budget: scaling tables (customer/supplier/documents…)
 # must NOT carry a broadcast hint — their strategy is AQE/statistics-decided.
 # Only fixed-size dims (region 5 rows, nation 25) may be hinted.
@@ -272,6 +292,10 @@ def main() -> int:
         for frag in must_not:
             if frag in plan:
                 problems.append(f"unwanted {frag!r}")
+        for tbl, max_n in FACT_SCAN_BUDGET.get(name, {}).items():
+            n_scans = len(re.findall(rf"Location:.*[/\\]{tbl}\.parquet", plan))
+            if n_scans > max_n:
+                problems.append(f"{tbl} scanned {n_scans}x (max {max_n})")
         if problems:
             bad += 1
             print(f"BAD  {name}: {'; '.join(problems)}")

@@ -182,6 +182,37 @@ def run(spark, sf: float = 1.0) -> None:
     print(f"{'TOTAL':<24}{ta:>8.3f}{tb:>8.3f}{tb / ta:>7.2f}")
 
 
+#: queries whose output is small enough to collect() — needed because the
+#: AQE-final plan (the join strategies that actually ran) is only readable
+#: from a DataFrame's own QueryExecution after an action executed it
+PLAN_SUBSET = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q13", "tpch_q18"]
+
+
+def plans(spark, sf: float = 1.0) -> None:
+    """Print the join strategies the AQE-FINAL plan used per query at
+    sf0.1 vs sf{sf} — the broadcast->shuffle-join transition evidence.
+    explain() before execution shows isFinalPlan=false with whatever the
+    static threshold guessed; only the executed plan shows what AQE
+    actually picked once it saw real sizes."""
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    kinds = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    for label, sf_dir in (("sf0.1", SF01_DIR), (f"sf{sf:g}", _dir(sf))):
+        for name in PLAN_SUBSET:
+            df = queries[name](spark, sf_dir)
+            df.collect()
+            s = df._jdf.queryExecution().executedPlan().toString()
+            counts = {k: s.count(k) for k in kinds}
+            final = "isFinalPlan=true" in s
+            print(
+                f"{label:<7}{name:<12} "
+                + " ".join(f"{k.replace('Join','')}={v}" for k, v in counts.items())
+                + ("" if final else "  [NOT final plan]"),
+                flush=True,
+            )
+
+
 def main() -> int:
     from bun_csv_spark.session import get_spark
 
@@ -191,6 +222,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "gen":
         generate(spark, sf)
+    elif mode == "plans":
+        if not os.path.isdir(_dir(sf)):
+            generate(spark, sf)
+        plans(spark, sf)
     else:
         if not os.path.isdir(_dir(sf)):
             generate(spark, sf)
