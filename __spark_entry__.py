@@ -323,28 +323,48 @@ def q_tpch_q3(spark, sf_dir):
 
 
 def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 local-supplier volume (adapted): 6-way star join — fixed
-    dims (nation/region) broadcast, scaling tables AQE-decided — revenue
-    per nation in one region."""
+    """TPC-H Q5 local-supplier volume (adapted): 6-way star join —
+    revenue per nation in one region.
+
+    Scale shape (r10 rewrite, A/B-measured at sf10): the region
+    predicate implies only ASIA-nation suppliers and customers can
+    reach the result, so both fact-side inputs are REDUCED FIRST — the
+    ≤25-row asia-nations dim broadcasts into supplier and customer,
+    lineitem joins the 1/5-sized supplier set, orders joins the
+    1/5-sized customer set — and only then do the two pre-shrunk sides
+    meet in the one big orderkey join (which also carries the
+    local-supplier c_nationkey = s_nationkey equality). Inner joins
+    commute, every predicate is preserved, and the big shuffle moves
+    ~5x fewer rows than the canonical join order; the r9 two-scan
+    lesson says measure, so the old shape's 10.3x sf0.1->sf10 wall
+    ratio vs this one's is recorded in SCALE.md. Scaling tables keep
+    AQE-decided strategies (no hints beyond the fixed dims)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
-    supplier = _t(spark, sf_dir, "supplier")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    asia_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_n),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_n.select(F.col("n_nationkey").alias("cn_key"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer/supplier scale with SF — no forced broadcast (AQE
-        # decides); nation/region are fixed 25/5-row dims, always safe
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            supplier,
-            (li.l_suppkey == supplier.s_suppkey)
-            & (cust.c_nationkey == supplier.s_nationkey),
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -1001,6 +1021,35 @@ def q_multimodal_jpeg_420(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return extract_pixel_stats(
         attach_jpeg420_payload(docs), "doc_id", "payload", decoder=decode_jpeg_pixels
+    )
+
+
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """Progressive (SOF2) JPEG decode end to end (r10) — the last
+    common JPEG layout the codec rejected. Each doc's payload is the
+    4:2:0 macroblock-constant fixture of multimodal_jpeg_420 encoded
+    through a REAL T.81 Annex G scan script: DC first (Al=1) -> DC
+    refinement (raw bits) -> per-component spectral-selection AC bands
+    (component 0 split 1-5/6-63) at Al=1 -> AC refinement scans (Ah=1)
+    with multi-block EOB runs and buffered correction bits. The
+    coefficients are transmitted losslessly, so the decoded pixels are
+    BIT-IDENTICAL to the baseline 4:2:0 encoding and the oracle
+    restates every pixel from doc_id arithmetic — same ground truth,
+    different wire format, exercising the multi-scan coefficient
+    accumulator, successive approximation, and EOB-run machinery that
+    sequential scans never touch."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_jpeg_progressive_payload,
+        decode_jpeg_pixels,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(
+        attach_jpeg_progressive_payload(docs),
+        "doc_id",
+        "payload",
+        decoder=decode_jpeg_pixels,
     )
 
 
@@ -3344,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _freshness_order({
         # -- NEW round 10 ---------------------------------------------------
         "streaming_kmv": q_streaming_kmv,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         # -- NEW round 7 ----------------------------------------------------
         "countmin_topk": q_countmin_topk,
         "cluster_split": q_cluster_split,
@@ -6716,6 +6766,12 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN v USING (event_type)
         WHERE r.rn <= 64
     """
+
+    # multimodal_jpeg_progressive: progressive transmission is lossless
+    # over the same quantized coefficients, so the decoded pixels equal
+    # the baseline 4:2:0 fixture's EXACTLY — the oracle is the same
+    # macroblock arithmetic as multimodal_jpeg_420
+    sql["multimodal_jpeg_progressive"] = sql["multimodal_jpeg_420"]
 
     return sql
 

@@ -1159,6 +1159,30 @@ class _JpegBitWriter:
             self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
 
 
+def _prep_components(planes: list, width: int, height: int, samp: list):
+    """Box-average each full-res plane down to its T.81 A.1.1
+    dimensions and edge-pad to the MCU grid. Returns (component
+    planes, mcx, mcy) — shared by the baseline and progressive
+    encoders."""
+    import numpy as np
+
+    hmax = max(hv[0] for hv in samp)
+    vmax = max(hv[1] for hv in samp)
+    assert all(hmax % hv[0] == 0 and vmax % hv[1] == 0 for hv in samp)
+    mcx, mcy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    comp = []
+    for p, (hi, vi) in zip(planes, samp):
+        p = np.asarray(p, np.float64)
+        fx, fy = hmax // hi, vmax // vi
+        cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
+        pf = np.pad(p, ((0, ch * fy - height), (0, cw * fx - width)), mode="edge")
+        c = pf.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        comp.append(
+            np.pad(c, ((0, mcy * vi * 8 - ch), (0, mcx * hi * 8 - cw)), mode="edge")
+        )
+    return comp, mcx, mcy
+
+
 def _encode_baseline(
     planes: list, width: int, height: int, quant, samp: list | None = None
 ) -> bytes:
@@ -1179,20 +1203,7 @@ def _encode_baseline(
     assert nc in (1, 3)
     samp = samp or [(1, 1)] * nc
     assert len(samp) == nc
-    hmax = max(hv[0] for hv in samp)
-    vmax = max(hv[1] for hv in samp)
-    assert all(hmax % hv[0] == 0 and vmax % hv[1] == 0 for hv in samp)
-    mcx, mcy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    comp = []
-    for p, (hi, vi) in zip(planes, samp):
-        p = np.asarray(p, np.float64)
-        fx, fy = hmax // hi, vmax // vi
-        cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
-        pf = np.pad(p, ((0, ch * fy - height), (0, cw * fx - width)), mode="edge")
-        c = pf.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
-        comp.append(
-            np.pad(c, ((0, mcy * vi * 8 - ch), (0, mcx * hi * 8 - cw)), mode="edge")
-        )
+    comp, mcx, mcy = _prep_components(planes, width, height, samp)
     C = _dct_matrix()
     dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1332,6 +1343,271 @@ def make_jpeg_color_payload(
     return _encode_baseline([y, cb, cr], width, height, quant, samp)
 
 
+# custom Huffman table for progressive AC REFINEMENT scans: the Annex K
+# AC table lacks the EOBn symbols (0x10..0xE0) multi-block EOB runs
+# need, so refinement scans carry their own 32-symbol table (EOB0..14,
+# ZRL, (r,1) for r=0..15), all at code length 6 (Kraft sum 0.5 — valid)
+_JPEG_ACR_VALS = (
+    [r << 4 for r in range(15)] + [0xF0] + [(r << 4) | 1 for r in range(16)]
+)
+_JPEG_ACR_BITS = [0, 0, 0, 0, 0, 32, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_progressive(
+    planes: list, width: int, height: int, quant, samp: list | None = None
+) -> bytes:
+    """Progressive (SOF2) encoder core — same quantized coefficients as
+    ``_encode_baseline`` (identical DCT/quant math), transmitted across
+    a T.81 Annex G scan script that exercises every progressive decode
+    path: DC first (Al=1, interleaved) -> DC refinement (raw bits) ->
+    per-component AC first scans with SPECTRAL SELECTION (component 0's
+    band split 1-5 / 6-63) at Al=1 -> per-component AC refinement scans
+    (Ah=1, Al=0) with real multi-block EOB runs and buffered correction
+    bits. Because the coefficients are transmitted losslessly, decoding
+    a progressive encoding must produce pixels BIT-IDENTICAL to
+    decoding the baseline encoding of the same input."""
+    import numpy as np
+
+    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64)
+    assert q.shape == (64,) and (q > 0).all() and (q < 256).all()
+    nc = len(planes)
+    assert nc in (1, 3)
+    samp = samp or [(1, 1)] * nc
+    assert len(samp) == nc
+    hmax = max(hv[0] for hv in samp)
+    vmax = max(hv[1] for hv in samp)
+    comp, mcx, mcy = _prep_components(planes, width, height, samp)
+    C = _dct_matrix()
+    qm = q.reshape(8, 8)
+
+    # quantize every block up front (zigzag order, int)
+    zzs = []
+    for ci in range(nc):
+        bh, bw_ = comp[ci].shape[0] // 8, comp[ci].shape[1] // 8
+        arr = np.zeros((bh, bw_, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = comp[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint((C @ blk @ C.T) / qm).astype(np.int64)
+                arr[by, bx] = coef.reshape(-1)[_ZIGZAG]
+        zzs.append(arr)
+
+    dc_t = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_t = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    acr_t = _huff_encode_table(_JPEG_ACR_BITS, _JPEG_ACR_VALS)
+
+    def mcu_blocks():
+        """(ci, by, bx) in interleaved MCU order (DC scans)."""
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in range(nc):
+                    hi, vi = samp[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield ci, my * vi + v, mx * hi + hh
+
+    def comp_blocks(ci):
+        """(by, bx) raster over the component's OWN block grid (AC
+        scans are non-interleaved; MCU-pad blocks carry DC only)."""
+        hi, vi = samp[ci]
+        cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield by, bx
+
+    def sos_header(comps_tabs, ss, se, ah, al):
+        ns = len(comps_tabs)
+        seg = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid, dc_sel, ac_sel in comps_tabs:
+            seg += bytes([cid, (dc_sel << 4) | ac_sel])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    zz_q = q.reshape(-1)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in zz_q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0x00])
+    for cls_id, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x11, _JPEG_ACR_BITS, _JPEG_ACR_VALS),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(vals), cls_id)
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    # ---- scan 1: DC first, interleaved, Al=1 -----------------------------
+    bw = _JpegBitWriter()
+    pred = [0] * nc
+    for ci, by, bx in mcu_blocks():
+        v = int(zzs[ci][by, bx, 0]) >> 1  # arithmetic shift per G.1.2.1
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = abs(diff).bit_length()
+        ln, code = dc_t[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += sos_header([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1) + bw.buf
+
+    # ---- scan 2: DC refinement, raw bits, Ah=1 Al=0 -----------------------
+    bw = _JpegBitWriter()
+    for ci, by, bx in mcu_blocks():
+        bw.write(int(zzs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += sos_header([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0) + bw.buf
+
+    # ---- AC first scans, Al=1, spectral selection on component 0 ----------
+    bands = []
+    for ci in range(nc):
+        bands += [(ci, 1, 5), (ci, 6, 63)] if ci == 0 else [(ci, 1, 63)]
+    for ci, ss, se in bands:
+        bw = _JpegBitWriter()
+        for by, bx in comp_blocks(ci):
+            zz = zzs[ci][by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                av = abs(v) >> 1  # magnitude shift (trunc toward zero)
+                if av == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_t[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = av.bit_length()
+                ln, code = ac_t[(run << 4) | s]
+                bw.write(code, ln)
+                sv = av if v > 0 else -av
+                bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+                run = 0
+            if run:  # EOB0 per block — Annex K table has no EOBn>0
+                ln, code = ac_t[0x00]
+                bw.write(code, ln)
+        bw.flush()
+        out += sos_header([(ci + 1, 0, 0)], ss, se, 0, 1) + bw.buf
+
+    # ---- AC refinement scans, Ah=1 Al=0, custom table, real EOB runs ------
+    for ci in range(nc):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        # TWO correction-bit buffers (the distinction the decoder's read
+        # order forces): run_bits belong to blocks already swallowed by
+        # the pending EOB run (the decoder re-reads them right after the
+        # EOBn symbol, block by block); pending are the CURRENT block's
+        # bits since its last symbol (the decoder re-reads them while
+        # advancing under this block's next symbol)
+        run_bits: list = []
+        pending: list = []
+
+        def emit(sym, extra=None, bits=None):
+            ln, code = acr_t[sym]
+            bw.write(code, ln)
+            if extra is not None:
+                bw.write(*extra)
+            if bits:
+                for bit in bits:
+                    bw.write(bit, 1)
+                bits.clear()
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                emit(r << 4, (eobrun - (1 << r), r) if r else None, run_bits)
+                eobrun = 0
+
+        for by, bx in comp_blocks(ci):
+            zz = zzs[ci][by, bx]
+            absv = [abs(int(zz[k])) for k in range(64)]
+            eob = 0  # last newly-nonzero position (T.81 G.1.2.3)
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eobrun()
+                    emit(0xF0, None, pending)
+                    r -= 16
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                # t == 1: newly nonzero
+                flush_eobrun()
+                emit((r << 4) | 1, (1 if int(zz[k]) > 0 else 0, 1), pending)
+                r = 0
+            if r > 0 or pending:
+                # band tail never closed by a symbol — the block joins
+                # the EOB run and its tail bits move to the run buffer
+                run_bits.extend(pending)
+                pending.clear()
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        out += sos_header([(ci + 1, 0, 1)], 1, 63, 1, 0) + bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_progressive_payload(
+    width: int,
+    height: int,
+    bgr_rows: bytes,
+    quant: list | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """A REAL progressive (SOF2) COLOR JFIF — same input contract and
+    quantization as ``make_jpeg_color_payload``, but transmitted as an
+    Annex G scan script (DC first/refine, spectral-selection AC bands,
+    AC refinement with EOB runs). Decoding it must match decoding the
+    baseline encoding of the same input BIT-EXACTLY (the coefficients
+    are identical; only their transmission order differs)."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    px = (
+        np.frombuffer(bgr_rows, np.uint8, width * height * 3)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else None
+    return _encode_progressive([y, cb, cr], width, height, quant, samp)
+
+
+def make_jpeg_progressive_gray_payload(
+    width: int, height: int, gray_rows: bytes, quant: list | None = None
+) -> bytes:
+    """Progressive grayscale twin of ``make_jpeg_gray_payload``."""
+    import numpy as np
+
+    img = np.frombuffer(gray_rows, np.uint8, width * height).reshape(
+        height, width
+    )
+    return _encode_progressive([img], width, height, quant)
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF 0x00,
     surfaces RSTn markers to the MCU loop via ``restart()``."""
@@ -1395,16 +1671,185 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _decode_scan(br, comps, scan, htabs, coefs, w, h, hmax, vmax,
+                 mcx, mcy, restart_interval, ss, se, ah, al, progressive):
+    """Decode ONE entropy-coded scan into the per-component zigzag
+    coefficient arrays (T.81 E/F baseline, G progressive). Handles the
+    four progressive scan kinds (DC/AC x first/refinement) plus the
+    baseline full-band scan (ss=0, se=63, ah=al=0 — DC-first + AC-first
+    over the whole band, eobrun degenerate). Returns the bit reader
+    (caller resyncs ``pos`` from it)."""
+    import numpy as np
+
+    sampmap = {cid: (hi, vi) for cid, _, hi, vi in comps}
+    dctab = {cid: htabs.get((0, dc)) for cid, dc, _ in scan}
+    actab = {cid: htabs.get((1, ac)) for cid, _, ac in scan}
+    pred = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(zz, k):
+        # correction bit for a coefficient already nonzero in history
+        if br.bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def block_baseline(cid, zz):
+        s = _huff_decode(br, dctab[cid])
+        diff = _extend(br.bits(s), s) if s else 0
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, actab[cid])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+
+    def block_dc_first(cid, zz):
+        s = _huff_decode(br, dctab[cid])
+        diff = _extend(br.bits(s), s) if s else 0
+        pred[cid] += diff
+        zz[0] = pred[cid] << al
+
+    def block_dc_refine(cid, zz):
+        if br.bit():
+            zz[0] = int(zz[0]) | p1
+
+    def block_ac_first(cid, zz):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, actab[cid])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = 1 << r  # EOBn: run of (1<<r)+bits(r) blocks
+                if r:
+                    eobrun += br.bits(r)
+                eobrun -= 1  # current block is part of the run
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def block_ac_refine(cid, zz):
+        # T.81 G.1.2.3 successive-approximation AC refinement: newly
+        # nonzero coefficients arrive as ±2^al, history coefficients
+        # take one correction bit each as the scan passes them, and an
+        # EOBn covers whole blocks whose remaining band is corrections
+        # only. Standard algorithm (same control flow libjpeg uses).
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, actab[cid])
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement magnitude")
+                    newval = p1 if br.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if k > se:
+                    break
+                if newval:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    if not progressive:
+        block = block_baseline
+    elif ss == 0:
+        block = block_dc_refine if ah else block_dc_first
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        block = block_ac_refine if ah else block_ac_first
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+
+    def do_restart():
+        nonlocal pred, eobrun
+        br.restart()
+        pred = {cid: 0 for cid, _, _ in scan}
+        eobrun = 0
+
+    if len(scan) == 1:
+        # T.81 A.2: single-component scan = NON-interleaved; blocks in
+        # raster order over the COMPONENT's own block grid (ceil of its
+        # A.1.1 dimensions), MCU = one data unit
+        cid0 = scan[0][0]
+        hi, vi = sampmap[cid0]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bw_cols, bh_rows = -(-cw // 8), -(-ch // 8)
+        arr = coefs[cid0]
+        for m in range(bw_cols * bh_rows):
+            if restart_interval and m and m % restart_interval == 0:
+                do_restart()
+            by, bx = divmod(m, bw_cols)
+            block(cid0, arr[by, bx])
+    else:
+        for m in range(mcx * mcy):
+            if restart_interval and m and m % restart_interval == 0:
+                do_restart()
+            my, mx = divmod(m, mcx)
+            # T.81: MCU interleave follows the SOS component list; within
+            # a component the h*v blocks go in raster order (A.2.3)
+            for cid, _dc, _ac in scan:
+                hi, vi = sampmap[cid]
+                arr = coefs[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        block(cid, arr[my * vi + v, mx * hi + hh])
+    return br
+
+
 def decode_jpeg_pixels(b: bytes):
-    """Baseline sequential JPEG decoder, stdlib+numpy: DQT/DHT/SOF0/
-    SOF1/SOS/DRI parsing, canonical Huffman decode, dequantize,
-    de-zigzag, float IDCT, level shift, clamp. Grayscale and 3-component
-    frames at any sampling-factor layout where each component's factors
-    divide the maxima — 4:4:4, 4:2:0 (the layout virtually every
-    camera/web JPEG uses: 16x16 MCUs of 4 Y + 1 Cb + 1 Cr blocks),
-    4:2:2, 4:1:1; subsampled chroma upsamples by pixel replication
-    (box/nearest, spec-legal). Progressive (SOF2) raises ValueError,
-    like decode_gif_pixels does for interlace.
+    """JPEG decoder, stdlib+numpy: baseline sequential (SOF0/SOF1) AND
+    progressive (SOF2, r10) — DQT/DHT/SOS/DRI parsing, canonical
+    Huffman decode, multi-scan coefficient accumulation (spectral
+    selection + successive approximation per T.81 Annex G: DC/AC first
+    and refinement scans, EOB runs, per-scan restart intervals), then
+    one dequantize + de-zigzag + float IDCT + level shift + clamp pass.
+    Grayscale and 3-component frames at any sampling-factor layout
+    where each component's factors divide the maxima — 4:4:4, 4:2:0
+    (the layout virtually every camera/web JPEG uses), 4:2:2, 4:1:1;
+    subsampled chroma upsamples by pixel replication (box/nearest,
+    spec-legal).
 
     Returns (width, height, ndarray[h, w, 3] uint8 BGR, matching
     decode_bmp_pixels) — grayscale replicates into all three channels;
@@ -1418,8 +1863,11 @@ def decode_jpeg_pixels(b: bytes):
     qtabs: dict = {}
     htabs: dict = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs: dict = {}
+    geo = None  # (hmax, vmax, mcx, mcy)
+    any_scan = False
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -1456,10 +1904,11 @@ def decode_jpeg_pixels(b: bytes):
                 vals = list(seg[o + 17 : o + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, sampb, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -1468,103 +1917,74 @@ def decode_jpeg_pixels(b: bytes):
                     raise ValueError("invalid sampling factors in SOF")
                 comps.append((cid, tq, hi, vi))
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if any(hmax % c[2] or vmax % c[3] for c in comps):
+                raise ValueError("unsupported sampling-factor combination")
+            mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            geo = (hmax, vmax, mcx, mcy)
+            coefs = {
+                cid: np.zeros((mcy * vi, mcx * hi, 64), np.int64)
+                for cid, _, hi, vi in comps
+            }
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
                     for i in range(ns)]
-            pos += seglen
-            break  # entropy-coded data follows
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah_, al_ = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            w_, h_, comps_ = frame
+            hmax, vmax, mcx, mcy = geo
+            br = _decode_scan(
+                _JpegBitReader(b, pos + seglen), comps_, scan, htabs, coefs,
+                w_, h_, hmax, vmax, mcx, mcy, restart_interval,
+                ss_, se_, ah_, al_, progressive,
+            )
+            any_scan = True
+            # resync to the next marker after the entropy-coded data
+            pos = br.pos
+            if br.n:  # mid-byte: the padding bits belong to this scan
+                pos = br.pos
+            while pos + 1 < len(b) and not (
+                b[pos] == 0xFF and b[pos + 1] != 0x00
+                and not (0xD0 <= b[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not any_scan:
         raise ValueError("missing SOF/SOS")
 
     w, h, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("scan/frame component mismatch")
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    if any(hmax % c[2] or vmax % c[3] for c in comps):
-        raise ValueError("unsupported sampling-factor combination")
-    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcy * vi * 8, mcx * hi * 8), np.float64)
-        for cid, _, hi, vi in comps
-    }
-    sampmap = {cid: (hi, vi) for cid, _, hi, vi in comps}
+    hmax, vmax, mcx, mcy = geo
     quant = {cid: qtabs[tq] for cid, tq, _, _ in comps}
-    dctab = {cid: htabs[(0, dc)] for cid, dc, _ in scan}
-    actab = {cid: htabs[(1, ac)] for cid, _, ac in scan}
     C = _dct_matrix()
-    br = _JpegBitReader(b, pos)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-
-    def read_block(cid, by, bx):
-        zz = np.zeros(64, np.int64)
-        s = _huff_decode(br, dctab[cid])
-        diff = _extend(br.bits(s), s) if s else 0
-        pred[cid] += diff
-        zz[0] = pred[cid]
-        k = 1
-        while k < 64:
-            rs = _huff_decode(br, actab[cid])
-            r, s = rs >> 4, rs & 0xF
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = _extend(br.bits(s), s)
-            k += 1
-        coef = np.zeros(64, np.float64)
-        coef[_ZIGZAG] = zz * quant[cid].reshape(-1)[_ZIGZAG]
-        blk = C.T @ coef.reshape(8, 8) @ C + 128.0
-        planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-
-    if len(scan) == 1:
-        # T.81 A.2: single-component scan = NON-interleaved, MCU is one
-        # data unit in raster order over the component's full block grid
-        # (its dimensions are the frame's: the sole component's factors
-        # equal the maxima by A.1.1), whatever the SOF factors say
-        cid0 = scan[0][0]
-        bw_cols = -(-w // 8)
-        for m in range(bw_cols * -(-h // 8)):
-            if restart_interval and m and m % restart_interval == 0:
-                br.restart()
-                pred = {cid0: 0}
-            by, bx = divmod(m, bw_cols)
-            read_block(cid0, by, bx)
-    else:
-        for m in range(mcx * mcy):
-            if restart_interval and m and m % restart_interval == 0:
-                br.restart()
-                pred = {cid: 0 for cid, _, _, _ in comps}
-            my, mx = divmod(m, mcx)
-            # T.81: the interleave order of blocks within an MCU follows
-            # the SOS scan-component list, which may differ from the SOF
-            # order; within a component the h*v blocks go in raster
-            # order (A.2.3)
-            for cid, _dc, _ac in scan:
-                hi, vi = sampmap[cid]
-                for v in range(vi):
-                    for hh in range(hi):
-                        read_block(cid, my * vi + v, mx * hi + hh)
-
     crop = []
     for cid, _, hi, vi in comps:
-        up = planes[cid]
+        arr = coefs[cid]
+        bh_rows, bw_cols = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh_rows * 8, bw_cols * 8), np.float64)
+        qflat = quant[cid].reshape(-1)[_ZIGZAG]
+        for by in range(bh_rows):
+            for bx in range(bw_cols):
+                coef = np.zeros(64, np.float64)
+                coef[_ZIGZAG] = arr[by, bx] * qflat
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ coef.reshape(8, 8) @ C + 128.0
+                )
         fy, fx = vmax // vi, hmax // hi
         if fy > 1:
-            up = up.repeat(fy, axis=0)
+            plane = plane.repeat(fy, axis=0)
         if fx > 1:
-            up = up.repeat(fx, axis=1)
-        crop.append(np.clip(np.rint(up[:h, :w]), 0, 255))
+            plane = plane.repeat(fx, axis=1)
+        crop.append(np.clip(np.rint(plane[:h, :w]), 0, 255))
     out = np.empty((h, w, 3), np.uint8)
     if len(crop) == 1:
         out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = crop[0]
@@ -1643,6 +2063,44 @@ def attach_jpeg420_payload(
             bgr = np.stack([px, px, px], axis=-1)
             out.append(
                 make_jpeg_color_payload(
+                    wb * 16, hb * 16, bgr.tobytes(), subsampling="420"
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))
+
+
+def attach_jpeg_progressive_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    src_col: str | None = None,
+) -> DataFrame:
+    """Materialize a REAL progressive (SOF2) 4:2:0 color JPEG per row —
+    the exact macroblock-constant fixture of ``attach_jpeg420_payload``
+    transmitted through the Annex G scan script (DC first/refine,
+    spectral-selection AC bands, AC refinement with EOB runs). The
+    quantized coefficients are identical to the baseline encoding, so
+    the decoded pixels — and therefore the SQL oracle arithmetic — are
+    exactly those of the 4:2:0 gate; only the wire format differs."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def jpg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            wb, hb = 1 + i % 4, 1 + (i * 3) % 4
+            bx = np.arange(wb).reshape(1, wb)
+            by = np.arange(hb).reshape(hb, 1)
+            g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
+            px = np.repeat(np.repeat(g, 16, axis=0), 16, axis=1)
+            bgr = np.stack([px, px, px], axis=-1)
+            out.append(
+                make_jpeg_progressive_payload(
                     wb * 16, hb * 16, bgr.tobytes(), subsampling="420"
                 )
             )

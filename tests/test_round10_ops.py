@@ -234,3 +234,90 @@ def test_stateful_user_counts_processing_timeout_runs(spark, tmp_path):
     got_rows = sorted(map(tuple, out.select("user_id", "n_events", "sum_value").collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+# --- progressive JPEG --------------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive scan script transmits the SAME quantized
+    coefficients as the baseline encoding, so decoding either file must
+    produce BIT-IDENTICAL pixels — across sizes, gray/color, 4:4:4 and
+    4:2:0, and quant tables that leave sparse coefficients (heavy EOB
+    runs in the refinement scans)."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+        make_jpeg_gray_payload,
+        make_jpeg_progressive_gray_payload,
+        make_jpeg_progressive_payload,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(16, 16), (24, 40), (37, 21), (8, 8), (5, 3)]:
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        for sub in ("444", "420"):
+            pb = decode_jpeg_pixels(make_jpeg_color_payload(w, h, bgr, subsampling=sub))
+            pp = decode_jpeg_pixels(make_jpeg_progressive_payload(w, h, bgr, subsampling=sub))
+            assert pb[:2] == pp[:2] == (w, h)
+            assert (pb[2] == pp[2]).all(), (w, h, sub)
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+        gb = decode_jpeg_pixels(make_jpeg_gray_payload(w, h, g))[2]
+        gp = decode_jpeg_pixels(make_jpeg_progressive_gray_payload(w, h, g))[2]
+        assert (gb == gp).all(), (w, h, "gray")
+    # coarse quant => sparse coefficients => multi-block EOB runs with
+    # buffered correction bits in the AC refinement scans
+    bgr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8).tobytes()
+    for q in ([8] * 64, [3] * 64):
+        pb = decode_jpeg_pixels(
+            make_jpeg_color_payload(64, 48, bgr, quant=q, subsampling="420")
+        )[2]
+        pp = decode_jpeg_pixels(
+            make_jpeg_progressive_payload(64, 48, bgr, quant=q, subsampling="420")
+        )[2]
+        assert (pb == pp).all(), q[0]
+
+
+def test_jpeg_progressive_macroblock_constant_lossless():
+    """The gate fixture's contract: macroblock-constant gray-valued
+    4:2:0 input survives the progressive flat-quant round trip EXACTLY
+    (same losslessness as the baseline 4:2:0 gate)."""
+    import numpy as np
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_progressive_payload,
+    )
+
+    for i in (3, 10, 77):
+        wb, hb = 1 + i % 4, 1 + (i * 3) % 4
+        bx = np.arange(wb).reshape(1, wb)
+        by = np.arange(hb).reshape(hb, 1)
+        g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(g, 16, 0), 16, 1)
+        bgr = np.stack([px, px, px], -1)
+        b = make_jpeg_progressive_payload(wb * 16, hb * 16, bgr.tobytes(), subsampling="420")
+        assert b[:2] == b"\xff\xd8" and b"\xff\xc2" in b  # really SOF2
+        w, h, out = decode_jpeg_pixels(b)
+        assert (w, h) == (wb * 16, hb * 16)
+        assert (out == bgr).all()
+
+
+def test_jpeg_progressive_truncation_raises():
+    """A progressive file cut mid-scan must fail fast (ValueError), not
+    return silently-wrong pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_progressive_payload,
+    )
+
+    rng = np.random.default_rng(3)
+    bgr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).tobytes()
+    b = make_jpeg_progressive_payload(32, 32, bgr)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b[: len(b) // 2])

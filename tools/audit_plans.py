@@ -258,7 +258,10 @@ BROADCAST_HINT_BUDGET = {
     "join_inner": 0,     # customer scales with SF
     "tpch_q3": 0,
     "distinct_agg": 0,
-    "tpch_q5": 2,        # nation + region only
+    # region's hint sits INSIDE the asia-nations subtree, which is itself
+    # broadcast into supplier and customer — the analyzed plan replays it
+    # twice: (region + asia_n) x 2 reuses = 4 hints, all ≤25-row dims
+    "tpch_q5": 4,
 }
 
 
