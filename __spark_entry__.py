@@ -1024,6 +1024,33 @@ def q_multimodal_jpeg_420(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Day-over-day exact dedup against a persisted fingerprint store
+    (r10, operators/dedup.py incremental_dedup_update): the documents
+    table replayed as three pseudo-days (doc_id % 3), each day
+    fingerprinted, min-id-deduped within the day, anti-joined against
+    the store of fingerprints from EARLIER days, and committed as an
+    idempotent day partition. The returned union must equal the
+    global first-day-wins dedup the oracle computes over the undivided
+    table — proving the store carries exactly the right history so the
+    corpus itself is never rescanned (the dedup analogue of
+    incremental_day_pipeline's merge==single-pass law)."""
+    import tempfile as _tempfile
+
+    from bun_csv_spark.operators.dedup import incremental_dedup_update
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = _tempfile.mkdtemp(prefix="fp_store_")
+    outs = []
+    for d in range(3):
+        new = incremental_dedup_update(
+            spark, docs.filter(F.col("doc_id") % 3 == d), store, d
+        )
+        outs.append(new.withColumn("day", F.lit(d).cast("long")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("day", "doc_id", "fp")
+
+
 def q_multimodal_jpeg_progressive(spark, sf_dir):
     """Progressive (SOF2) JPEG decode end to end (r10) — the last
     common JPEG layout the codec rejected. Each doc's payload is the
@@ -3394,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round 10 ---------------------------------------------------
         "streaming_kmv": q_streaming_kmv,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "incremental_dedup": q_incremental_dedup,
         # -- NEW round 7 ----------------------------------------------------
         "countmin_topk": q_countmin_topk,
         "cluster_split": q_cluster_split,
@@ -6772,6 +6800,24 @@ def oracle_sql() -> dict[str, str]:
     # the baseline 4:2:0 fixture's EXACTLY — the oracle is the same
     # macroblock arithmetic as multimodal_jpeg_420
     sql["multimodal_jpeg_progressive"] = sql["multimodal_jpeg_420"]
+
+    # incremental_dedup: three pseudo-day folds against the persisted
+    # fingerprint store == global first-day-wins dedup over the
+    # undivided table (per fingerprint: the store admits it only on its
+    # first day, and within that day the min doc_id survives)
+    sql["incremental_dedup"] = r"""
+        WITH f AS (
+          SELECT doc_id, doc_id % 3 AS day,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents),
+        d0 AS (SELECT fp, min(day) AS day FROM f GROUP BY fp),
+        kept AS (
+          SELECT f.day, min(f.doc_id) AS doc_id, f.fp
+          FROM f JOIN d0 ON f.fp = d0.fp AND f.day = d0.day
+          GROUP BY f.day, f.fp)
+        SELECT day::BIGINT AS day, doc_id::BIGINT AS doc_id, fp
+        FROM kept
+    """
 
     return sql
 

@@ -8,6 +8,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -321,3 +322,88 @@ def test_jpeg_progressive_truncation_raises():
     b = make_jpeg_progressive_payload(32, 32, bgr)
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(b[: len(b) // 2])
+
+
+# --- incremental day-over-day dedup -------------------------------------------
+
+
+def test_incremental_dedup_equals_global_first_day_wins(spark, tmp_path):
+    """Three day-folds against the persisted fingerprint store must
+    equal the global first-day-wins dedup over the undivided corpus:
+    per fingerprint, only its FIRST day emits a row, and within that
+    day the min id survives."""
+    from bun_csv_spark.operators.dedup import incremental_dedup_update
+
+    # planted duplicates across days: id%7 buckets share text
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    store = str(tmp_path / "store")
+    got = []
+    for d in range(3):
+        new = incremental_dedup_update(
+            spark, docs.filter(F.col("doc_id") % 3 == d), store, d
+        )
+        got += [(d, r["doc_id"], r["fp"]) for r in new.collect()]
+    # global truth: FIRST-day-wins — per text, the earliest day it
+    # appears in, then the min doc_id within that day (NOT the global
+    # min id, whose day may be later)
+    want = [
+        (r["d0"], r["k"], r["fp"])
+        for r in docs.withColumn("day", F.col("doc_id") % 3)
+        .withColumn("d0", F.min("day").over(Window.partitionBy("text")))
+        .filter(F.col("day") == F.col("d0"))
+        .groupBy("text", "d0")
+        .agg(
+            F.min("doc_id").alias("k"),
+            F.first(F.md5(F.lower(F.trim("text")))).alias("fp"),
+        )
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == 7  # one survivor per distinct text, ever
+
+
+def test_incremental_dedup_rerun_is_idempotent(spark, tmp_path):
+    """Re-running the SAME day (crash recovery) must converge to the
+    identical store and surviving set — the per-day overwrite is the
+    exactly-once mechanism."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_dedup_update,
+        load_fingerprint_store,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("text"),
+    )
+    store = str(tmp_path / "store")
+    incremental_dedup_update(spark, docs.filter(F.col("doc_id") % 2 == 0), store, 0)
+    a = sorted(map(tuple, load_fingerprint_store(spark, store).collect()))
+    incremental_dedup_update(spark, docs.filter(F.col("doc_id") % 2 == 0), store, 0)
+    b = sorted(map(tuple, load_fingerprint_store(spark, store).collect()))
+    assert a == b and len(a) == 5
+
+
+def test_incremental_dedup_store_skips_torn_day(spark, tmp_path):
+    """A day dir without _SUCCESS (crash mid-write) must be invisible
+    to the store load, so the re-run sees the same history."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_dedup_update,
+        load_fingerprint_store,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("text")
+    )
+    store = str(tmp_path / "store")
+    incremental_dedup_update(spark, docs.filter(F.col("doc_id") < 20), store, 0)
+    # torn day: directory exists, no _SUCCESS
+    torn = tmp_path / "store" / "day=1"
+    import shutil
+
+    shutil.copytree(tmp_path / "store" / "day=0", torn)
+    (torn / "_SUCCESS").unlink()
+    st = load_fingerprint_store(spark, store)
+    assert "day=1" not in " ".join(st.inputFiles())
