@@ -83,6 +83,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(gate, sf_dir) scratch directory, WIPED on
+    entry — the staging gates (streaming replays, the incremental-dedup
+    fingerprint store) re-use one path per invocation instead of
+    leaking a fresh mkdtemp every call (bench warmups and repeated
+    sweeps would otherwise accumulate orphans for the host's lifetime).
+    Each invocation fully rebuilds the dir, so callers must collect the
+    returned DataFrame before invoking the same gate again."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"bun_csv_gate_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # Encounter-order key for lineitem (l_linenumber <= 7, so *10 is injective).
 def _li_ord():
     return (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("__ord")
@@ -1035,12 +1056,10 @@ def q_incremental_dedup(spark, sf_dir):
     table — proving the store carries exactly the right history so the
     corpus itself is never rescanned (the dedup analogue of
     incremental_day_pipeline's merge==single-pass law)."""
-    import tempfile as _tempfile
-
     from bun_csv_spark.operators.dedup import incremental_dedup_update
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    store = _tempfile.mkdtemp(prefix="fp_store_")
+    store = _scratch_dir("fp_store", sf_dir)
     outs = []
     for d in range(3):
         new = incremental_dedup_update(
@@ -1558,13 +1577,11 @@ def q_csv_roundtrip(spark, sf_dir):
     """The CSV layer under the oracle gate: serialize nation through the
     writer expression pipeline, re-read with the exact-path reader, and
     aggregate; the oracle computes from the original parquet."""
-    import tempfile as _tf
-
     from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
     from bun_csv_spark.sources.csv_writer import write_csv
 
     nation = _t(spark, sf_dir, "nation")
-    out = _tf.mkdtemp(prefix="bcsv_rt_") + "/nation_csv"
+    out = _scratch_dir("csv_rt", sf_dir) + "/nation_csv"
     write_csv(nation.coalesce(1), out, quote_style="minimal")
     back = read_csv(
         spark, out, CSVOptions(dynamic_typing=True, with_row_index=True)
@@ -1702,8 +1719,6 @@ def q_streaming_watermark(spark, sf_dir):
     closed before max(batch-0 ts) - 1h, and windows still open at
     max(all ts) - 1h are never emitted (the append-mode tail). The
     oracle replays exactly that trajectory in SQL."""
-    import tempfile as _tempfile
-
     from bun_csv_spark.functions.timefmt import ns_to_ntz_micros
     from bun_csv_spark.streaming.windows import (
         run_stream_to_table,
@@ -1711,7 +1726,7 @@ def q_streaming_watermark(spark, sf_dir):
     )
 
     ev = read_events(spark, sf_dir)
-    src = _tempfile.mkdtemp(prefix="wm_replay_")
+    src = _scratch_dir("wm_replay", sf_dir)
     stage_phased_replay(
         ev,
         [
@@ -2328,14 +2343,12 @@ def q_jsonl_roundtrip(spark, sf_dir):
     read_jsonl with an explicit schema (no sampling pass) -> values
     intact. The oracle is the source table itself — a lossy step
     anywhere in the cycle breaks the hash."""
-    import tempfile as _tf
-
     from bun_csv_spark.sources.csv_writer import convert, read_jsonl
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = _tf.mkdtemp(prefix="bcsv_jsonl_") + "/docs"
+    out = _scratch_dir("jsonl_rt", sf_dir) + "/docs"
     convert(docs, "jsonl", out)
     return read_jsonl(spark, out, schema=docs.schema).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -2968,8 +2981,6 @@ def q_streaming_kmv(spark, sf_dir):
     Unlike streaming_hll (a built-in streaming agg over registers),
     bottom-k needs a per-key rank and so exercises the CUSTOM stateful
     operator path."""
-    import tempfile as _tempfile
-
     from pyspark.sql import Window as _W
 
     from bun_csv_spark.streaming.windows import (
@@ -2979,7 +2990,7 @@ def q_streaming_kmv(spark, sf_dir):
     )
 
     ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id")
-    src = _tempfile.mkdtemp(prefix="kmv_replay_")
+    src = _scratch_dir("kmv_replay", sf_dir)
     stage_phased_replay(
         ev,
         [

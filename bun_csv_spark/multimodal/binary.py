@@ -1949,9 +1949,9 @@ def decode_jpeg_pixels(b: bytes):
             )
             any_scan = True
             # resync to the next marker after the entropy-coded data
+            # (br.pos already points past any partially-consumed byte —
+            # the pad bits to the byte boundary belong to this scan)
             pos = br.pos
-            if br.n:  # mid-byte: the padding bits belong to this scan
-                pos = br.pos
             while pos + 1 < len(b) and not (
                 b[pos] == 0xFF and b[pos + 1] != 0x00
                 and not (0xD0 <= b[pos + 1] <= 0xD7)
@@ -2030,6 +2030,24 @@ def attach_jpeg_payload(
     return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))
 
 
+def _jpeg_macroblock_fixture(i: int):
+    """(width, height, bgr_bytes) of the macroblock-constant gray-valued
+    fixture BOTH JPEG-subsampling gates encode — 4:2:0 baseline
+    (attach_jpeg420_payload) and progressive (attach_jpeg_progressive_
+    payload) share it, and their oracles share one SQL restatement, so
+    the pixel formula must live in exactly one place: macroblock
+    (bx, by) = (i + bx*7 + by*13) % 256, dims 16*(1+i%4) x 16*(1+i*3%4)."""
+    import numpy as np
+
+    wb, hb = 1 + i % 4, 1 + (i * 3) % 4
+    bx = np.arange(wb).reshape(1, wb)
+    by = np.arange(hb).reshape(hb, 1)
+    g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
+    px = np.repeat(np.repeat(g, 16, axis=0), 16, axis=1)
+    bgr = np.stack([px, px, px], axis=-1)
+    return wb * 16, hb * 16, bgr.tobytes()
+
+
 def attach_jpeg420_payload(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2046,26 +2064,14 @@ def attach_jpeg420_payload(
     is EXACTLY lossless and the SQL oracle restates every decoded pixel
     from id arithmetic — the subsampled analogue of
     attach_jpeg_payload's contract."""
-    import numpy as np
-
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
     def jpg(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            i = int(i)
-            wb, hb = 1 + i % 4, 1 + (i * 3) % 4
-            bx = np.arange(wb).reshape(1, wb)
-            by = np.arange(hb).reshape(hb, 1)
-            g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
-            px = np.repeat(np.repeat(g, 16, axis=0), 16, axis=1)
-            bgr = np.stack([px, px, px], axis=-1)
-            out.append(
-                make_jpeg_color_payload(
-                    wb * 16, hb * 16, bgr.tobytes(), subsampling="420"
-                )
-            )
+            w, h, bgr = _jpeg_macroblock_fixture(int(i))
+            out.append(make_jpeg_color_payload(w, h, bgr, subsampling="420"))
         return pd.Series(out)
 
     return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))
@@ -2084,26 +2090,14 @@ def attach_jpeg_progressive_payload(
     quantized coefficients are identical to the baseline encoding, so
     the decoded pixels — and therefore the SQL oracle arithmetic — are
     exactly those of the 4:2:0 gate; only the wire format differs."""
-    import numpy as np
-
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
     def jpg(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            i = int(i)
-            wb, hb = 1 + i % 4, 1 + (i * 3) % 4
-            bx = np.arange(wb).reshape(1, wb)
-            by = np.arange(hb).reshape(hb, 1)
-            g = ((i + bx * 7 + by * 13) % 256).astype(np.uint8)
-            px = np.repeat(np.repeat(g, 16, axis=0), 16, axis=1)
-            bgr = np.stack([px, px, px], axis=-1)
-            out.append(
-                make_jpeg_progressive_payload(
-                    wb * 16, hb * 16, bgr.tobytes(), subsampling="420"
-                )
-            )
+            w, h, bgr = _jpeg_macroblock_fixture(int(i))
+            out.append(make_jpeg_progressive_payload(w, h, bgr, subsampling="420"))
         return pd.Series(out)
 
     return df.withColumn(payload_col, jpg(F.col(src_col or id_col)))

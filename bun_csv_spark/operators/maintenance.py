@@ -496,35 +496,24 @@ def _gen_meta(spark, state_dir: str, n: int) -> "dict | None":
         return None
 
 
-def _gen_families_present(spark, state_dir: str, n: int) -> "list[str]":
-    """Family subdirectories physically present under ``gen=N``
-    (committed or not) — the legacy-dir substitute for ``_FAMILIES``."""
-    fs, path_cls = _state_fs(spark, state_dir)
-    base = path_cls(f"{state_dir}/gen={n}")
-    if not fs.exists(base):
-        return []
-    return [
-        st.getPath().getName()
-        for st in fs.listStatus(base)
-        if st.isDirectory()
-    ]
-
-
 def _gen_is_complete(spark, state_dir: str, n: int) -> bool:
     """A generation counts as complete only when EVERY family it was
-    meant to carry has a committed ``_SUCCESS``: the list comes from
-    ``_FAMILIES`` (written before any family data, so a crash mid-write
-    of the LAST family still leaves the intent on disk), or for legacy
-    dirs from the family directories present plus the core four. This
-    is what keeps a torn kmv write + lost marker from silently serving
-    kmv-less state while an older intact generation exists."""
+    meant to carry has a committed ``_SUCCESS``. The intent list comes
+    from ``_FAMILIES`` (written before any family data, so a crash
+    mid-write of the LAST family still leaves the intent on disk) —
+    that is what keeps a torn kmv write + lost marker from silently
+    serving kmv-less state while an older intact generation exists.
+    LEGACY generations (no ``_FAMILIES``) keep the pre-metadata rule —
+    the four core families committed — because tightening it
+    retroactively would mark a dir's ONLY generation incomplete over a
+    stray torn subdirectory and send the next update down the
+    bootstrap-overwrite path, destroying real history."""
     fs, path_cls = _state_fs(spark, state_dir)
     meta = _gen_meta(spark, state_dir, n)
     if meta is not None:
         families = meta.get("families", list(_STATE_FAMILIES))
     else:
-        present = _gen_families_present(spark, state_dir, n)
-        families = sorted(set(present) | set(_STATE_FAMILIES))
+        families = list(_STATE_FAMILIES)
     return all(
         fs.exists(path_cls(f"{state_dir}/gen={n}/{fam}/_SUCCESS"))
         for fam in families

@@ -366,6 +366,13 @@ def run_stream_polling(
     try:
         deadline = _time.time() + timeout_s
         while not done(spark.table(name)):
+            if not q.isActive:
+                # a dead query can never satisfy done() — surface its
+                # real failure now instead of a blind TimeoutError
+                err = q.exception()
+                if err is not None:
+                    raise err
+                raise RuntimeError("streaming query terminated before the sink condition was met")
             if _time.time() > deadline:
                 raise TimeoutError(f"sink condition not met in {timeout_s}s")
             _time.sleep(0.5)

@@ -280,7 +280,14 @@ def main() -> int:
             print(f"BAD  {name}: {n_hints} broadcast hints (budget {budget})")
         else:
             print(f"OK   {name}: broadcast hints={n_hints}/{budget}")
-    for name, (max_ex, must, must_not) in EXPECTATIONS.items():
+    # every FACT_SCAN_BUDGET query must be audited even when it has no
+    # EXPECTATIONS row (tpch_q3/q5, dedup_apply) — the budget exists to
+    # catch double-scan regressions, so it cannot depend on a second dict
+    # happening to list the same name
+    all_audited = dict(EXPECTATIONS)
+    for name in FACT_SCAN_BUDGET:
+        all_audited.setdefault(name, (10_000, [], []))
+    for name, (max_ex, must, must_not) in all_audited.items():
         df = queries[name](spark, sf_dir)
         plan = plan_of(df)
         # count shuffle nodes once each: the "(N) Exchange" detail headers
