@@ -407,3 +407,48 @@ def test_incremental_dedup_store_skips_torn_day(spark, tmp_path):
     (torn / "_SUCCESS").unlink()
     st = load_fingerprint_store(spark, store)
     assert "day=1" not in " ".join(st.inputFiles())
+
+
+def test_jpeg_progressive_equals_baseline_property():
+    """Hypothesis property: for ANY image (arbitrary pixels, arbitrary
+    dims, either subsampling, flat or coarse quant), the progressive
+    encoding decodes to pixels BIT-IDENTICAL to the baseline encoding
+    of the same input — the invariant the multimodal_jpeg_progressive
+    oracle is built on (lossless coefficient transmission), pinned
+    across the input space rather than the fixture alone. Coarse quant
+    cases drive sparse bands, i.e. the EOB-run + correction-bit
+    machinery."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+        make_jpeg_progressive_payload,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        sub=st.sampled_from(["444", "420"]),
+        q=st.sampled_from([None, [4] * 64, [9] * 64]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, sub, q, seed):
+        bgr = (
+            np.random.default_rng(seed)
+            .integers(0, 256, (h, w, 3), np.uint8)
+            .tobytes()
+        )
+        pb = decode_jpeg_pixels(
+            make_jpeg_color_payload(w, h, bgr, quant=q, subsampling=sub)
+        )
+        pp = decode_jpeg_pixels(
+            make_jpeg_progressive_payload(w, h, bgr, quant=q, subsampling=sub)
+        )
+        assert pb[:2] == pp[:2] == (w, h)
+        assert (pb[2] == pp[2]).all()
+
+    prop()
