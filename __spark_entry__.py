@@ -84,21 +84,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(gate, sf_dir) scratch directory, WIPED on
-    entry — the staging gates (streaming replays, the incremental-dedup
-    fingerprint store) re-use one path per invocation instead of
-    leaking a fresh mkdtemp every call (bench warmups and repeated
-    sweeps would otherwise accumulate orphans for the host's lifetime).
-    Each invocation fully rebuilds the dir, so callers must collect the
-    returned DataFrame before invoking the same gate again."""
+    """Per-(gate, sf_dir, PROCESS) scratch directory, WIPED on entry —
+    the staging gates (streaming replays, the incremental-dedup stores)
+    re-use one path per invocation instead of leaking a fresh mkdtemp
+    every call (bench warmups and repeated sweeps would otherwise
+    accumulate orphans for the host's lifetime). The PID suffix keeps
+    two concurrent drivers (e.g. bench + a sweep over the same sf_dir)
+    from clobbering each other's staged state mid-query; dirs left by
+    dead processes are reaped by age (>6h) on each call, so the
+    leak-free property survives the per-process naming. Each invocation
+    fully rebuilds the dir, so callers must collect the returned
+    DataFrame before invoking the same gate again IN THE SAME
+    process."""
+    import glob
     import hashlib
     import shutil
     import tempfile
+    import time
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"bun_csv_gate_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    base = f"bun_csv_gate_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    tmp = tempfile.gettempdir()
+    for old in glob.glob(os.path.join(tmp, base + "_*")):
+        try:
+            if time.time() - os.path.getmtime(old) > 6 * 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    d = os.path.join(tmp, f"{base}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
@@ -1068,6 +1080,36 @@ def q_incremental_dedup(spark, sf_dir):
         outs.append(new.withColumn("day", F.lit(d).cast("long")))
     out = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return out.select("day", "doc_id", "fp")
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """Day-over-day NEAR-dup against a persisted MinHash band store
+    (r11, operators/dedup.py incremental_neardup_update — the LSH twin
+    of incremental_dedup): the neardup corpus replayed as three
+    pseudo-days (doc_id % 3), each day banded with neardup_pairs'
+    exact constants (8 hashes × 4 bands, 5-shingles), joined against
+    the band rows of strictly earlier committed days, and today's
+    bands committed as an idempotent day partition. The union of the
+    per-day pair emissions must equal the global LSH pair set under
+    the prefix-cap rule (a bucket stops emitting once its CUMULATIVE
+    size passes 64; earlier emissions stand) — proving the store
+    carries exactly the banding history, so the corpus is never
+    re-shingled. Each global pair surfaces exactly once, on
+    max(day_a, day_b), which the day column pins."""
+    from bun_csv_spark.operators.dedup import incremental_neardup_update
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    store = _scratch_dir("band_store", sf_dir)
+    outs = []
+    for d in range(3):
+        pairs = incremental_neardup_update(
+            spark, corpus.filter(F.col("doc_id") % 3 == d), store, d,
+            n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
+            repartition=spark.sparkContext.defaultParallelism,
+        )
+        outs.append(pairs.withColumn("day", F.lit(d).cast("long")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("day", "id_a", "id_b")
 
 
 def q_multimodal_jpeg_progressive(spark, sf_dir):
@@ -3429,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 11 ---------------------------------------------------
+        "incremental_neardup": q_incremental_neardup,
         # -- NEW round 10 ---------------------------------------------------
         "streaming_kmv": q_streaming_kmv,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -6829,6 +6873,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT day::BIGINT AS day, doc_id::BIGINT AS doc_id, fp
         FROM kept
     """
+
+    # incremental_neardup: three pseudo-day folds against the persisted
+    # MinHash band store == the global LSH pair set, each pair on
+    # max(day_a, day_b), under the PREFIX-cap rule — a (band, bucket)
+    # emits only while its CUMULATIVE membership (days <= the fold day)
+    # is <= 64; a pair survives if ANY shared bucket was under cap at
+    # its emission day (the DISTINCT over the bucket join encodes
+    # "any")
+    sql["incremental_neardup"] = (
+        "WITH " + _NEARDUP_CORPUS_SQL + ", sig AS ("
+        + _minhash_sql("corpus")
+        + "), bands AS (" + _bands_sql() + """),
+        bd AS (
+          SELECT doc_id, band, bucket, doc_id % 3 AS day FROM bands),
+        cum AS (
+          SELECT band, bucket, day,
+                 sum(count(*)) OVER (PARTITION BY band, bucket
+                                     ORDER BY day) AS cumc
+          FROM bd GROUP BY band, bucket, day)
+        SELECT DISTINCT greatest(a.day, b.day)::BIGINT AS day,
+               a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+        FROM bd a
+        JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+        JOIN cum ON cum.band = a.band AND cum.bucket = a.bucket
+                AND cum.day = greatest(a.day, b.day)
+        WHERE cum.cumc <= 64
+    """
+    )
 
     return sql
 

@@ -947,3 +947,123 @@ def incremental_dedup_update(
     out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
     within_day.select(id_col, "fp").write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+def _check_store_params(spark, store_dir: str, params: dict) -> None:
+    """Signature-parameter guard for the band store: ``_PARAMS`` (JSON)
+    is written at the store root BEFORE the first day's data — the same
+    write-intent-first discipline as maintenance's ``_FAMILIES`` — and
+    every later fold validates against it. Folding a day with different
+    (n_hashes, bands, shingle_k) would silently bucket-join
+    incomparable signatures; that must raise, not degrade (the r9 kmv
+    k/salt lesson, maintenance.py:482)."""
+    import json as _json
+
+    from bun_csv_spark.operators.maintenance import (
+        _read_small_file,
+        _state_fs,
+        _write_small_file,
+    )
+
+    fs, path_cls = _state_fs(spark, store_dir.rstrip("/"))
+    p = path_cls(f"{store_dir.rstrip('/')}/_PARAMS")
+    if fs.exists(p):
+        stored = _json.loads(_read_small_file(fs, p, limit=256))
+        if stored != params:
+            raise ValueError(
+                f"band store {store_dir} was built with {stored}, "
+                f"fold requested {params} — signatures are incomparable"
+            )
+    else:
+        fs.mkdirs(path_cls(store_dir.rstrip("/")))
+        _write_small_file(fs, p, _json.dumps(params, sort_keys=True))
+
+
+def incremental_neardup_update(
+    spark,
+    day_df: DataFrame,
+    store_dir: str,
+    day: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket: int | None = 64,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Day-over-day NEAR-dup against a persisted MinHash band store —
+    the LSH twin of ``incremental_dedup_update``: fold TODAY's shard in
+    without ever re-shingling the historical corpus. Bands today's docs
+    (``minhash_signatures`` + LSH banding, the exact constants of
+    ``neardup_pairs_minhash``), joins them against the store of band
+    rows from STRICTLY EARLIER committed days, and emits the candidate
+    pairs that involve at least one of today's docs: within-today pairs
+    plus today-vs-history pairs, normalized to (id_a < id_b), distinct.
+    Today's band rows are then committed as an idempotent ``day={day}``
+    partition (overwrite — a crashed or repeated run of the same day
+    converges; history partitions are never touched, so the lazy pair
+    plan stays valid across later folds).
+
+    Law (the gate's oracle): the union of every day's emitted pairs
+    equals the GLOBAL ``neardup_pairs_minhash`` over the undivided
+    corpus — each global pair (a, b) appears exactly once, on
+    max(day(a), day(b)) — under the PREFIX-CAP reading of the
+    degenerate-bucket guard: a (band, bucket) stops emitting new pairs
+    once its CUMULATIVE membership (history + today) exceeds
+    ``max_bucket``, but pairs emitted while it was small stand (an
+    incremental fold cannot retract already-shipped pairs, so the batch
+    rule "drop the whole over-cap bucket" is unreachable; the prefix
+    cap gives the same bounded-work guarantee — each fold's join fans
+    out at most cap² per bucket — with monotone output). Over-cap
+    membership is still COMMITTED to the store: the cap gates pair
+    emission, not history.
+
+    100 TB shape: the store carries docs × bands rows of
+    (id, band, bucket) — digests only, never text or shingles — so each
+    fold shuffles today's band rows + the store's on (band, bucket),
+    both orders of magnitude smaller than the corpus; history is never
+    re-shingled, mirroring incremental_dedup's never-re-read property.
+    A ``_PARAMS`` marker pins (n_hashes, bands, shingle_k) at store
+    creation and every fold validates it — mixed-parameter folds raise.
+    Returns (id_a, id_b) for the day."""
+    _check_store_params(
+        spark,
+        store_dir,
+        {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k},
+    )
+    today = _band_buckets(
+        day_df, id_col, text_col, n_hashes, bands, shingle_k, repartition, None
+    )
+    hist = load_fingerprint_store(spark, store_dir, before_day=int(day))
+    tagged = today.withColumn("__today", F.lit(True))
+    if hist is not None:
+        tagged = hist.select(
+            id_col, "band", "bucket", F.lit(False).alias("__today")
+        ).unionByName(tagged)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        tagged = (
+            tagged.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    pairs = (
+        tagged.alias("a")
+        .join(
+            tagged.filter(F.col("__today")).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
+    today.select(id_col, "band", "bucket").write.mode("overwrite").parquet(out_dir)
+    return pairs

@@ -1,0 +1,166 @@
+"""Round-11 operator tests: incremental near-dup against the persisted
+MinHash band store (the LSH twin of round 10's incremental exact dedup) —
+the global-equality law, re-run idempotence, torn-day invisibility, the
+signature-parameter guard, and the prefix-cap emission rule."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _neardup_docs(spark):
+    """Corpus with planted near-dups: base docs + lightly-perturbed
+    copies 100 ids later (same shape as the gate's corpus, small)."""
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox number "),
+            (F.col("id") % 9).cast("string"),
+            F.lit(" jumps over the lazy dog again and again"),
+        ).alias("text"),
+    )
+    perturbed = base.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+    )
+    return base.unionAll(perturbed)
+
+
+def _fold_days(spark, docs, store, **kw):
+    from bun_csv_spark.operators.dedup import incremental_neardup_update
+
+    got = []
+    for d in range(3):
+        pairs = incremental_neardup_update(
+            spark, docs.filter(F.col("doc_id") % 3 == d), store, d, **kw
+        )
+        got += [(d, r["id_a"], r["id_b"]) for r in pairs.collect()]
+    return got
+
+
+def test_incremental_neardup_equals_global_pairs(spark, tmp_path):
+    """Three day-folds against the persisted band store must equal the
+    GLOBAL LSH pair set over the undivided corpus (cap off so the law
+    is exact), and each pair must surface on max(day_a, day_b) — the
+    proof that the store carries exactly the banding history."""
+    from bun_csv_spark.operators.dedup import neardup_pairs_minhash
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "store")
+    got = _fold_days(spark, docs, store, max_bucket=None)
+    want = [
+        (max(r["id_a"] % 3, r["id_b"] % 3), r["id_a"], r["id_b"])
+        for r in neardup_pairs_minhash(
+            docs, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5,
+            max_bucket=None,
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) > 0  # the planted near-dups really collide
+
+
+def test_incremental_neardup_rerun_is_idempotent(spark, tmp_path):
+    """Re-running the SAME day (crash recovery) must converge: identical
+    store content and identical emitted pairs — the per-day overwrite
+    is the exactly-once mechanism."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_neardup_update,
+        load_fingerprint_store,
+    )
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "store")
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    incremental_neardup_update(spark, day0, store, 0).collect()
+    p1 = sorted(
+        map(tuple, incremental_neardup_update(spark, day0, store, 1).collect())
+    )
+    a = sorted(map(tuple, load_fingerprint_store(spark, store).collect()))
+    p2 = sorted(
+        map(tuple, incremental_neardup_update(spark, day0, store, 1).collect())
+    )
+    b = sorted(map(tuple, load_fingerprint_store(spark, store).collect()))
+    assert a == b and p1 == p2
+
+
+def test_incremental_neardup_store_skips_torn_day(spark, tmp_path):
+    """A day dir without _SUCCESS (crash mid-write) must be invisible to
+    the store load, so the re-run folds against the same history."""
+    import shutil
+
+    from bun_csv_spark.operators.dedup import (
+        incremental_neardup_update,
+        load_fingerprint_store,
+    )
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "store")
+    incremental_neardup_update(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), store, 0
+    ).collect()
+    torn = tmp_path / "store" / "day=1"
+    shutil.copytree(tmp_path / "store" / "day=0", torn)
+    (torn / "_SUCCESS").unlink()
+    st = load_fingerprint_store(spark, store)
+    assert "day=1" not in " ".join(st.inputFiles())
+
+
+def test_incremental_neardup_params_mismatch_raises(spark, tmp_path):
+    """A fold with different signature parameters must raise — bucket-
+    joining signatures from different (n_hashes, bands, shingle_k)
+    silently finds nothing; the _PARAMS marker turns that data-
+    corruption mode into an error."""
+    from bun_csv_spark.operators.dedup import incremental_neardup_update
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "store")
+    incremental_neardup_update(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), store, 0
+    ).collect()
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_neardup_update(
+            spark, docs.filter(F.col("doc_id") % 3 == 1), store, 1, n_hashes=4,
+            bands=2,
+        )
+
+
+def test_incremental_neardup_prefix_cap(spark, tmp_path):
+    """The degenerate-bucket cap is PREFIX semantics: once a bucket's
+    cumulative membership passes the cap, later folds emit no new
+    pairs from it — but pairs emitted while it was small stand, and
+    over-cap membership is still committed to the store (the cap gates
+    emission, not history)."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_neardup_update,
+        load_fingerprint_store,
+    )
+
+    # six IDENTICAL docs, two per pseudo-day: the single bucket holds
+    # 2 docs on day 0 (under cap 3 -> pair emitted), 4 by day 1 and 6
+    # by day 2 (over cap -> nothing new)
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.lit("completely identical document text for the cap test").alias(
+            "text"
+        ),
+    )
+    store = str(tmp_path / "store")
+    got = []
+    for d in range(3):
+        pairs = incremental_neardup_update(
+            spark, docs.filter(F.col("doc_id") % 3 == d), store, d,
+            max_bucket=3,
+        )
+        got += [(d, r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got == [(0, 0, 3)]
+    # all six docs' band rows are in the store regardless of the cap
+    st = load_fingerprint_store(spark, store)
+    assert st.select("doc_id").distinct().count() == 6
