@@ -914,6 +914,7 @@ def incremental_dedup_update(
     day: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_bits: "int | None" = None,
 ) -> DataFrame:
     """Day-over-day exact dedup against a PERSISTED fingerprint store —
     the operation a daily crawl pipeline actually runs at corpus scale:
@@ -934,16 +935,37 @@ def incremental_dedup_update(
     orders of magnitude smaller than the corpus; history is never
     re-fingerprinted (each day costs one scan of the new day plus a
     digest-sized join, the same never-re-read property as
-    daily_state_update). For hot paths a bloom_semi_join pre-prune of
-    today's fps against the store bitmap drops the matched majority
-    before the exact anti-join."""
+    daily_state_update).
+
+    ``bloom_bits`` turns on the hot-path pre-prune: a Bloom bitmap of
+    TODAY's fps (the small side — size m to ~16× today's unique count)
+    is broadcast onto the STORE scan, so only store rows whose fp
+    collides with today (true dups + deterministic false positives)
+    reach the exact anti-join; the rest of the multi-year store is
+    dropped map-side at its scan, never shuffled. The direction
+    matters: bloom has no false NEGATIVES, so every store fp actually
+    present in today survives the prune and the anti-join result is
+    BIT-IDENTICAL to the unpruned path at any false-positive rate —
+    FPs only cost prune efficiency, never correctness (the reverse
+    direction, pruning today against a store bitmap, would need a
+    bitmap sized to the whole store and still leaves the store shuffle
+    in place). With a mostly-novel daily shard the surviving store
+    side is small enough for AQE to broadcast, removing the anti-join
+    shuffle entirely."""
     from bun_csv_spark.functions.text import fingerprint as _fingerprint
 
     fps = day_df.select(F.col(id_col), _fingerprint(text_col).alias("fp"))
     within_day = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
     store = load_fingerprint_store(spark, store_dir, before_day=int(day))
     if store is not None:
-        within_day = within_day.join(store.select("fp"), "fp", "left_anti")
+        store_fp = store.select("fp")
+        if bloom_bits is not None:
+            from bun_csv_spark.operators.maintenance import bloom_semi_join
+
+            store_fp = bloom_semi_join(
+                store_fp, within_day.select("fp"), "fp", m_bits=bloom_bits
+            )
+        within_day = within_day.join(store_fp, "fp", "left_anti")
     out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
     within_day.select(id_col, "fp").write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)

@@ -132,6 +132,33 @@ def test_incremental_neardup_params_mismatch_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.parametrize("m_bits", [64, 1 << 16])
+def test_incremental_dedup_bloom_prune_is_exact(spark, tmp_path, m_bits):
+    """The bloom pre-prune of the store side must be invisible in the
+    result: bloom has no false negatives, so every store fp actually in
+    today survives the prune and the anti-join output is bit-identical
+    — at ANY false-positive rate (m_bits=64 over ~7 distinct fps per
+    day forces heavy FPs; 64 Kbit is the realistic regime)."""
+    from bun_csv_spark.operators.dedup import incremental_dedup_update
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+
+    def run(tag, **kw):
+        store = str(tmp_path / tag)
+        got = []
+        for d in range(3):
+            new = incremental_dedup_update(
+                spark, docs.filter(F.col("doc_id") % 3 == d), store, d, **kw
+            )
+            got += [(d, r["doc_id"], r["fp"]) for r in new.collect()]
+        return sorted(got)
+
+    assert run("plain") == run("bloom", bloom_bits=m_bits)
+
+
 def test_incremental_neardup_prefix_cap(spark, tmp_path):
     """The degenerate-bucket cap is PREFIX semantics: once a bucket's
     cumulative membership passes the cap, later folds emit no new
