@@ -1112,6 +1112,31 @@ def q_incremental_neardup(spark, sf_dir):
     return out.select("day", "id_a", "id_b")
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video decode end-to-end (r11): each doc carries an MJPEG-
+    in-AVI file (RIFF container — avih/strh/strf headers, movi '00dc'
+    chunks, idx1 index; multimodal/binary.py make_avi_mjpeg_payload) of
+    2 + id%3 frames at 25 fps, every frame a complete baseline 4:2:0
+    JPEG of the per-frame macroblock fixture. sample_video_frames walks
+    the container, decodes the frame under each 50 ms sampling instant
+    through the from-scratch JPEG codec, and emits exact integer
+    channel sums per sampled frame — the oracle restates every pixel
+    of every sampled frame from (doc_id, frame_idx) arithmetic, the
+    macroblock-oracle pattern of the JPEG gates extended over the time
+    axis (sampling stride, ts -> frame-index mapping, per-doc-varying
+    clip length all checked)."""
+    from bun_csv_spark.multimodal.binary import (
+        attach_avi_mjpeg_payload,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(
+        attach_avi_mjpeg_payload(docs), "doc_id", "payload",
+        every_ms=50, max_frames=8,
+    )
+
+
 def q_multimodal_jpeg_progressive(spark, sf_dir):
     """Progressive (SOF2) JPEG decode end to end (r10) — the last
     common JPEG layout the codec rejected. Each doc's payload is the
@@ -3473,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _freshness_order({
         # -- NEW round 11 ---------------------------------------------------
         "incremental_neardup": q_incremental_neardup,
+        "multimodal_video": q_multimodal_video,
         # -- NEW round 10 ---------------------------------------------------
         "streaming_kmv": q_streaming_kmv,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -6872,6 +6898,39 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY f.day, f.fp)
         SELECT day::BIGINT AS day, doc_id::BIGINT AS doc_id, fp
         FROM kept
+    """
+
+    # multimodal_video: sampled-frame channel sums restated from
+    # (doc_id, frame) arithmetic — clip length nf = 2 + id%3 frames at
+    # 40 ms/frame, sampling instants k*50 ms while < nf*40, frame index
+    # ts // 40, frame f's macroblock (bx,by) = (id + f*29 + bx*7 +
+    # by*13) % 256 constant over 16x16 gray pixels (the JPEG macroblock
+    # oracle with a per-frame term)
+    sql["multimodal_video"] = """
+        WITH d AS (
+          SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + (doc_id * 3) % 4 AS hb,
+                 2 + doc_id % 3 AS nf
+          FROM documents),
+        k AS (SELECT doc_id, wb, hb, nf,
+                     unnest(generate_series(0, 7)) AS k
+              FROM d),
+        f AS (SELECT doc_id, wb, hb, (k * 50) // 40 AS fidx, k * 50 AS ts
+              FROM k WHERE k * 50 < nf * 40),
+        bs AS (SELECT doc_id, wb, hb, fidx, ts,
+                      unnest(generate_series(0, wb - 1)) AS bx
+               FROM f),
+        b2 AS (SELECT doc_id, wb, hb, fidx, ts, bx,
+                      unnest(generate_series(0, hb - 1)) AS by
+               FROM bs)
+        SELECT doc_id, fidx::BIGINT AS frame_idx, ts::BIGINT AS frame_ts_ms,
+               (wb * 16)::BIGINT AS width, (hb * 16)::BIGINT AS height,
+               (sum((doc_id + fidx * 29 + bx * 7 + by * 13) % 256)
+                 * 256)::BIGINT AS sum_b,
+               (sum((doc_id + fidx * 29 + bx * 7 + by * 13) % 256)
+                 * 256)::BIGINT AS sum_g,
+               (sum((doc_id + fidx * 29 + bx * 7 + by * 13) % 256)
+                 * 256)::BIGINT AS sum_r
+        FROM b2 GROUP BY doc_id, fidx, ts, wb, hb
     """
 
     # incremental_neardup: three pseudo-day folds against the persisted
