@@ -2773,14 +2773,25 @@ def q_embedding_covariance(spark, sf_dir):
 
 
 def q_pca_project(spark, sf_dir):
-    """PCA projection onto the top-2 principal components: distributed
-    covariance -> driver eigh on the bounded dim x dim matrix ->
-    projection as a pure Column fold with literal eigenvectors
-    (sign-pinned, 6dp-rounded covariance for determinism). Driver-side
-    eigen is not SQL-expressible -> rows-only gate by design."""
-    from bun_csv_spark.operators.clustering import pca_project
+    """PCA projection machinery, VALUE-HASHED (r11 — this gate was
+    rows-only through r10): the projection y_c = Σ_i (x_i − μ_i)·w_ci
+    runs as clustering.pca_project_with's pure Column fold — the exact
+    code path the full pca_project drives — with the components pinned
+    to deterministic integer literals (dedup.embedding_planes seed 11,
+    the proven dedup_embedding oracle recipe) and μ = 0, so DuckDB
+    restates every output with list_dot_product. The parts this pins:
+    the per-dim fold, literal baking, rounding/−0.0 canonicalization.
+    The one non-SQL step, the driver-side numpy eigh (+ data-derived
+    μ, sign pinning), stays pytest-verified against the dominant-
+    direction + sign-determinism properties (test_round7_ops)."""
+    from bun_csv_spark.operators.clustering import pca_project_with
+    from bun_csv_spark.operators.dedup import embedding_planes
 
-    return pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, k=2)
+    comps = [[float(x) for x in w] for w in embedding_planes(11, 1, 2, 64)[0]]
+    return pca_project_with(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        mu=[0.0] * 64, comps=comps, round_dp=6,
+    )
 
 
 def q_countmin_topk(spark, sf_dir):
@@ -6848,6 +6859,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT i::BIGINT AS i, j::BIGINT AS j,
                round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
         FROM m
+    """
+
+    # pca_project (value-hashed since r11): the projection Column fold
+    # with the components pinned to the SAME embedding_planes(11,1,2,64)
+    # integer literals the Spark gate bakes in, mu = 0 — DuckDB restates
+    # each output as a list_dot_product; eigh stays pytest-only
+    from bun_csv_spark.operators.dedup import embedding_planes as _eplanes
+
+    _pca_w = _eplanes(11, 1, 2, 64)[0]
+    _pca_arrs = [
+        "[" + ",".join(str(x) for x in w) + "]::DOUBLE[]" for w in _pca_w
+    ]
+    sql["pca_project"] = f"""
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], {_pca_arrs[0]}), 6)
+                 + 0.0 AS pc0,
+               round(list_dot_product(embedding::DOUBLE[], {_pca_arrs[1]}), 6)
+                 + 0.0 AS pc1
+        FROM embeddings
     """
 
     # -- round-10 additions ---------------------------------------------------

@@ -24,6 +24,11 @@ from bun_csv_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    # q5 runs the r10 pre-reduced star join: ~0.25 s slower at sf0.1
+    # (everything broadcasts here, so the extra pre-reduction is pure
+    # cost) but 3.6x faster at sf10 where the canonical order shuffles
+    # full lineitem+orders (SCALE.md r10). Do NOT "fix" the sf0.1
+    # number by reverting — the sf10 shape is the design target.
     "tpch_q5",
     "join_inner",
     "groupby_reference_aggs",
@@ -43,6 +48,68 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_suite(spark, queries, sf_dir, samples: int = 3) -> dict[str, float]:
+    """One warmup + best-of-``samples`` per headline query — the
+    reference's own harness methodology (test/benchmark.ts: warmup + N
+    iterations); single runs carry ±25% JIT/GC noise."""
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        force(queries[name](spark, sf_dir))  # warmup (codegen/JIT per plan)
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def _child_main() -> None:
+    """One FRESH-process suite pass (spawned by the parent's fresh
+    mode): new JVM, warmup + best-of-2 per query, one JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench_fresh", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    force(queries["count_rows"](spark, sf_dir))
+    timings = _run_suite(spark, queries, sf_dir, samples=2)
+    print(json.dumps({"queries": timings, "calibrate_sec": _calibrate(spark)}))
+
+
+def _fresh_runs(n: int) -> "dict | None":
+    """Run the suite in ``n`` fresh subprocesses (new JVM each — no
+    inherited JIT/GC/code-cache state) and min-combine per query. This
+    is the cross-round-comparable number: the same-process suite's wall
+    drifts ±25-45% with accumulated process state (SCALE.md), which a
+    fresh JVM per pass removes. Returns None if every child fails."""
+    import subprocess
+
+    per_child = []
+    for _ in range(n):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            per_child.append(json.loads(line))
+        except (subprocess.TimeoutExpired, IndexError, ValueError):
+            continue
+    if not per_child:
+        return None
+    queries = {
+        name: round(min(c["queries"][name] for c in per_child), 3)
+        for name in HEADLINE
+    }
+    return {
+        "queries": queries,
+        "total": round(sum(queries.values()), 3),
+        "calibrate_sec": round(min(c["calibrate_sec"] for c in per_child), 3),
+        "runs": len(per_child),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -57,19 +124,7 @@ def main() -> None:
 
     cal_before = _calibrate(spark)
 
-    # per-query: one warmup + best-of-3 timed runs — the reference's own
-    # harness methodology (test/benchmark.ts: warmup + N iterations);
-    # single runs carry ±25% JIT/GC noise, n=3 makes round-over-round
-    # deltas attributable
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        force(queries[name](spark, sf_dir))  # warmup (codegen/JIT per plan)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            force(queries[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    timings = _run_suite(spark, queries, sf_dir, samples=3)
 
     csv_mb_s = csv_parse_throughput(spark, sf_dir)
 
@@ -85,6 +140,15 @@ def main() -> None:
     cal_after = _calibrate(spark)
     cal = round((cal_before + cal_after) / 2, 3)
     total = round(sum(timings.values()), 3)
+
+    # fresh-process pass (r11): the same suite, best-of-2 in each of 2
+    # NEW JVMs, min-combined — carried alongside the same-process numbers
+    # so cross-round comparisons have a process-state-free series.
+    # SPARK_GRAFT_NO_FRESH=1 skips it (quick local iteration).
+    fresh = None
+    if not os.environ.get("SPARK_GRAFT_NO_FRESH"):
+        fresh = _fresh_runs(2)
+
     print(
         json.dumps(
             {
@@ -108,6 +172,12 @@ def main() -> None:
                 # after), r9+ divides by their mean — normalized totals are
                 # only comparable within the same rule
                 "normalization": "mean-r9+",
+                # fresh-JVM series (None if the children failed or were
+                # skipped): per-query min over 2 fresh processes x
+                # best-of-2 — compare THIS across rounds; the
+                # same-process numbers above carry accumulated JIT/GC
+                # state worth ±25-45% (SCALE.md)
+                "fresh": fresh,
             }
         )
     )
@@ -171,4 +241,7 @@ def csv_parse_throughput(spark, sf_dir: str) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        _child_main()
+    else:
+        main()

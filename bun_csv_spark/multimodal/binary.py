@@ -1702,6 +1702,18 @@ def _decode_scan(br, comps, scan, htabs, coefs, w, h, hmax, vmax,
     sampmap = {cid: (hi, vi) for cid, _, hi, vi in comps}
     dctab = {cid: htabs.get((0, dc)) for cid, dc, _ in scan}
     actab = {cid: htabs.get((1, ac)) for cid, _, ac in scan}
+    # validate table presence BEFORE entropy decoding starts: a corrupt
+    # file whose SOS references an undefined table must raise the same
+    # clear ValueError as every other malformed-input path, not an
+    # AttributeError from deep inside _huff_decode. Which class a scan
+    # needs depends on its kind — DC-first/baseline (ss==0, ah==0)
+    # consumes DC tables, any scan covering AC bands (se>0) consumes AC
+    # tables, DC refinement (ss==0, ah>0) reads raw bits only.
+    for cid, dc, ac in scan:
+        if ss == 0 and ah == 0 and dctab[cid] is None:
+            raise ValueError(f"missing Huffman table (DC, {dc})")
+        if se > 0 and actab[cid] is None:
+            raise ValueError(f"missing Huffman table (AC, {ac})")
     pred = {cid: 0 for cid, _, _ in scan}
     eobrun = 0
     p1, m1 = 1 << al, -(1 << al)

@@ -208,16 +208,43 @@ def pca_project(
     for r in mean_rows:
         mu[r["__p"]] = r["__m"]
 
-    out = [F.col(id_col)]
-    for c, comp_idx in enumerate(order):
+    comps = []
+    for comp_idx in order:
         w = evecs[:, comp_idx].copy()
         pin = int(np.argmax(np.abs(w)))
         if w[pin] < 0:
             w = -w
+        comps.append([float(x) for x in w])
+    return pca_project_with(
+        embeddings, id_col, vec_col, [float(m) for m in mu], comps
+    )
+
+
+def pca_project_with(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mu: "list[float]",
+    comps: "list[list[float]]",
+    round_dp: int = 4,
+) -> DataFrame:
+    """The projection stage of ``pca_project`` with the mean and the
+    component vectors supplied as PLAN LITERALS: y_c = Σ_i (x_i − μ_i)
+    · w_ci as a pure Column fold — codegen'd, zero shuffle, no Python
+    on the data path, the same shape at any cluster size. Split out so
+    the projection machinery is value-hash-checkable against a SQL
+    oracle with pinned components (the r10 verdict's pca ask: the eigh
+    is driver-side numpy and stays pytest-verified, but nothing about
+    the PROJECTION is non-SQL once the components are literals).
+    Output values are rounded to ``round_dp`` with −0.0 canonicalized,
+    the cross-engine hash rule used throughout."""
+    out = [F.col(id_col)]
+    dim = len(mu)
+    for c, w in enumerate(comps):
         proj = F.lit(0.0)
         for i in range(dim):
             proj = proj + (
                 F.element_at(vec_col, i + 1).cast("double") - F.lit(float(mu[i]))
             ) * F.lit(float(w[i]))
-        out.append((F.round(proj, 4) + F.lit(0.0)).alias(f"pc{c}"))
+        out.append((F.round(proj, round_dp) + F.lit(0.0)).alias(f"pc{c}"))
     return embeddings.select(*out)

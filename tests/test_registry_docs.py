@@ -26,7 +26,7 @@ def test_gate_count_matches_docs():
 
 # gates that intentionally have NO SQL oracle (not SQL-expressible; the
 # driver records a weaker rows-only check for these, by design)
-ROWS_ONLY_GATES = {"compression_ratio", "pca_project"}  # zlib / driver eigh: not SQL
+ROWS_ONLY_GATES = {"compression_ratio"}  # zlib: not SQL (pca value-hashed since r11)
 
 
 def test_every_gate_has_oracle():

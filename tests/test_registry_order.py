@@ -164,4 +164,4 @@ def test_rows_only_gates_are_documented():
     _, names = _load()
     oracles = entry_mod.oracle_sql()
     rows_only = sorted(set(names) - set(oracles))
-    assert rows_only == ["compression_ratio", "pca_project"], rows_only
+    assert rows_only == ["compression_ratio"], rows_only

@@ -193,6 +193,32 @@ def test_avi_malformed_inputs_raise():
         decode_avi_frames(b"not a riff file at all")
 
 
+def test_jpeg_missing_huffman_table_raises_valueerror():
+    """A corrupt JPEG whose SOS references an undefined Huffman table
+    must raise a clear ValueError at scan setup, not an AttributeError
+    from inside the entropy decoder (r10 advice)."""
+    import struct
+
+    from bun_csv_spark.multimodal.binary import (
+        decode_jpeg_pixels,
+        make_jpeg_color_payload,
+    )
+
+    b = make_jpeg_color_payload(16, 16, bytes(16 * 16 * 3))
+    # strip every DHT (FFC4) segment -> the SOS references tables that
+    # were never defined
+    out, pos = bytearray(), 0
+    while pos < len(b):
+        if b[pos] == 0xFF and pos + 1 < len(b) and b[pos + 1] == 0xC4:
+            (seglen,) = struct.unpack_from(">H", b, pos + 2)
+            pos += 2 + seglen
+            continue
+        out.append(b[pos])
+        pos += 1
+    with pytest.raises(ValueError, match="missing Huffman table"):
+        decode_jpeg_pixels(bytes(out))
+
+
 def test_sample_frames_uses_avi_header_duration(spark):
     """sample_frames (the generic plumbing) must take its duration from
     the REAL AVI header when the payload is an AVI — 4 frames x 40 ms =

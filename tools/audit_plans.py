@@ -302,10 +302,21 @@ def main() -> int:
         for frag in must_not:
             if frag in plan:
                 problems.append(f"unwanted {frag!r}")
+        # count DISTINCT scan nodes, not textual Location hits: the
+        # formatted plan prints one "(N) Scan parquet" detail block per
+        # node, but AQE plan reuse (ReusedExchange/ReusedSubquery) or an
+        # Initial Plan section can reprint the same node — dedupe by the
+        # node id so a reprint is never flagged as a double-scan (r10
+        # advice)
+        scan_blocks = re.split(r"\n(?=\(\d+\) )", plan)
         for tbl, max_n in FACT_SCAN_BUDGET.get(name, {}).items():
-            n_scans = len(re.findall(rf"Location:.*[/\\]{tbl}\.parquet", plan))
-            if n_scans > max_n:
-                problems.append(f"{tbl} scanned {n_scans}x (max {max_n})")
+            ids = set()
+            for blk in scan_blocks:
+                m = re.match(r"\((\d+)\) Scan parquet\b", blk)
+                if m and re.search(rf"Location:.*[/\\]{tbl}\.parquet", blk):
+                    ids.add(m.group(1))
+            if len(ids) > max_n:
+                problems.append(f"{tbl} scanned {len(ids)}x (max {max_n})")
         if problems:
             bad += 1
             print(f"BAD  {name}: {'; '.join(problems)}")
