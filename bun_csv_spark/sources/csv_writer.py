@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -133,17 +134,32 @@ def append_csv_file(
 
     Spark's own ``mode("append")`` appends part files to a DIRECTORY,
     which is the right call at scale; this shim exists for the
-    single-file toolkit use case: rows serialize distributed
-    (``csv_line_expr``), the final byte-append is a driver-side local
-    write. Writes no header (the target file already has one). Bounded
-    by the appended batch size, not the target file size."""
+    single-file toolkit use case. Rows serialize distributed
+    (``csv_line_expr`` through the text sink — JVM-side, codegen'd, no
+    rows ever cross into Python); the driver then byte-concatenates the
+    part files onto the target in partition order (the same order
+    ``collect`` would yield), so its memory use is a fixed copy buffer
+    regardless of batch size. Writes no header (the target file already
+    has one)."""
+    import glob
+    import shutil
+    import tempfile
+
     line = csv_line_expr(
         df, delimiter=delimiter, quote=quote, quote_style=quote_style
     )
-    rows = df.select(line.alias("value")).collect()
-    with open(path, "a", encoding="utf-8", newline="") as fh:
-        for r in rows:
-            fh.write(r["value"] + newline)
+    staged = tempfile.mkdtemp(prefix="bun_csv_append_")
+    try:
+        out = os.path.join(staged, "parts")
+        df.select(line.alias("value")).write.mode("overwrite").option(
+            "lineSep", newline
+        ).text(out)
+        with open(path, "ab") as fh:
+            for part in sorted(glob.glob(os.path.join(out, "part-*"))):
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, fh)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def unparse(

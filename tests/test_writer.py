@@ -3,6 +3,7 @@
 import glob
 
 import pytest
+from pyspark.sql import functions as F
 
 from bun_csv_spark.sources.csv_writer import (
     csv_line_expr,
@@ -100,3 +101,23 @@ def test_append_csv_file(spark, tmp_path):
     assert text.startswith("a,b\n1,x\n")  # existing content untouched
     assert "2,y\n" in text and '3,"q""z"\n' in text  # quoting applied
     assert text.count("a,b") == 1  # header not repeated
+
+
+def test_append_csv_file_multipartition_order(spark, tmp_path):
+    # the distributed append must preserve frame order across part files
+    # (partition order == collect order) and round-trip non-ASCII bytes
+    from bun_csv_spark.sources.csv_writer import append_csv_file
+
+    p = tmp_path / "target.csv"
+    p.write_text("a,b\n")
+    rows = [(str(i), f"v√{i}") for i in range(200)]
+    df = (
+        spark.createDataFrame(rows, "a string, b string")
+        .orderBy(F.col("a").cast("int"))
+        .repartitionByRange(8, F.col("a").cast("int"))
+        .sortWithinPartitions(F.col("a").cast("int"))
+    )
+    append_csv_file(df, str(p))
+    lines = p.read_text(encoding="utf-8").splitlines()[1:]
+    assert [ln.split(",")[0] for ln in lines] == [str(i) for i in range(200)]
+    assert lines[7] == "7,v√7"
