@@ -91,11 +91,13 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     accumulate orphans for the host's lifetime). The PID suffix keeps
     two concurrent drivers (e.g. bench + a sweep over the same sf_dir)
     from clobbering each other's staged state mid-query; dirs left by
-    dead processes are reaped by age (>6h) on each call, so the
-    leak-free property survives the per-process naming. Each invocation
-    fully rebuilds the dir, so callers must collect the returned
-    DataFrame before invoking the same gate again IN THE SAME
-    process."""
+    DEAD processes are reaped by age (>6h) on each call, so the
+    leak-free property survives the per-process naming — but never dirs
+    whose owning PID is still alive: an hours-long sweep's lazily
+    re-read store must not vanish under it just because its mtime aged
+    out. Each invocation fully rebuilds the dir, so callers must collect
+    the returned DataFrame before invoking the same gate again IN THE
+    SAME process."""
     import glob
     import hashlib
     import shutil
@@ -105,6 +107,18 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     base = f"bun_csv_gate_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     tmp = tempfile.gettempdir()
     for old in glob.glob(os.path.join(tmp, base + "_*")):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            pid = None
+        if pid is not None and pid != os.getpid():
+            try:
+                os.kill(pid, 0)  # scratch is host-local, so PIDs are too
+                continue  # owner alive — never reap, whatever the age
+            except ProcessLookupError:
+                pass  # owner gone; the age rule below decides
+            except OSError:
+                continue  # EPERM etc.: assume alive, don't touch
         try:
             if time.time() - os.path.getmtime(old) > 6 * 3600:
                 shutil.rmtree(old, ignore_errors=True)

@@ -533,7 +533,15 @@ def sample_frames(
                         b"".join(f.tobytes() for f in av_frames)
                     ).hexdigest()
                     duration_ms = n_avi * uspf // 1000
-                    n_frames = min(duration_ms // every_ms + 1, max_frames)
+                    # strict ts < duration, matching sample_video_frames
+                    # on the same payload (ts == duration is media time
+                    # that does not exist; the WAV/stub branches below
+                    # keep their long-pinned inclusive endpoint)
+                    n_frames = (
+                        min((duration_ms - 1) // every_ms + 1, max_frames)
+                        if duration_ms > 0
+                        else 0
+                    )
                     for i in range(n_frames):
                         ids.append(rid)
                         idxs.append(i)

@@ -129,6 +129,25 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(df: DataFrame, max_bucket: "int | None") -> DataFrame:
+    """Drop every row of any (band, bucket) holding more than
+    ``max_bucket`` members — the degenerate-bucket guard shared by every
+    banded pairing path (minhash, simhash/hamming, embedding LSH, the
+    incremental fold). The size count is a window over the SAME
+    (band, bucket) key the candidate joins use, so the cap adds no
+    extra exchange. ``None`` disables."""
+    if max_bucket is None:
+        return df
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
+    return (
+        df.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def _band_buckets(
     df: DataFrame,
     id_col: str,
@@ -160,16 +179,7 @@ def _band_buckets(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-    return buckets
+    return _cap_buckets(buckets, max_bucket)
 
 
 def _bucket_pairs(a: DataFrame, b: DataFrame, id_col: str) -> DataFrame:
@@ -389,15 +399,7 @@ def hamming_pairs64(
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
     )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -548,15 +550,7 @@ def neardup_pairs_embedding(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    buckets = _cap_buckets(buckets, max_bucket)
 
     a, b_ = buckets.alias("a"), buckets.alias("b")
     pairs = (
@@ -1022,10 +1016,11 @@ def incremental_neardup_update(
     rows from STRICTLY EARLIER committed days, and emits the candidate
     pairs that involve at least one of today's docs: within-today pairs
     plus today-vs-history pairs, normalized to (id_a < id_b), distinct.
-    Today's band rows are then committed as an idempotent ``day={day}``
+    Today's band rows are committed FIRST as an idempotent ``day={day}``
     partition (overwrite — a crashed or repeated run of the same day
-    converges; history partitions are never touched, so the lazy pair
-    plan stays valid across later folds).
+    converges) and the returned pair plan reads the committed bytes, so
+    the banding evaluates once per fold and history partitions are never
+    touched (the lazy plan stays valid across later folds).
 
     Law (the gate's oracle): the union of every day's emitted pairs
     equals the GLOBAL ``neardup_pairs_minhash`` over the undivided
@@ -1054,25 +1049,28 @@ def incremental_neardup_update(
         store_dir,
         {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k},
     )
+    # Commit FIRST, then derive the pairs from the committed bytes: the
+    # shingle+minhash banding is the fold's expensive map work, and the
+    # lazy pair plan references today's rows four ways (cap window,
+    # join a-side, join b-side, plus whatever the caller unions later).
+    # Writing once and re-reading the parquet evaluates the banding
+    # exactly once per fold — and the emitted pairs are guaranteed to
+    # describe exactly what the store now contains (the twin,
+    # incremental_dedup_update, commits first for the same reason).
     today = _band_buckets(
         day_df, id_col, text_col, n_hashes, bands, shingle_k, repartition, None
     )
+    out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
+    today.select(id_col, "band", "bucket").write.mode("overwrite").parquet(out_dir)
+    committed = spark.read.parquet(out_dir)
     hist = load_fingerprint_store(spark, store_dir, before_day=int(day))
-    tagged = today.withColumn("__today", F.lit(True))
+    tagged = committed.withColumn("__today", F.lit(True))
     if hist is not None:
         tagged = hist.select(
             id_col, "band", "bucket", F.lit(False).alias("__today")
         ).unionByName(tagged)
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        tagged = (
-            tagged.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-    pairs = (
+    tagged = _cap_buckets(tagged, max_bucket)
+    return (
         tagged.alias("a")
         .join(
             tagged.filter(F.col("__today")).alias("b"),
@@ -1086,6 +1084,3 @@ def incremental_neardup_update(
         )
         .distinct()
     )
-    out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
-    today.select(id_col, "band", "bucket").write.mode("overwrite").parquet(out_dir)
-    return pairs

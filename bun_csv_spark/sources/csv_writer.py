@@ -140,7 +140,17 @@ def append_csv_file(
     part files onto the target in partition order (the same order
     ``collect`` would yield), so its memory use is a fixed copy buffer
     regardless of batch size. Writes no header (the target file already
-    has one)."""
+    has one).
+
+    The staged directory must be DRIVER-VISIBLE: the target is a single
+    local file, so the concat step is inherently driver-side. The write
+    pins the ``file://`` scheme so executors land parts on the driver's
+    local filesystem even when ``fs.defaultFS`` points elsewhere, and the
+    concat raises if the committed directory shows no part files for a
+    non-empty batch (e.g. executors on other hosts in a real cluster —
+    where this single-file shim does not apply and ``write_csv``'s
+    directory sink is the right call) rather than silently appending
+    nothing."""
     import glob
     import shutil
     import tempfile
@@ -153,9 +163,23 @@ def append_csv_file(
         out = os.path.join(staged, "parts")
         df.select(line.alias("value")).write.mode("overwrite").option(
             "lineSep", newline
-        ).text(out)
+        ).text("file://" + os.path.abspath(out))
+        parts = sorted(glob.glob(os.path.join(out, "part-*")))
+        if not parts and not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise RuntimeError(
+                f"append_csv_file: staged write produced no driver-visible "
+                f"output under {out} — the executors' filesystem is not "
+                f"shared with the driver; use write_csv's directory sink "
+                f"for cluster appends"
+            )
+        if not parts and df.limit(1).count() > 0:
+            raise RuntimeError(
+                f"append_csv_file: staged write committed under {out} but "
+                f"no part files are visible to the driver for a non-empty "
+                f"batch; refusing a silent zero-row append"
+            )
         with open(path, "ab") as fh:
-            for part in sorted(glob.glob(os.path.join(out, "part-*"))):
+            for part in parts:
                 with open(part, "rb") as src:
                     shutil.copyfileobj(src, fh)
     finally:

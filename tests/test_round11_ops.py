@@ -238,6 +238,14 @@ def test_sample_frames_uses_avi_header_duration(spark):
         (0, 0), (1, 50), (2, 100), (3, 150)
     ]
     assert len({r["frame_hash"] for r in rows}) == 4
+    # exact-divisor stride: ts == duration is media time that does not
+    # exist — strict ts < duration, agreeing with sample_video_frames
+    # (every_ms=40 on the 4x40ms=160ms clip -> 4 rows, not 5)
+    rows40 = sample_frames(
+        attach_avi_mjpeg_payload(docs), "doc_id", "payload",
+        every_ms=40, max_frames=8,
+    ).collect()
+    assert [r["frame_ts_ms"] for r in rows40] == [0, 40, 80, 120]
 
 
 @pytest.mark.parametrize("m_bits", [64, 1 << 16])
