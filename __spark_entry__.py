@@ -3012,6 +3012,172 @@ def q_tpch_q13(spark, sf_dir):
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue (adapted: p_container is not
+    in the trimmed part schema, so the cut is p_brand + p_size<25): the
+    CORRELATED-SCALAR shape — each branded part's lineitems compare
+    against 0.2x that part's own average quantity.
+
+    Window vs group-then-rejoin, decided for 100 TB: the correlated avg is
+    per-partkey over lineitems of qualifying parts only (partkey determines
+    the part cut, so pre-joining the cut commutes with the per-key avg), so
+    the reduced fact joins the part cut ONCE and an avg().over(partitionBy
+    l_partkey) computes threshold + detail in a SINGLE pass — one exchange
+    +sort of the already-cut rows. The group-then-rejoin alternative either
+    recomputes the join (second fact scan — the q18 double-scan cliff) or
+    shuffles twice when the per-part avg table outgrows broadcast (branded
+    parts still scale with SF). The part-cut join itself is hint-free:
+    part scales with SF, AQE picks broadcast while it fits.
+
+    Revenue is summed as exact e2 fixed-point (the q10 .xx5-tie lesson);
+    the quantity threshold is deterministic cross-engine because integral
+    doubles sum exactly in any order. Reference: TPC-H spec Q17."""
+    part_cut = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 25))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lj = li.join(part_cut, li.l_partkey == part_cut.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    price_e2 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        lj.withColumn("__pavg", pavg)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__pavg"))
+        .agg(
+            F.round(F.sum(price_e2) / 700.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: the trimmed
+    lineitem has no commit/receipt dates, so 'late' is l_returnflag='R';
+    one region's nations stand in for the single-nation cut): the
+    DOUBLE SEMI/ANTI shape — EXISTS(another supplier on the order) AND
+    NOT EXISTS(another LATE supplier on the order), both against the same
+    fact with an inequality (suppkey <>) riding the orderkey equi-join.
+
+    Plan, designed for 100 TB: the probe side is pre-reduced BEFORE the
+    two big orderkey joins (q3/q5 discipline) — the region-supplier cut
+    (~1/5, hint-free: supplier scales with SF, AQE broadcasts while it
+    fits) and the status='F' orders cut (~1/3) land first; then the
+    left-semi against all (orderkey, suppkey) pairs and the left-anti
+    against the late pairs run as equi-joins ON ORDERKEY carrying the
+    suppkey<> residual — never a cartesian — and the probe's one orderkey
+    exchange is reused across orders join, semi, and anti. The anti's
+    right side is the SAME pushed-filter scan subtree as the probe base,
+    so its exchange is ReusedExchange at runtime. Reference: TPC-H spec
+    Q21."""
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    sup_cut = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = late.join(sup_cut, F.col("l_suppkey") == F.col("s_suppkey")).join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    )
+    l1 = l1.join(
+        pairs,
+        (l1.l_orderkey == pairs.p_ok) & (l1.l_suppkey != pairs.p_sk),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    l1 = l1.join(
+        other_late,
+        (l1.l_orderkey == other_late.x_ok) & (l1.l_suppkey != other_late.x_sk),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: there is no partsupp
+    table, so lineitem unit price l_extendedprice/l_quantity plays
+    ps_supplycost): the MIN-PER-GROUP CORRELATED SUBQUERY shape — for
+    each size-15 part, every region-1 supplier whose unit price equals
+    the minimum unit price any region-1 supplier charged for that part.
+
+    Plan, designed for 100 TB: both cuts commute with the per-part min
+    (the supplier cut IS the min's domain restriction; the part cut only
+    removes whole partkey groups), so they land on the fact FIRST — the
+    ≤25-row nation dim is the only forced broadcast; supplier and part
+    joins are AQE-decided — and min().over(partitionBy l_partkey)
+    computes threshold + detail in one pass over the doubly-cut rows
+    (same window-vs-rejoin call as q17). Equality on the raw IEEE
+    quotient is engine-safe (both engines divide the same 2dp doubles);
+    rounding happens only at projection. Ties at the min all survive, as
+    in the canonical query; the DISTINCT collapses duplicate min-price
+    lineitems of one (part, supplier). LIMIT 100 is deterministic: the
+    sort key (acctbal, nation, supplier, partkey) is unique per output
+    row. Reference: TPC-H spec Q2."""
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_cut = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    cut = (
+        li.join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part_cut, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__unit", unit)
+    )
+    pmin = F.min("__unit").over(Window.partitionBy("l_partkey"))
+    return (
+        cut.withColumn("__pmin", pmin)
+        .filter(F.col("__unit") == F.col("__pmin"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("__unit"), 4).alias("unit_price"),
+        )
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
 def q_ohlc_resample(spark, sf_dir):
     """Hourly OHLC candlesticks per event type: open/high/low/close from
     ONE hash aggregate (min_by/max_by over a total-order key — no sort,
@@ -3530,6 +3696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 12 ---------------------------------------------------
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
         # -- NEW round 11 ---------------------------------------------------
         "incremental_neardup": q_incremental_neardup,
         "multimodal_video": q_multimodal_video,
@@ -4228,6 +4398,56 @@ def oracle_sql() -> dict[str, str]:
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
               GROUP BY c_custkey)
         GROUP BY c_count
+    """
+
+    sql["tpch_q17"] = """
+        SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 700.0, 2) AS avg_yearly,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 25
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """
+
+    sql["tpch_q21"] = """
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_regionkey = 2
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """
+
+    sql["tpch_q2"] = """
+        WITH rs AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 1
+        )
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(l_extendedprice / l_quantity, 4) AS unit_price
+        FROM part
+        JOIN lineitem l ON p_partkey = l_partkey
+        JOIN rs ON l.l_suppkey = rs.s_suppkey
+        WHERE p_size = 15
+          AND l_extendedprice / l_quantity = (
+              SELECT min(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2 JOIN rs r2 ON l2.l_suppkey = r2.s_suppkey
+              WHERE l2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
     """
 
     sql["countmin_topk"] = """

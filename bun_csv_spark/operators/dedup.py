@@ -1007,6 +1007,7 @@ def incremental_neardup_update(
     shingle_k: int = 5,
     max_bucket: int | None = 64,
     repartition: int | None = None,
+    bloom_bits: "int | None" = None,
 ) -> DataFrame:
     """Day-over-day NEAR-dup against a persisted MinHash band store —
     the LSH twin of ``incremental_dedup_update``: fold TODAY's shard in
@@ -1043,7 +1044,25 @@ def incremental_neardup_update(
     re-shingled, mirroring incremental_dedup's never-re-read property.
     A ``_PARAMS`` marker pins (n_hashes, bands, shingle_k) at store
     creation and every fold validates it — mixed-parameter folds raise.
-    Returns (id_a, id_b) for the day."""
+    Returns (id_a, id_b) for the day.
+
+    ``bloom_bits`` is the store-side pre-prune of the exact-dedup twin
+    (``incremental_dedup_update``), keyed on the composite
+    (band, bucket): a Bloom bitmap of TODAY's band buckets — the small
+    side, docs × bands keys — broadcasts onto the STORE scan, so only
+    history rows whose bucket collides with one of today's reach the
+    candidate join; the rest of the multi-year band store is dropped
+    map-side at its scan, never unioned, never shuffled. Output is
+    BIT-IDENTICAL to the unpruned fold at any false-positive rate:
+    bloom has no false NEGATIVES, so every history row of a
+    today-touched bucket survives — which keeps the prefix-cap's
+    cumulative ``__bsz`` exact for every bucket that can emit a pair —
+    while false positives only retain history rows of buckets with no
+    today side, which join nothing (and the cap window they land in is
+    per-bucket, so they cannot flip a today-touched bucket's cap
+    decision). As with the exact twin, the prune pays off once the
+    store dwarfs the day (the multi-year regime); below the crossover
+    the plain union wins — see SCALE.md for the measured A/B."""
     _check_store_params(
         spark,
         store_dir,
@@ -1066,7 +1085,18 @@ def incremental_neardup_update(
     hist = load_fingerprint_store(spark, store_dir, before_day=int(day))
     tagged = committed.withColumn("__today", F.lit(True))
     if hist is not None:
-        tagged = hist.select(
+        hist_rows = hist.select(id_col, "band", "bucket")
+        if bloom_bits is not None:
+            from bun_csv_spark.operators.maintenance import bloom_semi_join
+
+            bk = F.concat_ws("|", F.col("band").cast("string"), F.col("bucket"))
+            hist_rows = bloom_semi_join(
+                hist_rows.withColumn("__bk", bk),
+                committed.select(bk.alias("__bk")),
+                "__bk",
+                m_bits=bloom_bits,
+            ).drop("__bk")
+        tagged = hist_rows.select(
             id_col, "band", "bucket", F.lit(False).alias("__today")
         ).unionByName(tagged)
     tagged = _cap_buckets(tagged, max_bucket)

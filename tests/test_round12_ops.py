@@ -1,0 +1,246 @@
+"""Round-12 operator tests: the three hard TPC-H join shapes added this
+round (reference: TPC-H spec Q17/Q21/Q2, adapted to the trimmed testdata
+schema — see the gate docstrings in __spark_entry__.py).
+
+Each gate's oracle equality is covered by the registry sweep; these tests
+prove the LAWS behind the plan choices instead:
+- q17: the windowed correlated-scalar equals the group-then-rejoin form;
+- q21: the semi/anti pair equals an independent per-order-aggregate
+  formulation of EXISTS/NOT-EXISTS, and both joins survive physically;
+- q2: ties at the per-part min all surface, the min's domain is the
+  region-supplier cut (an out-of-region cheaper offer must not move it),
+  and duplicate min-price lineitems collapse to one row.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from tests.conftest import spark  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(spark, name):
+    return spark.read.parquet(os.path.join(SF, f"{name}.parquet"))
+
+
+def test_q17_window_equals_group_rejoin(spark):
+    """The gate computes the correlated 0.2*avg(l_quantity) threshold with
+    ONE windowed pass; the textbook decorrelation (aggregate per partkey,
+    rejoin) must produce the identical answer — the proof that the
+    single-scan plan is a pure physical choice, not a semantic change."""
+    got = entry_mod.queries()["tpch_q17"](spark, SF).collect()[0]
+
+    part_cut = (
+        _t(spark, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 25))
+        .select("p_partkey")
+    )
+    lj = _t(spark, "lineitem").join(
+        part_cut, F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_tbl = lj.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        F.avg("l_quantity").alias("a_avg")
+    )
+    price_e2 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    want = (
+        lj.join(avg_tbl, F.col("l_partkey") == F.col("a_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("a_avg"))
+        .agg(
+            F.round(F.sum(price_e2) / 700.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()[0]
+    )
+    assert got["n_items"] == want["n_items"] > 0
+    assert got["avg_yearly"] == want["avg_yearly"]
+
+
+def test_q21_semi_anti_equals_per_order_aggregate(spark):
+    """EXISTS(other supplier) AND NOT EXISTS(other late supplier) has an
+    order-level restatement: the order carries >= 2 distinct suppliers and
+    EXACTLY ONE distinct late supplier (l1 itself is late, so 'no other
+    late' == 'one late'). The gate's semi/anti pipeline must match it row
+    for row — run WITHOUT the region cut so the law is checked over every
+    supplier, not one region's four."""
+    li = _t(spark, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders_f = (
+        _t(spark, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+
+    # gate shape, region cut dropped
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    l1 = late.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    l1 = l1.join(
+        pairs,
+        (l1.l_orderkey == pairs.p_ok) & (l1.l_suppkey != pairs.p_sk),
+        "left_semi",
+    )
+    l1 = l1.join(
+        other_late,
+        (l1.l_orderkey == other_late.x_ok)
+        & (l1.l_suppkey != other_late.x_sk),
+        "left_anti",
+    )
+    got = sorted(
+        (r["l_suppkey"], r["cnt"])
+        for r in l1.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+    # independent restatement: one aggregate over the undivided fact
+    per_order = li.groupBy(F.col("l_orderkey").alias("g_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    want = sorted(
+        (r["l_suppkey"], r["cnt"])
+        for r in late.join(
+            orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(per_order, F.col("l_orderkey") == F.col("g_ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_q21_plan_keeps_semi_and_anti(spark):
+    """The inequality residual (suppkey <>) must ride the orderkey
+    equi-join — if either EXISTS leg degrades to a nested-loop or a
+    join+distinct rewrite, the physical plan loses its Semi/Anti nodes."""
+    df = entry_mod.queries()["tpch_q21"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Semi" in plan and "Anti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+import pytest
+
+
+@pytest.mark.parametrize("m_bits", [64, 1 << 16])
+def test_incremental_neardup_bloom_prune_is_exact(spark, tmp_path, m_bits):
+    """The band-store bloom pre-prune must be invisible in the emitted
+    pairs AND in the committed store: bloom has no false negatives, so
+    every history row of a today-touched (band, bucket) survives —
+    keeping the prefix-cap's cumulative count exact for every bucket
+    that can pair — at ANY false-positive rate (m_bits=64 over dozens
+    of distinct buckets forces heavy FPs; 64 Kbit is the realistic
+    regime). Checked with the cap ON so the cap-interaction law is
+    exercised, not just the join."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_neardup_update,
+        load_fingerprint_store,
+    )
+
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox number "),
+            (F.col("id") % 9).cast("string"),
+            F.lit(" jumps over the lazy dog again and again"),
+        ).alias("text"),
+    )
+    docs = base.unionAll(
+        base.select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+        )
+    )
+
+    def run(tag, **kw):
+        store = str(tmp_path / tag)
+        got = []
+        for d in range(3):
+            pairs = incremental_neardup_update(
+                spark,
+                docs.filter(F.col("doc_id") % 3 == d),
+                store,
+                d,
+                max_bucket=3,
+                **kw,
+            )
+            got += [(d, r["id_a"], r["id_b"]) for r in pairs.collect()]
+        store_rows = sorted(
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in load_fingerprint_store(spark, store).collect()
+        )
+        return sorted(got), store_rows
+
+    assert run("plain") == run("bloom", bloom_bits=m_bits)
+
+
+def test_q2_min_ties_domain_and_distinct(spark, tmp_path):
+    """Planted-fixture laws for the min-per-group correlated subquery:
+    (1) two region suppliers tied at the min BOTH surface; (2) a cheaper
+    out-of-region offer does NOT move the min (the subquery's domain is
+    the region cut); (3) duplicate min-price lineitems of one
+    (part, supplier) collapse to one output row."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "NATION_A", 1), (2, "NATION_B", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(os.path.join(sf, "nation.parquet"))
+    spark.createDataFrame(
+        [
+            (1, "Supp#1", 100.0, 1),
+            (2, "Supp#2", 200.0, 1),
+            (3, "Supp#3", 300.0, 2),
+        ],
+        "s_suppkey bigint, s_name string, s_acctbal double, s_nationkey int",
+    ).write.parquet(os.path.join(sf, "supplier.parquet"))
+    spark.createDataFrame(
+        [(10, "part ten", 15), (11, "part eleven", 15), (12, "part twelve", 9)],
+        "p_partkey bigint, p_name string, p_size int",
+    ).write.parquet(os.path.join(sf, "part.parquet"))
+    spark.createDataFrame(
+        [
+            # part 10: supp1 unit 10.0 and supp2 unit 10.0 -> tie, both out
+            (10, 1, 100.0, 10.0),
+            (10, 2, 50.0, 5.0),
+            # part 10: supp1 also offers unit 30.0 -> loses
+            (10, 1, 300.0, 10.0),
+            # part 10: OUT-OF-REGION supp3 unit 5.0 -> must not move the min
+            (10, 3, 50.0, 10.0),
+            # part 11: supp2 unit 7.0 twice -> DISTINCT collapses to 1 row
+            (11, 2, 70.0, 10.0),
+            (11, 2, 70.0, 10.0),
+            # part 12 is size 9 -> cut away
+            (12, 1, 10.0, 10.0),
+        ],
+        "l_partkey bigint, l_suppkey bigint, l_extendedprice double,"
+        " l_quantity double",
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    rows = entry_mod.queries()["tpch_q2"](spark, sf).collect()
+    got = sorted((r["p_partkey"], r["s_name"], r["unit_price"]) for r in rows)
+    assert got == [
+        (10, "Supp#1", 10.0),
+        (10, "Supp#2", 10.0),
+        (11, "Supp#2", 7.0),
+    ]

@@ -227,6 +227,20 @@ EXPECTATIONS = {
     # group-then-regroup distribution: left join + per-customer count +
     # tiny re-aggregation; never a cartesian, never a global sort
     "tpch_q13": (4, ["HashAggregate"], ["CartesianProduct", "GlobalSort"]),
+    # r12 additions
+    # correlated scalar folded into ONE windowed pass over the part-cut
+    # rows: the only Exchanges are the partkey window shuffle + the 1-row
+    # agg pair — never a second fact scan (see FACT_SCAN_BUDGET)
+    "tpch_q17": (2, ["Window"], ["CartesianProduct", "GlobalSort"]),
+    # double EXISTS/NOT-EXISTS: semi + anti must survive in the physical
+    # plan as equi-joins on orderkey carrying the suppkey<> residual —
+    # never a nested-loop/cartesian evaluation of the inequality
+    "tpch_q21": (3, ["Semi", "Anti"],
+                 ["CartesianProduct", "BroadcastNestedLoopJoin", "GlobalSort"]),
+    # min-per-group correlated subquery as a window over the doubly-cut
+    # fact; top-100 via TakeOrdered, never a global sort
+    "tpch_q2": (3, ["Window", "TakeOrderedAndProject"],
+                ["CartesianProduct", "GlobalSort"]),
 }
 
 
@@ -247,6 +261,14 @@ FACT_SCAN_BUDGET = {
     "tpch_q18": {"lineitem": 1, "orders": 1, "customer": 1},
     "join_inner": {"lineitem": 1, "orders": 1},
     "dedup_apply": {"documents": 2},  # corpus + final anti-join probe
+    "tpch_q17": {"lineitem": 1, "part": 1},
+    # canonical Q21 references the fact three times (l1 probe, l2 exists,
+    # l3 not-exists) — every engine pays 3 logical references; each here
+    # is a 2-column pushed projection, and at scale the probe and the
+    # anti side share one shuffle subtree (ReusedExchange). Budget pins
+    # it at exactly the canonical 3 so a 4th scan still fails.
+    "tpch_q21": {"lineitem": 3, "orders": 1, "supplier": 1},
+    "tpch_q2": {"lineitem": 1, "part": 1, "supplier": 1},
 }
 
 
@@ -262,6 +284,9 @@ BROADCAST_HINT_BUDGET = {
     # broadcast into supplier and customer — the analyzed plan replays it
     # twice: (region + asia_n) x 2 reuses = 4 hints, all ≤25-row dims
     "tpch_q5": 4,
+    "tpch_q17": 0,   # part cut scales with SF — AQE-decided
+    "tpch_q21": 1,   # the 25-row nation dim only; supplier is AQE-decided
+    "tpch_q2": 1,    # same: nation hinted, supplier/part AQE-decided
 }
 
 
