@@ -514,3 +514,258 @@ def ann_ivf_partitioned_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- IVF-PQ: product quantization (r12) --------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks — k-means in each of the ``m``
+    dim/m-sized subspaces (the FAISS ``IndexPQ`` training step) — and
+    return them as a plain nested list ``codebooks[sub][code] ->
+    centroid`` for pinning as plan literals.
+
+    ONE distributed Lloyd pipeline trains all ``m`` subspaces jointly:
+    each vector explodes into m (sub, subvector) rows, the m*ksub
+    centroid table broadcasts, assignment is a min_by per (id, sub) on
+    the rounded L2 distance (ties -> smallest code, the same struct-min
+    convention as clustering.kmeans), and the update is one
+    posexplode + two-level mean. Seeding follows clustering.kmeans: the
+    ksub smallest ids' subvectors, rounded — fully deterministic, so a
+    re-train reproduces the pinned literals. The only driver
+    materialization is the final m*ksub-row collect (the codebook IS a
+    driver-side artifact, like PCA components); the corpus never
+    collects. A code that loses every member drops out and the
+    surviving codes are re-indexed densely per subspace.
+
+    Scale: training cost is iters scans of (corpus x m) rows against a
+    broadcast m*ksub-row table — and because codebook quality needs only
+    a representative sample, at 100 TB you train on df.sample(frac) and
+    encode the full corpus with the result (the FAISS playbook)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    subs = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for j in range(m)
+        ]
+    )
+    pts = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(subs).alias("__sub", "__v")
+    )
+    cents = (
+        df.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).cast("long").alias("__code"), subs.alias("__ss"))
+        .select(
+            "__code",
+            F.posexplode(
+                F.transform(
+                    F.col("__ss"),
+                    lambda s: F.transform(s, lambda x: F.round(x, round_digits)),
+                )
+            ).alias("__sub", "__c"),
+        )
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731 — shared fold shape (_dist)
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        scored = pts.join(F.broadcast(cents), "__sub").select(
+            "__id",
+            "__sub",
+            "__v",
+            "__code",
+            F.round(d2(F.col("__v"), F.col("__c")), round_digits).alias("__d"),
+        )
+        assigned = scored.groupBy("__id", "__sub").agg(
+            F.min_by("__code", F.struct("__d", "__code")).alias("__code"),
+            F.first("__v").alias("__v"),
+        )
+        cents = (
+            assigned.select(
+                "__sub", "__code", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("__sub", "__code", "__pos")
+            .agg(F.round(F.avg("__x"), round_digits).alias("__m"))
+            .groupBy("__sub", "__code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s.getField("__m"),
+                ).alias("__c")
+            )
+        )
+    rows = cents.orderBy("__sub", "__code").collect()
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:  # dense re-index per subspace (empty codes dropped)
+        books[int(r["__sub"])].append([float(x) for x in r["__c"]])
+    return books
+
+
+def _pq_sub_dist_e6(sub_vec, centroid_lits):
+    """Squared L2 distance between a subvector column and a literal
+    centroid, as EXACT e6 fixed-point (long): the per-sub distances are
+    summed across subspaces and compared across engines, so they must be
+    reassociation-free integers (the tpch_q10 .xx5-tie lesson) — the
+    double fold itself is order-pinned (sequential aggregate, the _dist
+    shape DuckDB's list arithmetic matches)."""
+    d2 = F.aggregate(
+        F.zip_with(sub_vec, centroid_lits, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * 1e6, 0).cast("long")
+
+
+def pq_encode_expr(vec_col, codebooks: list[list[list[float]]], dim: int):
+    """array<tinyint> PQ codes for one vector column: per subspace, the
+    argmin code over the literal codebook (rounded-distance struct-min,
+    ties -> smallest code — the clustering.kmeans convention). Pure
+    plan expression: encoding a 100 TB corpus is a map-only pass, and
+    the emitted codes are m BYTES per vector (int8 — ksub <= 128)."""
+    m = len(codebooks)
+    dsub = dim // m
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.transform(
+            F.slice(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    j * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        )
+        cands = F.array(
+            *[
+                F.struct(
+                    _pq_sub_dist_e6(
+                        sub, F.array(*[F.lit(float(x)) for x in cv])
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cv in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(cands)["c"].cast("byte"))
+    return F.array(*codes)
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rerank: int = 50,
+    coarse_centroids: "list[tuple[int, list[float]]] | None" = None,
+    nprobe: int = 2,
+    code_col: "str | None" = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-PQ ANN — the 100 TB-class retrieval index (FAISS IVFPQ,
+    Jégou et al. 2011 'Product Quantization for Nearest Neighbor
+    Search'): an optional coarse Voronoi prune (IVF cells around pinned
+    centroid literals, query scans only its ``nprobe`` nearest cells),
+    then an ASYMMETRIC-DISTANCE scan — each survivor's distance is
+    approximated as the sum over subspaces of ||q_sub - codebook[sub][
+    code]||², touching only the m-BYTE code per vector, never the float
+    vector — and finally an exact cosine re-rank of the top ``rerank``
+    candidates (recall is lost only through quantization error, hence
+    rerank > k).
+
+    Determinism end-to-end (the oracle-gate discipline): cell argmax
+    and ADC argmin both rank ROUNDED values with id/code tie-breaks;
+    per-sub distances are exact e6 fixed-point longs so the cross-sub
+    sum is reassociation-free in any engine; candidate and final cuts
+    are TakeOrderedAndProject with id tie-breaks.
+
+    ``code_col``: scan pre-encoded codes (a column materialized once by
+    ``pq_encode_expr`` — the real serving shape: 64-dim float32 vectors
+    are 256 B, the codes 8 B, a 32x memory-traffic cut on the hot scan)
+    instead of encoding in-flight; results are identical because the
+    encoder is deterministic. At full scale, compose with
+    ``ivf_write_partitioned`` (store codes partitioned by cell) so a
+    query reads nprobe directories of byte codes + the rerank rows."""
+    m = len(codebooks)
+    dsub = dim // m
+    spark = df.sparkSession
+    cand0 = df
+    if coarse_centroids:
+        def cell_sims(vec):
+            return F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            cosine_similarity(
+                                vec, F.array(*[F.lit(float(x)) for x in cv])
+                            ),
+                            6,
+                        ).alias("s"),
+                        F.lit(int(cid)).alias("c"),
+                    )
+                    for cid, cv in coarse_centroids
+                ]
+            )
+
+        qdf = spark.range(1).select(
+            F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+        )
+        ranked = qdf.select(
+            F.reverse(F.array_sort(cell_sims(F.col("q")))).alias("r")
+        ).first()["r"]
+        probes = [row["c"] for row in ranked[:nprobe]]
+        vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        cand0 = df.filter(F.array_max(cell_sims(vec_dbl))["c"].isin(*probes))
+    codes = (
+        F.col(code_col)
+        if code_col is not None
+        else pq_encode_expr(vec_col, codebooks, dim)
+    )
+    staged = cand0.select(id_col, vec_col, codes.alias("__codes"))
+    q_subs = [
+        [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        for j in range(m)
+    ]
+    adc_terms = []
+    for j, book in enumerate(codebooks):
+        q_lit = F.array(*[F.lit(x) for x in q_subs[j]])
+        table = F.array(
+            *[
+                _pq_sub_dist_e6(q_lit, F.array(*[F.lit(float(x)) for x in cv]))
+                for cv in book
+            ]
+        )
+        adc_terms.append(
+            F.element_at(table, F.element_at("__codes", j + 1).cast("int") + 1)
+        )
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    cand = (
+        staged.select(id_col, vec_col, adc.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -143,6 +143,77 @@ def test_q21_plan_keeps_semi_and_anti(spark):
 import pytest
 
 
+def test_ann_pq_recall_and_code_col_path(spark):
+    """IVF-PQ laws: (1) recall@10 vs brute force is reported and bounded
+    (quantization + nprobe=2/4 pruning loses some neighbors — the
+    rerank>k design keeps recall usable); (2) scanning PRE-ENCODED int8
+    codes (code_col=, the 100 TB serving shape — 8 B/vec instead of
+    256 B) returns the identical result, because the encoder is
+    deterministic; (3) with the coarse prune off and rerank >= corpus
+    size, PQ collapses to exact brute force — the approximation is
+    confined to candidate selection."""
+    from bun_csv_spark.operators.similarity import (
+        ann_brute_force,
+        ann_pq_topk,
+        pq_encode_expr,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    books = entry_mod._ANN_PQ_CODEBOOKS
+    coarse = entry_mod._ANN_PQ_COARSE
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    qvec = list(
+        emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    )
+
+    pq = ann_pq_topk(
+        emb, qvec, books, k=10, rerank=50, coarse_centroids=coarse, nprobe=2
+    ).collect()
+    brute = ann_brute_force(emb, qvec, k=10).collect()
+    recall = len(
+        {r["vec_id"] for r in pq} & {r["vec_id"] for r in brute}
+    ) / 10
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+    encoded = emb.withColumn("pq_code", pq_encode_expr("embedding", books, 64))
+    assert dict(encoded.schema["pq_code"].dataType.jsonValue().items())[
+        "elementType"
+    ] == "byte"
+    via_codes = ann_pq_topk(
+        encoded, qvec, books, k=10, rerank=50,
+        coarse_centroids=coarse, nprobe=2, code_col="pq_code",
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in via_codes] == [
+        (r["vec_id"], r["cosine_sim"]) for r in pq
+    ]
+
+    full = ann_pq_topk(emb, qvec, books, k=10, rerank=n).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in full] == [
+        (r["vec_id"], r["cosine_sim"]) for r in brute
+    ]
+
+
+def test_ann_pq_pinned_literals_reproduce(spark):
+    """The gate's pinned codebooks/centroids must be exactly what the
+    deterministic trainers emit at sf0.01 — the pin is a cache, not a
+    fork: anyone can re-derive it, and a trainer change that would
+    silently invalidate the pinned literals fails here."""
+    from bun_csv_spark.operators.similarity import (
+        pq_train_codebooks,
+        refined_centroids,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_train_codebooks(emb, dim=64, m=8, ksub=16, iters=2)
+    assert books == entry_mod._ANN_PQ_CODEBOOKS
+    coarse = refined_centroids(emb, n_centroids=4, n_iter=1)
+    assert coarse == entry_mod._ANN_PQ_COARSE
+
+
 @pytest.mark.parametrize("m_bits", [64, 1 << 16])
 def test_incremental_neardup_bloom_prune_is_exact(spark, tmp_path, m_bits):
     """The band-store bloom pre-prune must be invisible in the emitted

@@ -241,6 +241,11 @@ EXPECTATIONS = {
     # fact; top-100 via TakeOrdered, never a global sort
     "tpch_q2": (3, ["Window", "TakeOrderedAndProject"],
                 ["CartesianProduct", "GlobalSort"]),
+    # IVF-PQ: the pinned-literal cell prune is a map-side Filter on the
+    # scan, encode + ADC are pure codegen, both cuts are TakeOrdered —
+    # zero shuffles end to end
+    "ann_pq": (0, ["TakeOrderedAndProject"],
+               ["Exchange", "SortMergeJoin", "CartesianProduct"]),
 }
 
 
