@@ -95,7 +95,10 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     leak-free property survives the per-process naming — but never dirs
     whose owning PID is still alive: an hours-long sweep's lazily
     re-read store must not vanish under it just because its mtime aged
-    out. Each invocation fully rebuilds the dir, so callers must collect
+    out. Liveness is PID + the _OWNER marker's kernel start time (r12:
+    an unrelated process recycling the number no longer keeps a dead
+    run's dir alive), and pre-r11 unsuffixed dirs fall under the same
+    age rule. Each invocation fully rebuilds the dir, so callers must collect
     the returned DataFrame before invoking the same gate again IN THE
     SAME process."""
     import glob
@@ -104,21 +107,59 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     import tempfile
     import time
 
+    def proc_start(pid: int) -> "int | None":
+        """Kernel start time (clock ticks) of a live process — the
+        recycled-PID disambiguator. None where /proc is unavailable."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                st = fh.read()
+            # field 22, counted after the last ')' (comm may hold spaces)
+            return int(st[st.rindex(b")") + 2:].split()[19])
+        except (OSError, ValueError, IndexError):
+            return None
+
     base = f"bun_csv_gate_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     tmp = tempfile.gettempdir()
-    for old in glob.glob(os.path.join(tmp, base + "_*")):
+    # the pre-r11 naming wrote exactly `base` (no PID suffix): those dirs
+    # have no live owner running this code, so they go through the same
+    # age rule as dead-PID dirs instead of leaking forever
+    candidates = glob.glob(os.path.join(tmp, base + "_*"))
+    legacy = os.path.join(tmp, base)
+    if os.path.isdir(legacy):
+        candidates.append(legacy)
+    for old in candidates:
         try:
             pid = int(old.rsplit("_", 1)[-1])
         except ValueError:
             pid = None
         if pid is not None and pid != os.getpid():
+            alive = False
             try:
                 os.kill(pid, 0)  # scratch is host-local, so PIDs are too
-                continue  # owner alive — never reap, whatever the age
+                alive = True
             except ProcessLookupError:
                 pass  # owner gone; the age rule below decides
             except OSError:
-                continue  # EPERM etc.: assume alive, don't touch
+                alive = True  # EPERM etc.: assume alive, don't touch
+            if alive:
+                # a live PID may be an unrelated process that recycled the
+                # number: the _OWNER marker records the creator's kernel
+                # start time — a mismatch means the real owner is gone and
+                # the age rule applies; no marker (pre-r12 dir) or no
+                # /proc means we can't disambiguate, so stay conservative
+                owner_start = None
+                try:
+                    with open(os.path.join(old, "_OWNER")) as fh:
+                        owner_start = int(fh.read().split()[1])
+                except (OSError, ValueError, IndexError):
+                    pass
+                live_start = proc_start(pid)
+                if (
+                    owner_start is None
+                    or live_start is None
+                    or owner_start == live_start
+                ):
+                    continue  # owner (apparently) alive — never reap
         try:
             if time.time() - os.path.getmtime(old) > 6 * 3600:
                 shutil.rmtree(old, ignore_errors=True)
@@ -127,6 +168,10 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     d = os.path.join(tmp, f"{base}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
+    me = proc_start(os.getpid())
+    if me is not None:
+        with open(os.path.join(d, "_OWNER"), "w") as fh:
+            fh.write(f"{os.getpid()} {me}")
     return d
 
 

@@ -82,11 +82,14 @@ def _fresh_runs(n: int) -> "dict | None":
     inherited JIT/GC/code-cache state) and min-combine per query. This
     is the cross-round-comparable number: the same-process suite's wall
     drifts ±25-45% with accumulated process state (SCALE.md), which a
-    fresh JVM per pass removes. Returns None if every child fails."""
+    fresh JVM per pass removes. The caller stops the parent Spark
+    session first, so only ONE local[32] executor heap lives at a time.
+    Returns None if every child fails — with each child's returncode +
+    stderr tail on OUR stderr, never silently."""
     import subprocess
 
     per_child = []
-    for _ in range(n):
+    for i in range(n):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
@@ -94,7 +97,16 @@ def _fresh_runs(n: int) -> "dict | None":
             )
             line = proc.stdout.strip().splitlines()[-1]
             per_child.append(json.loads(line))
-        except (subprocess.TimeoutExpired, IndexError, ValueError):
+        except subprocess.TimeoutExpired:
+            print(f"bench fresh child {i}: timeout (1200s)", file=sys.stderr)
+            continue
+        except (IndexError, ValueError):
+            tail = "\n".join(proc.stderr.strip().splitlines()[-5:])
+            print(
+                f"bench fresh child {i}: rc={proc.returncode}, no JSON; "
+                f"stderr tail:\n{tail}",
+                file=sys.stderr,
+            )
             continue
     if not per_child:
         return None
@@ -144,9 +156,13 @@ def main() -> None:
     # fresh-process pass (r11): the same suite, best-of-2 in each of 2
     # NEW JVMs, min-combined — carried alongside the same-process numbers
     # so cross-round comparisons have a process-state-free series.
-    # SPARK_GRAFT_NO_FRESH=1 skips it (quick local iteration).
+    # SPARK_GRAFT_NO_FRESH=1 skips it (quick local iteration). The parent
+    # session stops FIRST (r12): the same-process measurements are done,
+    # and two concurrent local[32] heaps would squeeze the child the
+    # series exists to keep clean.
     fresh = None
     if not os.environ.get("SPARK_GRAFT_NO_FRESH"):
+        spark.stop()
         fresh = _fresh_runs(2)
 
     print(

@@ -2244,34 +2244,52 @@ def parse_avi_meta(b: bytes) -> "tuple[int, int, int, int] | None":
     raise ValueError("AVI without hdrl list")
 
 
-def decode_avi_frames(b: bytes):
-    """Decode every MJPEG frame of an AVI: walk LIST movi, decode each
-    '00dc' chunk through ``decode_jpeg_pixels``. Returns (width,
-    height, us_per_frame, [HxWx3 uint8 BGR arrays]). Raises ValueError
-    on a non-AVI payload, a frame-count mismatch vs the avih header, or
-    any malformed chunk — never silently-wrong frames."""
+def _avi_frame_spans(b: bytes):
+    """Index an AVI's MJPEG frames WITHOUT decoding any: walk LIST movi
+    and collect the (offset, size) span of every STREAM-00 video chunk
+    ('00dc'/'00db' — the single 'vids' stream the header parser
+    returns; a second stream's '01dc' chunks are someone else's frames,
+    not ours to interleave). Returns (width, height, us_per_frame,
+    [(off, size), ...]) with the frame count validated against the avih
+    header — the fail-fast contract holds before any pixel work, and a
+    caller that samples k frames pays k decodes, not n."""
     meta = parse_avi_meta(b)
     if meta is None:
         raise ValueError("not a RIFF/AVI payload")
     w, h, uspf, n_frames = meta
     (riff_size,) = struct.unpack_from("<I", b, 4)
     end = min(len(b), 8 + riff_size)
-    frames = []
+    spans = []
     for fourcc, off, size in _riff_chunks(b, 12, end):
         if fourcc == b"LIST" and b[off:off + 4] == b"movi":
             for c4, o2, s2 in _riff_chunks(b, off + 4, off + size):
-                if c4[2:4] == b"dc":
-                    fw, fh, px = decode_jpeg_pixels(b[o2:o2 + s2])
-                    if (fw, fh) != (w, h):
-                        raise ValueError(
-                            f"frame dims {(fw, fh)} != stream dims {(w, h)}"
-                        )
-                    frames.append(px)
-    if len(frames) != n_frames:
+                if c4 in (b"00dc", b"00db"):
+                    spans.append((o2, s2))
+    if len(spans) != n_frames:
         raise ValueError(
-            f"avih declares {n_frames} frames, movi carries {len(frames)}"
+            f"avih declares {n_frames} frames, movi carries {len(spans)}"
         )
-    return w, h, uspf, frames
+    return w, h, uspf, spans
+
+
+def _avi_decode_span(b: bytes, span, w: int, h: int):
+    """Decode one indexed frame chunk and enforce the stream dims."""
+    off, size = span
+    fw, fh, px = decode_jpeg_pixels(b[off:off + size])
+    if (fw, fh) != (w, h):
+        raise ValueError(f"frame dims {(fw, fh)} != stream dims {(w, h)}")
+    return px
+
+
+def decode_avi_frames(b: bytes):
+    """Decode every MJPEG frame of an AVI: index the stream-00 movi
+    chunks (``_avi_frame_spans``), decode each through
+    ``decode_jpeg_pixels``. Returns (width, height, us_per_frame,
+    [HxWx3 uint8 BGR arrays]). Raises ValueError on a non-AVI payload,
+    a frame-count mismatch vs the avih header, or any malformed chunk —
+    never silently-wrong frames."""
+    w, h, uspf, spans = _avi_frame_spans(b)
+    return w, h, uspf, [_avi_decode_span(b, s, w, h) for s in spans]
 
 
 def _avi_macroblock_fixture(i: int, n_frames: int):
@@ -2335,8 +2353,11 @@ def sample_video_frames(
     Scale shape: one-in-many-out Arrow-batched mapInPandas, zero
     shuffles — each video is decoded where its bytes live, only the
     (id, frame) stat rows leave the executor; at 100 TB of video the
-    decode parallelizes with the scan and the sampling stride bounds
-    per-row work regardless of clip length."""
+    decode parallelizes with the scan, and because the movi chunks are
+    INDEXED first (``_avi_frame_spans`` — a header walk, no pixel
+    work), only the <= ``max_frames`` frames under sampling instants
+    are ever decoded, so per-row decode cost is bounded by the stride,
+    not the clip length."""
     out_schema = (
         f"{id_col} long, frame_idx long, frame_ts_ms long, width long, "
         "height long, sum_b long, sum_g long, sum_r long"
@@ -2348,13 +2369,15 @@ def sample_video_frames(
                                     "width", "height", "sum_b", "sum_g",
                                     "sum_r")}
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, uspf, frames = decode_avi_frames(bytes(payload))
-                duration_ms = len(frames) * uspf // 1000
+                raw = bytes(payload)
+                w, h, uspf, spans = _avi_frame_spans(raw)
+                duration_ms = len(spans) * uspf // 1000
                 k = 0
                 while k < max_frames and k * every_ms < duration_ms:
                     ts = k * every_ms
                     fi = ts * 1000 // uspf
-                    sums = frames[fi].reshape(-1, 3).sum(0, dtype="int64")
+                    px = _avi_decode_span(raw, spans[fi], w, h)
+                    sums = px.reshape(-1, 3).sum(0, dtype="int64")
                     cols[id_col].append(int(rid))
                     cols["frame_idx"].append(fi)
                     cols["frame_ts_ms"].append(ts)

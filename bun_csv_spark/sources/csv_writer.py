@@ -155,15 +155,27 @@ def append_csv_file(
     import shutil
     import tempfile
 
+    from pyspark.sql import Observation
+
     line = csv_line_expr(
         df, delimiter=delimiter, quote=quote, quote_style=quote_style
     )
     staged = tempfile.mkdtemp(prefix="bun_csv_append_")
     try:
         out = os.path.join(staged, "parts")
-        df.select(line.alias("value")).write.mode("overwrite").option(
+        # the row count comes from the WRITE JOB ITSELF (Observation
+        # metric), never from re-evaluating the source plan: a
+        # non-deterministic df (rand/sampling) would make a second
+        # evaluation disagree with the batch actually written, and the
+        # old probe (df.limit(1).count()) also cost an extra job on
+        # every empty-batch append
+        obs = Observation()
+        df.select(line.alias("value")).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").option(
             "lineSep", newline
         ).text("file://" + os.path.abspath(out))
+        n_written = int(obs.get["n"])
         parts = sorted(glob.glob(os.path.join(out, "part-*")))
         if not parts and not os.path.exists(os.path.join(out, "_SUCCESS")):
             raise RuntimeError(
@@ -172,11 +184,11 @@ def append_csv_file(
                 f"shared with the driver; use write_csv's directory sink "
                 f"for cluster appends"
             )
-        if not parts and df.limit(1).count() > 0:
+        if not parts and n_written > 0:
             raise RuntimeError(
-                f"append_csv_file: staged write committed under {out} but "
-                f"no part files are visible to the driver for a non-empty "
-                f"batch; refusing a silent zero-row append"
+                f"append_csv_file: staged write committed {n_written} rows "
+                f"under {out} but no part files are visible to the driver; "
+                f"refusing a silent zero-row append"
             )
         with open(path, "ab") as fh:
             for part in parts:

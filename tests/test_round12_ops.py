@@ -214,6 +214,107 @@ def test_ann_pq_pinned_literals_reproduce(spark):
     assert coarse == entry_mod._ANN_PQ_COARSE
 
 
+def test_scratch_dir_reaper_rules(monkeypatch, tmp_path):
+    """The reaper's three r12 rules: (1) a legacy UNSUFFIXED dir (pre-r11
+    naming) is reaped once stale; (2) a stale dir whose PID was recycled
+    by an unrelated live process (its _OWNER start time disagrees with
+    /proc) is reaped; (3) a stale dir with a live owner whose marker
+    MATCHES is never reaped."""
+    import os
+    import time
+
+    import __spark_entry__ as entry_mod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        import hashlib
+
+        base = (
+            f"bun_csv_gate_rtest_"
+            f"{hashlib.md5(b'/nonexistent_sf').hexdigest()[:8]}"
+        )
+        old_ts = time.time() - 7 * 3600
+
+        legacy = tmp_path / base
+        legacy.mkdir()
+        os.utime(legacy, (old_ts, old_ts))
+
+        # PID 1 is alive (init) but its start time can't match a marker
+        # from a long-dead creator: plant a wrong start time
+        recycled = tmp_path / f"{base}_1"
+        recycled.mkdir()
+        (recycled / "_OWNER").write_text("1 999999999")
+        os.utime(recycled, (old_ts, old_ts))
+
+        # a dir owned by PID 1 with a MATCHING marker must survive
+        def start_of(pid):
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                st = fh.read()
+            return int(st[st.rindex(b")") + 2:].split()[19])
+
+        mine = entry_mod._scratch_dir("rtest", "/nonexistent_sf")
+        assert os.path.isdir(mine) and os.path.exists(
+            os.path.join(mine, "_OWNER")
+        )
+        assert not legacy.exists(), "stale legacy dir must be reaped"
+        assert not recycled.exists(), "recycled-PID stale dir must be reaped"
+
+        # matching marker: recreate with pid 1's real start time
+        survivor = tmp_path / f"{base}_1"
+        survivor.mkdir()
+        (survivor / "_OWNER").write_text(f"1 {start_of(1)}")
+        os.utime(survivor, (old_ts, old_ts))
+        entry_mod._scratch_dir("rtest", "/nonexistent_sf")
+        assert survivor.exists(), "live-owner dir must never be reaped"
+    finally:
+        tempfile.tempdir = None
+
+
+def test_avi_decode_ignores_foreign_stream_chunks():
+    """A second stream's '01dc' chunks are not ours: the header parser
+    returns the single 'vids' stream 00, so the decoder must skip
+    foreign movi chunks instead of interleaving them (and then tripping
+    the frame-count check). Planted by byte surgery: a junk '01dc'
+    chunk spliced into movi with the LIST/RIFF sizes fixed up."""
+    import struct
+
+    from bun_csv_spark.multimodal.binary import (
+        _avi_frame_spans,
+        _avi_macroblock_fixture,
+        _riff_chunks,
+        decode_avi_frames,
+        make_avi_mjpeg_payload,
+    )
+
+    avi = make_avi_mjpeg_payload(_avi_macroblock_fixture(5, 3), 40000)
+    want = decode_avi_frames(avi)
+
+    end = 8 + struct.unpack_from("<I", avi, 4)[0]
+    movi_off = next(
+        off for fourcc, off, _ in _riff_chunks(avi, 12, end)
+        if fourcc == b"LIST" and avi[off:off + 4] == b"movi"
+    )
+    foreign = b"01dc" + struct.pack("<I", 4) + b"JUNK"
+    planted = bytearray(
+        avi[: movi_off + 4] + foreign + avi[movi_off + 4 :]
+    )
+    for size_at in (4, movi_off - 4):  # RIFF size, movi LIST size
+        struct.pack_into(
+            "<I", planted, size_at,
+            struct.unpack_from("<I", planted, size_at)[0] + len(foreign),
+        )
+    planted = bytes(planted)
+
+    w, h, uspf, spans = _avi_frame_spans(planted)
+    assert len(spans) == 3
+    got = decode_avi_frames(planted)
+    assert got[:3] == want[:3]
+    assert all((a == b).all() for a, b in zip(got[3], want[3]))
+
+
 @pytest.mark.parametrize("m_bits", [64, 1 << 16])
 def test_incremental_neardup_bloom_prune_is_exact(spark, tmp_path, m_bits):
     """The band-store bloom pre-prune must be invisible in the emitted

@@ -44,9 +44,9 @@ def _dir(sf: float) -> str:
 SF01_DIR = "/root/testdata/sf0.1"
 
 SUBSET = [
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q18", "join_inner",
-    "groupby_reference_aggs", "sort_topk",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q21", "join_inner", "groupby_reference_aggs", "sort_topk",
 ]
 
 #: sf1 base sizes; gen scales them linearly by --sf
