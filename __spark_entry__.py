@@ -3106,17 +3106,22 @@ def q_tpch_q21(spark, sf_dir):
     NOT EXISTS(another LATE supplier on the order), both against the same
     fact with an inequality (suppkey <>) riding the orderkey equi-join.
 
-    Plan, designed for 100 TB: the probe side is pre-reduced BEFORE the
-    two big orderkey joins (q3/q5 discipline) — the region-supplier cut
-    (~1/5, hint-free: supplier scales with SF, AQE broadcasts while it
-    fits) and the status='F' orders cut (~1/3) land first; then the
-    left-semi against all (orderkey, suppkey) pairs and the left-anti
-    against the late pairs run as equi-joins ON ORDERKEY carrying the
-    suppkey<> residual — never a cartesian — and the probe's one orderkey
-    exchange is reused across orders join, semi, and anti. The anti's
-    right side is the SAME pushed-filter scan subtree as the probe base,
-    so its exchange is ReusedExchange at runtime. Reference: TPC-H spec
-    Q21."""
+    Plan, read from the sf10 EXECUTED plan (ratio 7.28x for 100x data —
+    the canonical 3-fact-reference price): the semi and anti run as
+    SortMergeJoin equi-joins ON ORDERKEY carrying the suppkey<>
+    residual — never a cartesian — and the probe's ONE orderkey
+    exchange feeds the semi whose output (still orderkey-partitioned)
+    flows into the anti with no re-exchange. The code declares the
+    region-supplier cut (~1/5, hint-free: supplier scales with SF) and
+    the status='F' orders cut (~1/3) on the probe first, but Catalyst's
+    PushDownLeftSemiAntiJoin runs the semi/anti below the inner joins —
+    equivalent by commutation, and the right-side exchanges (ALL
+    (orderkey, suppkey) pairs + all late pairs) dominate the shuffle
+    either way, so the optimizer's order is not fought. Three lineitem
+    scans = the canonical triple reference (l1/l2/l3), each a 2-3
+    column pushed projection; the single-scan per-order-aggregate
+    restatement exists in tests as the law check. Reference: TPC-H
+    spec Q21."""
     li = _t(spark, sf_dir, "lineitem")
     late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     sup_cut = (
@@ -3174,7 +3179,22 @@ def q_tpch_q2(spark, sf_dir):
     ≤25-row nation dim is the only forced broadcast; supplier and part
     joins are AQE-decided — and min().over(partitionBy l_partkey)
     computes threshold + detail in one pass over the doubly-cut rows
-    (same window-vs-rejoin call as q17). Equality on the raw IEEE
+    (same window-vs-rejoin call as q17). Two r12 sf100 lessons are
+    baked into the shape: (1) JOIN ORDER — Catalyst won't reorder
+    without CBO stats, so the selective part cut (p_size=15, ~2%) joins
+    lineitem before the supplier cut; the original supplier-first order
+    shuffled the ENTIRE fact on suppkey (251 s dedicated at sf100).
+    (2) LATE MATERIALIZATION — the cut + window run over KEYS ONLY
+    (p_partkey / s_suppkey single-column builds, which the static
+    size-only estimator prices under the broadcast threshold, so no
+    fact-wide exchange is ever planned); the wide attributes (p_name,
+    s_name, s_acctbal, n_name) attach AFTER the min-filter, when the
+    survivor set is ~100s of rows. Carrying them through instead made
+    the static planner pick SMJ and pay a 600M-row shuffle WRITE that
+    AQE's broadcast conversion could no longer un-spend (63 s vs ~9 s
+    dedicated at sf100; the second part/supplier scans are pushed
+    2-column projections — scans are the cheap side). Equality on the
+    raw IEEE
     quotient is engine-safe (both engines divide the same 2dp doubles);
     rounding happens only at projection. Ties at the min all survive, as
     in the canonical query; the DISTINCT collapses duplicate min-price
@@ -3201,14 +3221,21 @@ def q_tpch_q2(spark, sf_dir):
     )
     unit = F.col("l_extendedprice") / F.col("l_quantity")
     cut = (
-        li.join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(part_cut, F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part_cut.select("p_partkey"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(rs.select(F.col("s_suppkey").alias("rk")),
+              F.col("l_suppkey") == F.col("rk"))
         .withColumn("__unit", unit)
     )
     pmin = F.min("__unit").over(Window.partitionBy("l_partkey"))
-    return (
+    winners = (
         cut.withColumn("__pmin", pmin)
         .filter(F.col("__unit") == F.col("__pmin"))
+        .select("l_partkey", "l_suppkey", "__unit")
+    )
+    return (
+        winners.join(part_cut, F.col("l_partkey") == F.col("p_partkey"))
+        .join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal",
             "s_name",

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode defaults to maxFailures=1: any transient task flake
+        # (a JDK NativeThreadSet race in a spill read killed an sf100 run
+        # under GCLocker churn — SCALE.md r12) aborts the whole job.
+        # Cluster Spark defaults to 4 for exactly this reason; a
+        # deterministic bug still fails after 4 attempts.
+        .config("spark.task.maxFailures", "4")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -267,13 +267,17 @@ FACT_SCAN_BUDGET = {
     "join_inner": {"lineitem": 1, "orders": 1},
     "dedup_apply": {"documents": 2},  # corpus + final anti-join probe
     "tpch_q17": {"lineitem": 1, "part": 1},
+    # late materialization (r12 sf100 lesson): the cut+window run over
+    # keys-only builds, the wide part/supplier attributes attach to the
+    # ~100-row survivor set afterwards — the second scans are pushed
+    # 2-column projections, the price of never shuffling the fact wide
+    "tpch_q2": {"lineitem": 1, "part": 2, "supplier": 2},
     # canonical Q21 references the fact three times (l1 probe, l2 exists,
     # l3 not-exists) — every engine pays 3 logical references; each here
-    # is a 2-column pushed projection, and at scale the probe and the
-    # anti side share one shuffle subtree (ReusedExchange). Budget pins
+    # is a 2-3 column pushed projection, and the probe's one orderkey
+    # exchange feeds semi AND anti (sf10 executed-plan read). Budget pins
     # it at exactly the canonical 3 so a 4th scan still fails.
     "tpch_q21": {"lineitem": 3, "orders": 1, "supplier": 1},
-    "tpch_q2": {"lineitem": 1, "part": 1, "supplier": 1},
 }
 
 
@@ -291,7 +295,9 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q5": 4,
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
     "tpch_q21": 1,   # the 25-row nation dim only; supplier is AQE-decided
-    "tpch_q2": 1,    # same: nation hinted, supplier/part AQE-decided
+    # nation's hint sits inside the rs subtree, which late
+    # materialization replays twice (keys-only cut + attribute attach)
+    "tpch_q2": 2,
 }
 
 

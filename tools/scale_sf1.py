@@ -185,7 +185,8 @@ def run(spark, sf: float = 1.0) -> None:
 #: queries whose output is small enough to collect() — needed because the
 #: AQE-final plan (the join strategies that actually ran) is only readable
 #: from a DataFrame's own QueryExecution after an action executed it
-PLAN_SUBSET = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q13", "tpch_q18"]
+PLAN_SUBSET = ["tpch_q2", "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q13",
+               "tpch_q17", "tpch_q18", "tpch_q21"]
 
 
 def plans(spark, sf: float = 1.0) -> None:
@@ -218,7 +219,15 @@ def main() -> int:
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    spark = get_spark("scale_sf1", cpus=32)
+    # partition sizing is part of what this tool measures the truth of:
+    # at sf100 a 32-partition shuffle means ~19M-row sort/spill tasks —
+    # GCLocker churn and (observed, r12) a JDK spill-read race killing
+    # the job. 256 partitions puts sf100 lineitem at ~50 MB a task, the
+    # number a real cluster job would pick; AQE coalesces the remainder
+    # for the small side of the run.
+    spark = get_spark(
+        "scale_sf1", cpus=32, shuffle_partitions=(256 if sf >= 30 else None)
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "gen":
         generate(spark, sf)
