@@ -37,9 +37,13 @@ def test_every_registry_query_analyzes_and_every_oracle_parses():
 #   temperature_resample window over one row PER SOURCE (dim-sized)
 #   edit_overlay         window over the driver-side edit log
 #   csv_opts_errors      window over the skipped-error report rows
+#   tpch_q17             the window IS keyed (partitionBy l_partkey); the
+#                        SinglePartition the blunt co-occurrence rule sees
+#                        is the final 1-row aggregate's partial-state
+#                        reduce (audited at 2 shuffles in audit_plans)
 BOUNDED_GLOBAL_WINDOW = {
     "quantile_sketch", "bm25", "temperature_resample",
-    "edit_overlay", "csv_opts_errors",
+    "edit_overlay", "csv_opts_errors", "tpch_q17",
 }
 
 
