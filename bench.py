@@ -74,7 +74,15 @@ def _child_main() -> None:
     queries = entry_mod.queries()
     force(queries["count_rows"](spark, sf_dir))
     timings = _run_suite(spark, queries, sf_dir, samples=2)
-    print(json.dumps({"queries": timings, "calibrate_sec": _calibrate(spark)}))
+    # csv throughput measured here too (r12): in the parent it runs
+    # AFTER 50+ query executions and reads 40% low on a stale box —
+    # the baseline-comparison number deserves the same fresh-JVM
+    # treatment as the queries
+    print(json.dumps({
+        "queries": timings,
+        "calibrate_sec": _calibrate(spark),
+        "csv_parse_mb_per_sec": csv_parse_throughput(spark, sf_dir),
+    }))
 
 
 def _fresh_runs(n: int) -> "dict | None":
@@ -118,6 +126,9 @@ def _fresh_runs(n: int) -> "dict | None":
         "queries": queries,
         "total": round(sum(queries.values()), 3),
         "calibrate_sec": round(min(c["calibrate_sec"] for c in per_child), 3),
+        "csv_parse_mb_per_sec": round(
+            max(c.get("csv_parse_mb_per_sec", 0.0) for c in per_child), 1
+        ),
         "runs": len(per_child),
     }
 
@@ -160,10 +171,14 @@ def main() -> None:
     # session stops FIRST (r12): the same-process measurements are done,
     # and two concurrent local[32] heaps would squeeze the child the
     # series exists to keep clean.
+    # 3 children since r12: two same-day fresh totals spread 12%
+    # (8.411 vs 9.503 s), past the r11 rule's ~10% trigger — the third
+    # JVM's min-combine absorbs one bad draw (spread recorded in
+    # SCALE.md r12)
     fresh = None
     if not os.environ.get("SPARK_GRAFT_NO_FRESH"):
         spark.stop()
-        fresh = _fresh_runs(2)
+        fresh = _fresh_runs(3)
 
     print(
         json.dumps(
