@@ -128,10 +128,17 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     if os.path.isdir(legacy):
         candidates.append(legacy)
     for old in candidates:
-        try:
-            pid = int(old.rsplit("_", 1)[-1])
-        except ValueError:
+        if old == legacy:
+            # the legacy dir's tail is the md5 prefix, which can be
+            # all-decimal (~2% of tag/sf_dir combos) and collide with a
+            # live PID — it has no owner by construction, so never
+            # PID-parse it (r12 advice)
             pid = None
+        else:
+            try:
+                pid = int(old.rsplit("_", 1)[-1])
+            except ValueError:
+                pid = None
         if pid is not None and pid != os.getpid():
             alive = False
             try:
