@@ -434,48 +434,84 @@ def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 local-supplier volume (adapted): 6-way star join —
     revenue per nation in one region.
 
-    Scale shape (r10 rewrite, A/B-measured at sf10): the region
-    predicate implies only ASIA-nation suppliers and customers can
-    reach the result, so both fact-side inputs are REDUCED FIRST — the
-    ≤25-row asia-nations dim broadcasts into supplier and customer,
-    lineitem joins the 1/5-sized supplier set, orders joins the
-    1/5-sized customer set — and only then do the two pre-shrunk sides
-    meet in the one big orderkey join (which also carries the
-    local-supplier c_nationkey = s_nationkey equality). Inner joins
-    commute, every predicate is preserved, and the big shuffle moves
-    ~5x fewer rows than the canonical join order; the r9 two-scan
-    lesson says measure, so the old shape's 10.3x sf0.1->sf10 wall
-    ratio vs this one's is recorded in SCALE.md. Scaling tables keep
-    AQE-decided strategies (no hints beyond the fixed dims)."""
+    Scale shape (r10 rewrite, A/B-measured at sf10; r13 late
+    materialization, A/B'd at sf100): the region predicate implies only
+    ASIA-nation suppliers and customers can reach the result, so both
+    fact-side inputs are REDUCED FIRST — the ≤25-row asia-nations dim
+    broadcasts into supplier and customer, lineitem joins the 1/5-sized
+    supplier set, orders joins the 1/5-sized customer set — and only
+    then do the two pre-shrunk sides meet in the one big orderkey join
+    (which also carries the local-supplier c_nationkey = s_nationkey
+    equality). Inner joins commute, every predicate is preserved, and
+    the big shuffle moves ~5x fewer rows than the canonical join order.
+    The r13 change keeps the fact path KEYS-ONLY: grouping on
+    s_nationkey and broadcast-joining n_name onto the <=25-row
+    aggregate means the supplier build is a 2-column projection the
+    static size-only estimator prices under the broadcast threshold —
+    the r12 shape carried n_name through and statically planned SMJ,
+    paying a 66.5 s fact-wide suppkey shuffle WRITE at sf100 before AQE
+    could flip the join (the q2 lesson; measured A/B in SCALE.md).
+    Scaling tables keep AQE-decided strategies (no hints beyond the
+    fixed dims)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     asia_n = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    supplier = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(asia_n),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cust = _t(spark, sf_dir, "customer").join(
-        F.broadcast(asia_n.select(F.col("n_nationkey").alias("cn_key"))),
-        F.col("c_nationkey") == F.col("cn_key"),
-    ).select("c_custkey", "c_nationkey")
-    li = _t(spark, sf_dir, "lineitem").join(
-        supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    # LATE MATERIALIZATION (the q2 sf100 recipe, applied r13): the fact
+    # path carries KEYS ONLY — supplier and customer reduce to 2-column
+    # key builds (narrow join-derived projections price under the static
+    # broadcast threshold, so no fact-wide suppkey/custkey exchange is
+    # ever planned — the r12 shape carried n_name through the supplier
+    # build and paid a 66.5 s fact-wide shuffle WRITE at sf100 that
+    # AQE's broadcast conversion could not un-spend). n_name attaches
+    # AFTER the aggregate, when the result is <=25 rows.
+    # the asia nationkey set is a FIXED-SIZE dim artifact (<=25 longs
+    # whatever the SF) — collecting it and filtering supplier/customer
+    # by isin() makes both cuts SCAN-LEVEL (filter+project over the
+    # file), which the size-only estimator prices at file-size x
+    # column-ratio, UNDER the broadcast threshold; a join-derived cut
+    # prices at the PRODUCT of its children and always lands over
+    # (the r13 sf100 plan read: the 2-column keys-only join build still
+    # planned SMJ and wrote the 600M-row suppkey exchange). This is the
+    # collect a CBO would constant-fold; it is legal here exactly
+    # because region x nation is SF-independent.
+    asia_key_vals = sorted(
+        r["n_nationkey"] for r in asia_n.select("n_nationkey").collect()
     )
-    orders = _t(spark, sf_dir, "orders").join(
-        cust, F.col("o_custkey") == F.col("c_custkey")
+    sup_k = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(*asia_key_vals))
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust_k = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*asia_key_vals))
+        .select("c_custkey", "c_nationkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(sup_k, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(cust_k, F.col("o_custkey") == F.col("c_custkey"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    per_nation = (
         li.join(
             orders,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+    return per_nation.join(
+        F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "revenue", "n_items")
 
 
 def q_count_rows(spark, sf_dir):
@@ -3258,6 +3294,197 @@ def q_tpch_q2(spark, sf_dir):
 
 
 
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue (adapted: p_container/l_shipmode
+    don't exist, so p_type plays the container list): the DISJUNCTIVE
+    OR-of-ANDs shape — three (brand, type-set, size-range,
+    quantity-range) branches OR'd into one predicate that references
+    BOTH join sides.
+
+    Plan, designed for 100 TB: the point of this shape is what the
+    engine does NOT do — no three-branch UNION (which would scan the
+    fact three times), no cartesian fallback. Declared as ONE join with
+    the disjunction as a post-join filter, Catalyst keeps one scan per
+    table and evaluates the compound predicate on the joined rows; the
+    branch predicates are all scan-pushable conjuncts within each
+    branch, and the audit pins lineitem=1/part=1 scans so a union
+    rewrite can never sneak in. part scales with SF, so its join
+    strategy stays AQE-decided (no hint). Reference: TPC-H spec Q19."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_type").isin("SMALL", "MEDIUM")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_type").isin("MEDIUM", "LARGE")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion (adapted: no partsupp, so the
+    'supply' relation is the (l_partkey, l_suppkey) grouping of lineitem
+    and the availqty comparison becomes: more than half the pair's
+    all-time quantity shipped in 1996): the DEEPEST NESTING in the
+    suite — a name-prefix part cut feeds a semi-join, a correlated
+    0.5*sum threshold filters the grouped pairs, and the surviving
+    suppkeys semi-join INTO the nation-cut supplier list.
+
+    Plan, designed for 100 TB: the part cut lands on the fact FIRST
+    (left_semi on a keys-only build — the q2/q5 late-materialization
+    discipline), so the (partkey, suppkey) aggregation shuffles only the
+    name-matched fraction of lineitem. The correlated '0.5 * sum over
+    the same group' is ONE conditional aggregate in the same groupBy
+    pass (the q17 window-vs-rejoin decision: threshold and detail come
+    from one pass, never a re-join of the fact against its own
+    aggregate). The excess-suppkey set is aggregation-small, so its
+    semi into supplier is AQE-decided; nation (25 rows) is the only
+    forced broadcast. Reference: TPC-H spec Q20."""
+    pkeys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(pkeys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty_total"),
+        F.sum(F.when(in_96, F.col("l_quantity"))).alias("qty96"),
+    )
+    excess_keys = (
+        per_ps.filter(F.col("qty96") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation3 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation3), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess_keys, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: no partsupp, so per-part
+    'value' is the discounted revenue its NATION_7-supplied lineitems
+    carry): the GROUP-AGGREGATE-VS-GLOBAL-SCALAR shape — parts whose
+    value exceeds a threshold computed as a global aggregate OVER THE
+    SAME grouped data (canonical HAVING sum > fraction * global sum;
+    here 3x the mean part value, which is scale-free where the spec's
+    0.0001/SF fraction needs the SF as an input).
+
+    Plan, designed for 100 TB: the nation cut reduces the fact via a
+    keys-only semi FIRST; ONE groupBy(l_partkey) aggregation produces
+    per-part values, and the 1-row global threshold joins back as a
+    broadcast — the per_part subtree appears twice in the DAG but
+    Spark's ReuseExchange collapses the duplicated aggregation, so the
+    fact is scanned and shuffled ONCE (asserted in the plan audit).
+    Values are exact e6-style cent longs (round(sum*100)) so the
+    threshold comparison is integer-vs-exact-double in both engines —
+    never an ulp-boundary coin flip. Reference: TPC-H spec Q11."""
+    n7_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(n7_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(rev) * 100, 0).cast("long").alias("value_cents")
+    )
+    thr = per_part.agg((F.avg("value_cents") * 3).alias("__thr"))
+    return (
+        per_part.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_cents") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (adapted: no c_phone, so the
+    country code is the last two digits of c_name; 'no orders ever'
+    never happens in this data, so the anti-join target is orders since
+    2000 — lapsed customers): ANTI-JOIN + GLOBAL SCALAR AVG SUBQUERY +
+    SUBSTRING BUCKETING in one query.
+
+    Plan, designed for 100 TB: the scalar average forces a second
+    reference to customer — kept as a second SCAN (3-column pushed
+    projection with the same pushed bucket filter) rather than a
+    single-partition global window over the bucket cut, which would
+    funnel every selected customer through one task at scale; the
+    positive-balance average broadcasts as a 1-row threshold; the
+    anti-join probes the date-cut orders projection (o_custkey only).
+    The final per-code rollup is a 25-ish-row aggregate. Reference:
+    TPC-H spec Q22."""
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    sel = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", F.substring("c_name", 17, 2).alias("cntrycode"))
+        .filter(F.col("cntrycode").isin(*codes))
+    )
+    avg_bal = sel.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        sel.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # Pinned IVF-PQ literals for the ann_pq gate: trained ONCE at sf0.01 via
 # similarity.pq_train_codebooks (m=8, ksub=16, iters=2) and
 # similarity.refined_centroids (4 cells, 1 Lloyd pass) — both fully
@@ -3965,6 +4192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q2": q_tpch_q2,
         "ann_pq": q_ann_pq,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q22": q_tpch_q22,
         # -- NEW round 11 ---------------------------------------------------
         "incremental_neardup": q_incremental_neardup,
         "multimodal_video": q_multimodal_video,
@@ -4713,6 +4944,68 @@ def oracle_sql() -> dict[str, str]:
               WHERE l2.l_partkey = p_partkey)
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100
+    """
+
+    sql["tpch_q19"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_type IN ('SMALL', 'MEDIUM')
+               AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_type IN ('MEDIUM', 'LARGE')
+               AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#5' AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+               AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["tpch_q20"] = """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY l_partkey, l_suppkey
+            HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                            THEN l_quantity END) > 0.5 * sum(l_quantity))
+        ORDER BY s_name
+    """
+
+    sql["tpch_q11"] = """
+        WITH per_part AS (
+            SELECT l_partkey AS partkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS value_cents
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                JOIN nation ON s_nationkey = n_nationkey
+                                WHERE n_name = 'NATION_7')
+            GROUP BY l_partkey)
+        SELECT partkey, value_cents
+        FROM per_part
+        WHERE value_cents > (SELECT avg(value_cents) * 3 FROM per_part)
+        ORDER BY value_cents DESC, partkey
+    """
+
+    sql["tpch_q22"] = """
+        WITH sel AS (
+            SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey, c_acctbal
+            FROM customer
+            WHERE substring(c_name, 17, 2)
+                  IN ('13', '31', '23', '29', '30', '18', '17'))
+        SELECT cntrycode,
+               count(*)::BIGINT AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM sel
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM sel WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
     """
 
     sql["ann_pq"] = """

@@ -241,6 +241,22 @@ EXPECTATIONS = {
     # fact; top-100 via TakeOrdered, never a global sort
     "tpch_q2": (3, ["Window", "TakeOrderedAndProject"],
                 ["CartesianProduct", "GlobalSort"]),
+    # r13 additions
+    # disjunctive OR-of-ANDs: ONE scan per table, ONE compound filter —
+    # the union rewrite (3 fact scans) must never appear
+    "tpch_q19": (2, ["HashAggregate"], ["Union", "CartesianProduct"]),
+    # nested semi-into-semi with the correlated 0.5*sum folded into one
+    # conditional aggregate; both semis must survive as equi-joins
+    "tpch_q20": (5, ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # group-agg vs global scalar: the 1-row threshold joins back as a
+    # broadcast; the duplicated per_part aggregation subtree collapses
+    # at RUNTIME (AQE stage reuse — asserted in RUNTIME_REUSE below,
+    # because the static formatted plan prints the subtree twice)
+    "tpch_q11": (4, ["BroadcastExchange"], ["CartesianProduct"]),
+    # anti-join + 1-row avg broadcast + substring buckets; the BNLJ of a
+    # 1-row build is the intended threshold attach, so only a cartesian
+    # is forbidden
+    "tpch_q22": (6, ["HashAggregate"], ["CartesianProduct"]),
     # IVF-PQ: the pinned-literal cell prune is a map-side Filter on the
     # scan, encode + ADC are pure codegen, both cuts are TakeOrdered —
     # zero shuffles end to end
@@ -278,6 +294,14 @@ FACT_SCAN_BUDGET = {
     # exchange feeds semi AND anti (sf10 executed-plan read). Budget pins
     # it at exactly the canonical 3 so a 4th scan still fails.
     "tpch_q21": {"lineitem": 3, "orders": 1, "supplier": 1},
+    # the disjunctive shape's whole point: never the 3-branch union
+    "tpch_q19": {"lineitem": 1, "part": 1},
+    "tpch_q20": {"lineitem": 1, "part": 1, "supplier": 1},
+    # the static plan prints the duplicated per_part subtree (2 scans);
+    # RUNTIME_REUSE asserts AQE collapses it to one executed scan
+    "tpch_q11": {"lineitem": 2, "supplier": 2},
+    # the scalar-avg branch is a second pushed 3-column scan by design
+    "tpch_q22": {"customer": 2, "orders": 1},
 }
 
 
@@ -289,15 +313,31 @@ BROADCAST_HINT_BUDGET = {
     "join_inner": 0,     # customer scales with SF
     "tpch_q3": 0,
     "distinct_agg": 0,
-    # region's hint sits INSIDE the asia-nations subtree, which is itself
-    # broadcast into supplier and customer — the analyzed plan replays it
-    # twice: (region + asia_n) x 2 reuses = 4 hints, all ≤25-row dims
-    "tpch_q5": 4,
+    # r13: the supplier/customer cuts are scan-level isin() filters on
+    # the collected (<=25-key) asia set, so the only hinted subtree left
+    # is the post-aggregate n_name attach: region hint + asia_n hint
+    "tpch_q5": 2,
+    "tpch_q19": 0,   # part scales with SF — AQE-decided
+    "tpch_q20": 1,   # the 25-row nation dim only; excess keys AQE-decided
+    # nation's hint replays in both prints of the per_part subtree
+    # (detail + threshold) + the 1-row global threshold's own hint
+    "tpch_q11": 3,
+    "tpch_q22": 1,   # the 1-row positive-balance average only
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
     "tpch_q21": 1,   # the 25-row nation dim only; supplier is AQE-decided
     # nation's hint sits inside the rs subtree, which late
     # materialization replays twice (keys-only cut + attribute attach)
     "tpch_q2": 2,
+}
+
+
+# Queries whose scale property is RUNTIME exchange reuse: a logical
+# subtree referenced twice (detail + global threshold) must execute
+# once. With AQE on, ReuseExchange is deferred to stage materialization,
+# so the static formatted plan legitimately prints the subtree twice —
+# the assertion has to run the query and read the executed plan.
+RUNTIME_REUSE = {
+    "tpch_q11": {"lineitem": 1},
 }
 
 
@@ -307,6 +347,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     bad = 0
+    for name, scans in RUNTIME_REUSE.items():
+        df = queries[name](spark, sf_dir)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "ReusedExchange" not in executed:
+            problems.append("no ReusedExchange in executed plan")
+        for tbl, max_n in scans.items():
+            # executed-plan scans appear as FileScan lines; the reused
+            # branch prints ReusedExchange instead of a second scan —
+            # count distinct scan mentions OUTSIDE the "Initial Plan"
+            # section AQE appends
+            live = executed.split("+- == Initial Plan ==")[0]
+            n = live.count(f"{tbl}.parquet")
+            if n > max_n:
+                problems.append(f"{tbl} executed {n} scans (max {max_n})")
+        if problems:
+            bad += 1
+            print(f"BAD  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK   {name}: runtime exchange reuse holds")
     for name, budget in BROADCAST_HINT_BUDGET.items():
         df = queries[name](spark, sf_dir)
         analyzed = df._jdf.queryExecution().analyzed().toString()
