@@ -479,14 +479,25 @@ def q_tpch_q5(spark, sf_dir):
     asia_key_vals = sorted(
         r["n_nationkey"] for r in asia_n.select("n_nationkey").collect()
     )
+    # empty-region slice: isin() requires >=1 value; the correct result
+    # is empty, expressed as a literal-false scan filter
+    asia_cut = (
+        F.col("s_nationkey").isin(*asia_key_vals)
+        if asia_key_vals
+        else F.lit(False)
+    )
     sup_k = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey").isin(*asia_key_vals))
+        .filter(asia_cut)
         .select("s_suppkey", "s_nationkey")
     )
     cust_k = (
         _t(spark, sf_dir, "customer")
-        .filter(F.col("c_nationkey").isin(*asia_key_vals))
+        .filter(
+            F.col("c_nationkey").isin(*asia_key_vals)
+            if asia_key_vals
+            else F.lit(False)
+        )
         .select("c_custkey", "c_nationkey")
     )
     li = (
