@@ -527,7 +527,7 @@ def neardup_pairs_embedding(
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
     Recall < 1 by design (tune bands/n_planes); at 100 TB the candidate
     join shuffles on (band, bucket) only."""
-    from bun_csv_spark.functions.vectors import cosine_similarity
+    from bun_csv_spark.functions.vectors import cosine_similarity, dlit
 
     planes = embedding_planes(seed, bands, n_planes, dim)
     v = F.col(vec_col)
@@ -535,7 +535,8 @@ def neardup_pairs_embedding(
     for b in range(bands):
         bucket = F.lit(0)
         for i in range(n_planes):
-            arr = F.array(*[F.lit(float(p)) for p in planes[b][i]])
+            # one py4j call per plane, not per component (see vectors.dlit)
+            arr = dlit(list(planes[b][i]))
             proj = F.aggregate(
                 F.zip_with(v, arr, lambda x, p: x.cast("double") * p),
                 F.lit(0.0),

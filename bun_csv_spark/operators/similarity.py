@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bun_csv_spark.functions.vectors import cosine_similarity, dot
+from bun_csv_spark.functions.vectors import cosine_similarity, dlit as _dlit, dot, llit as _llit
 
 
 def ann_brute_force(
@@ -40,7 +40,7 @@ def ann_brute_force(
 
     Ties break on id for determinism. The query vector travels inside the
     plan as an array literal (broadcast-equivalent for one vector)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit(list(query_vec))
     sim = cosine_similarity(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -64,7 +64,7 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
     planes = embedding_planes(seed, 1, n_planes, dim)[0]
     bucket = F.lit(0)
     for i in range(n_planes):
-        arr = F.array(*[F.lit(float(p)) for p in planes[i]])
+        arr = _dlit(list(planes[i]))
         proj = F.aggregate(
             F.zip_with(c, arr, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -93,11 +93,11 @@ def ann_lsh_topk(
     # so Spark's float math decides the sign bits, not Python's
     spark = df.sparkSession
     qdf = spark.range(1).select(
-        F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+        _dlit(list(query_vec)).alias("q")
     )
     qbucket = qdf.select(lsh_bucket(F.col("q"), dim, n_planes, seed).alias("b")).first()["b"]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit(list(query_vec))
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
     cand = bucketed.filter(F.col("__bucket") == qbucket)
     sim = cosine_similarity(F.col(vec_col), q)
@@ -211,7 +211,7 @@ def ann_ivf_topk(
         sims = F.array(
             *[
                 F.struct(
-                    cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                    cosine_similarity(vec, _dlit(list(cv))).alias("s"),
                     F.lit(int(cid)).alias("c"),
                 )
                 for cid, cv in centroids
@@ -222,7 +222,7 @@ def ann_ivf_topk(
     # probe cells for the query — computed by the same expression over a
     # 1-row plan so Spark's float math decides, not Python's
     spark = df.sparkSession
-    qdf = spark.range(1).select(F.array(*[F.lit(float(x)) for x in query_vec]).alias("q"))
+    qdf = spark.range(1).select(_dlit(list(query_vec)).alias("q"))
     probe_rows = qdf.select(
         F.slice(
             F.reverse(
@@ -231,7 +231,7 @@ def ann_ivf_topk(
                         *[
                             F.struct(
                                 cosine_similarity(
-                                    F.col("q"), F.array(*[F.lit(float(x)) for x in cv])
+                                    F.col("q"), _dlit(list(cv))
                                 ).alias("s"),
                                 F.lit(int(cid)).alias("c"),
                             )
@@ -246,7 +246,7 @@ def ann_ivf_topk(
     ).first()["top"]
     probes = [r["c"] for r in probe_rows]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit(list(query_vec))
     cand = df.withColumn("__cell", cell_expr(F.col(vec_col))).filter(
         F.col("__cell").isin(*probes)
     )
@@ -400,7 +400,7 @@ def ann_quantized_topk(
             lambda q, b: b["m"] + q * b["r"] / 255,
         )
 
-    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_arr = _dlit(list(query_vec))
     staged = (
         df.select(id_col, vec_col)
         .crossJoin(F.broadcast(bounds))
@@ -436,7 +436,7 @@ def ivf_cell_expr(vec, centroids: list[tuple[int, list[float]]]):
     sims = F.array(
         *[
             F.struct(
-                cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                cosine_similarity(vec, _dlit(list(cv))).alias("s"),
                 F.lit(int(cid)).alias("c"),
             )
             for cid, cv in centroids
@@ -483,7 +483,7 @@ def ann_ivf_partitioned_topk(
     prunes whole cell directories before any file opens (plan-asserted in
     tests/test_similarity.py)."""
     qdf = spark.range(1).select(
-        F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+        _dlit(list(query_vec)).alias("q")
     )
     ranked = qdf.select(
         F.reverse(
@@ -492,7 +492,7 @@ def ann_ivf_partitioned_topk(
                     *[
                         F.struct(
                             cosine_similarity(
-                                F.col("q"), F.array(*[F.lit(float(x)) for x in cv])
+                                F.col("q"), _dlit(list(cv))
                             ).alias("s"),
                             F.lit(int(cid)).alias("c"),
                         )
@@ -504,7 +504,7 @@ def ann_ivf_partitioned_topk(
     ).first()["r"]
     probes = [row["c"] for row in ranked[:nprobe]]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit(list(query_vec))
     cand = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
     sim = cosine_similarity(F.col(vec_col), q)
     if round_digits is not None:
@@ -670,8 +670,7 @@ def _book_dists_e6(book: list[list[float]], other):
     the unrolled expressions did). Unrolling to scalar arithmetic
     instead is a trap: scalar trees enter whole-stage codegen and blow
     Janino's 64 KB method limit (HOFs are interpreted and never did)."""
-    lit = F.lit([[float(x) for x in cv] for cv in book])
-    return F.transform(lit, lambda cv: _pq_sub_dist_e6(other, cv))
+    return F.transform(_dlit(book), lambda cv: _pq_sub_dist_e6(other, cv))
 
 
 def pq_encode_expr(vec_col, codebooks: list[list[list[float]]], dim: int):
@@ -693,8 +692,8 @@ def pq_encode_expr(vec_col, codebooks: list[list[list[float]]], dim: int):
         # of ksub inlined fold expressions — bit-identical values,
         # ~10x smaller plan tree (see _book_dists_e6)
         cands = F.zip_with(
-            F.lit([[float(x) for x in cv] for cv in book]),
-            F.lit(list(range(len(book)))),
+            _dlit(book),
+            F.sequence(F.lit(0), F.lit(len(book) - 1)),
             lambda cv, c: F.struct(
                 _pq_sub_dist_e6(sub, cv).alias("d"),
                 c.cast("int").alias("c"),
@@ -750,10 +749,8 @@ def ann_pq_topk(
     if coarse_centroids:
         # one 2-D cell literal + one zip_with (not ncells inlined
         # cosine folds) — bit-identical, small tree (_book_dists_e6)
-        cells_lit = F.lit(
-            [[float(x) for x in cv] for _cid, cv in coarse_centroids]
-        )
-        ids_lit = F.lit([int(cid) for cid, _cv in coarse_centroids])
+        cells_lit = _dlit([cv for _cid, cv in coarse_centroids])
+        ids_lit = _llit([cid for cid, _cv in coarse_centroids])
 
         def cell_sims(vec):
             return F.zip_with(
@@ -765,9 +762,7 @@ def ann_pq_topk(
                 ),
             )
 
-        qdf = spark.range(1).select(
-            F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
-        )
+        qdf = spark.range(1).select(_dlit(list(query_vec)).alias("q"))
         ranked = qdf.select(
             F.reverse(F.array_sort(cell_sims(F.col("q")))).alias("r")
         ).first()["r"]
@@ -796,13 +791,13 @@ def ann_pq_topk(
     # analysis on the corpus plan (r12 VERDICT weak #1).
     tbl_row = spark.range(1).select(
         *[
-            _book_dists_e6(book, F.lit(q_subs[j])).alias(f"t{j}")
+            _book_dists_e6(book, _dlit(q_subs[j])).alias(f"t{j}")
             for j, book in enumerate(codebooks)
         ]
     ).first()
     adc_terms = []
     for j in range(m):
-        table = F.lit([int(x) for x in tbl_row[f"t{j}"]])
+        table = _llit(list(tbl_row[f"t{j}"]))
         adc_terms.append(
             F.element_at(table, F.element_at("__codes", j + 1).cast("int") + 1)
         )
@@ -814,7 +809,7 @@ def ann_pq_topk(
         .orderBy(F.col("__adc").asc(), F.col(id_col))
         .limit(rerank)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit(list(query_vec))
     sim = cosine_similarity(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
