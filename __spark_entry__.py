@@ -3422,9 +3422,14 @@ def q_tpch_q11(spark, sf_dir):
     broadcast — the per_part subtree appears twice in the DAG but
     Spark's ReuseExchange collapses the duplicated aggregation, so the
     fact is scanned and shuffled ONCE (asserted in the plan audit).
-    Values are exact e6-style cent longs (round(sum*100)) so the
-    threshold comparison is integer-vs-exact-double in both engines —
-    never an ulp-boundary coin flip. Reference: TPC-H spec Q11."""
+    Values are exact cent longs (round(sum*100)), and the 3x-mean
+    threshold is compared in INTEGER space — value_cents * count >
+    3 * sum(value_cents), all longs — because Spark's AVG over longs
+    sums in double (order-dependent) while DuckDB's integer AVG is
+    exact, so a double threshold could differ by ulps between engines
+    (r13 advice). Long headroom: at sf100, 3*sum ~ 7e15 and
+    value_cents*count ~ 2e16, both far under 2^63. Reference: TPC-H
+    spec Q11."""
     n7_supp = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -3444,10 +3449,12 @@ def q_tpch_q11(spark, sf_dir):
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(rev) * 100, 0).cast("long").alias("value_cents")
     )
-    thr = per_part.agg((F.avg("value_cents") * 3).alias("__thr"))
+    thr = per_part.agg(
+        F.sum("value_cents").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
+    )
     return (
         per_part.crossJoin(F.broadcast(thr))
-        .filter(F.col("value_cents") > F.col("__thr"))
+        .filter(F.col("value_cents") * F.col("__cnt") > F.lit(3) * F.col("__sum"))
         .select(F.col("l_partkey").alias("partkey"), "value_cents")
         .orderBy(F.col("value_cents").desc(), "partkey")
     )
@@ -3493,6 +3500,237 @@ def q_tpch_q22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: the SYMMETRIC TWO-NATION predicate —
+    revenue shipped between two specific nations (either direction),
+    bucketed by (supp_nation, cust_nation, ship year). The first shape
+    in the suite where the SAME dim cut must land on BOTH fact paths
+    (supplier side of lineitem AND customer side of orders) and the
+    pair predicate is an OR of the two orderings.
+
+    Plan, designed for 100 TB: the two nationkeys are a FIXED-SIZE dim
+    artifact (the q5 constant-fold — legal because nation is
+    SF-independent), so BOTH cuts are SCAN-LEVEL isin() filters: the
+    supplier and customer builds price at file-size x column-ratio,
+    never at a join product (the r13 product rule). lineitem is cut by
+    the pushed shipdate range + the 2/25 supplier set, orders by the
+    2/25 customer set, and only the two pre-shrunk sides meet in the
+    one big orderkey join. The OR-of-orderings runs on nationkeys AFTER
+    that join (with only 2 keys on each side it excludes the two
+    same-nation combos); names attach to the <=2x2x|years| aggregate as
+    a driver-side CASE over the already-collected pair — no second
+    nation scan, no hint. Reference: TPC-H spec Q7."""
+    pair = ("NATION_5", "NATION_12")
+    key_of = {
+        r["n_name"]: r["n_nationkey"]
+        for r in _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .collect()
+    }
+    # a nation missing from the dim makes the pair predicate
+    # unsatisfiable — expressed as a literal-false scan filter (the q5
+    # empty-slice guard; isin() needs >=1 value)
+    complete = len(key_of) == 2
+    keys = sorted(key_of.values())
+    sup_k = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(*keys) if complete else F.lit(False))
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust_k = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*keys) if complete else F.lit(False))
+        .select("c_custkey", "c_nationkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(sup_k, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(cust_k, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    k1, k2 = (key_of[pair[0]], key_of[pair[1]]) if complete else (-1, -2)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("s_nationkey") == k1) & (F.col("c_nationkey") == k2))
+            | ((F.col("s_nationkey") == k2) & (F.col("c_nationkey") == k1))
+        )
+        .groupBy("s_nationkey", "c_nationkey", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+    def name_of(col):
+        return F.when(col == k1, F.lit(pair[0])).otherwise(F.lit(pair[1]))
+
+    return per.select(
+        name_of(F.col("s_nationkey")).alias("supp_nation"),
+        name_of(F.col("c_nationkey")).alias("cust_nation"),
+        "l_year",
+        "revenue",
+    ).orderBy("supp_nation", "cust_nation", "l_year")
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so the unit
+    supply cost is the deterministic part attribute 0.5 * p_retailprice
+    — the q2 cost-adaptation recipe): profit per (supplier nation,
+    order year) over parts whose name carries one color word. No
+    selective nation filter exists here — all 25 nations group out —
+    so the ONLY fact cut is the p_name LIKE cut.
+
+    Plan, designed for 100 TB: the name-cut part build lands on the
+    fact FIRST (the q20 recipe) and must carry p_retailprice (profit
+    needs it per row — the cost term cannot be deferred past the
+    aggregate), so it is a SCAN-LEVEL filter+project over the part file
+    (2 of 6 columns; the r13 product rule — never a join-derived
+    build). The supplier attach is keys-only (s_suppkey, s_nationkey —
+    2 of 4 columns, broadcast-priced). orders contributes a 2-column
+    (orderkey, year) projection via the one inherent orderkey join
+    against the 1/8-cut fact. n_name attaches AFTER the <=25x|years|
+    aggregate (late materialization). At sf100 the part cut prices
+    above the static broadcast threshold (same boundary as q5's
+    orders-side cut — ANALYZE stats price the post-filter ~40 MB build
+    correctly on a real deployment); AQE flips it at runtime.
+    Reference: TPC-H spec Q9."""
+    pc = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ord_y = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        )
+        .join(pc, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_y, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("s_nationkey", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+    return (
+        per.join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_year", "sum_profit")
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: the ARGMAX-VS-GLOBAL-AGGREGATE shape —
+    the supplier(s) whose 3-month revenue EQUALS the maximum per-
+    supplier revenue (all ties survive, as in the canonical view-based
+    query).
+
+    Plan, designed for 100 TB: ONE groupBy(l_suppkey) aggregation over
+    the pushed shipdate slice produces per-supplier revenue; the 1-row
+    global max joins back as a broadcast, and the duplicated per_supp
+    subtree collapses at runtime via AQE exchange reuse (the q11 shape
+    applied to argmax — asserted in the audit's RUNTIME_REUSE section),
+    so the fact is scanned and shuffled ONCE. Revenue compares as an
+    exact cent long (the q11 discipline): long-vs-long max equality is
+    never an ulp coin flip in either engine. s_name attaches AFTER the
+    max filter, when the survivor set is ~1 row. The explicit
+    l_suppkey IS NOT NULL (mirrored in the oracle; vacuous in TPC-H
+    data) keeps the two references to per_supp BYTE-IDENTICAL —
+    without it, InferFiltersFromConstraints pushes isnotnull from the
+    downstream supplier join into the detail branch's scan only, the
+    exchanges differ, and AQE reuse cannot fire (found via the audit's
+    RUNTIME_REUSE assertion). Reference: TPC-H spec Q15."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+            & F.col("l_suppkey").isNotNull()
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev) * 100, 0).cast("long").alias("total_revenue_cents")
+    )
+    mx = per_supp.agg(F.max("total_revenue_cents").alias("__mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_cents") == F.col("__mx"))
+        .join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: no partsupp, so
+    the supply relation is lineitem's (l_partkey, l_suppkey) pairs; no
+    s_comment, so the complaint-supplier exclusion keys on the s_name
+    suffix): NOT IN + GROUPED COUNT-DISTINCT — how many distinct
+    suppliers can supply each surviving (brand, type, size) bucket,
+    excluding a blacklisted supplier set.
+
+    Plan, designed for 100 TB: the part cut is a SCAN-LEVEL
+    filter+project (4 of 6 columns; brand/type/size predicates all
+    push to the parquet scan) landing on the fact before any
+    aggregation; the NOT IN decorrelates to a LEFT ANTI equi-join
+    against the blacklist — exactly equivalent here because both join
+    keys are non-nullable (the nullable divergence, where one NULL in
+    the NOT IN subquery empties the result, is proven as a law test in
+    tests/test_round14_ops.py). No pre-distinct of the pairs is needed:
+    count(DISTINCT l_suppkey) per (brand, type, size) absorbs duplicate
+    pairs in the aggregate itself, saving a full (partkey, suppkey)
+    shuffle. The tie-safe sort (cnt desc, then the full group key) is
+    deterministic. Reference: TPC-H spec Q16."""
+    pc = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").like("MEDIUM%"))
+            & F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(pc, F.col("l_partkey") == F.col("p_partkey"))
+        .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 
@@ -4198,6 +4436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 14 ---------------------------------------------------
+        "tpch_q7": q_tpch_q7,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         # -- NEW round 12 ---------------------------------------------------
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
@@ -4997,7 +5240,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey)
         SELECT partkey, value_cents
         FROM per_part
-        WHERE value_cents > (SELECT avg(value_cents) * 3 FROM per_part)
+        WHERE value_cents * (SELECT count(*) FROM per_part)
+              > 3 * (SELECT sum(value_cents) FROM per_part)
         ORDER BY value_cents DESC, partkey
     """
 
@@ -5017,6 +5261,71 @@ def oracle_sql() -> dict[str, str]:
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY cntrycode
         ORDER BY cntrycode
+    """
+
+    sql["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate)::INTEGER AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_12')
+               OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_5'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+    sql["tpch_q9"] = """
+        SELECT n_name AS nation,
+               year(o_orderdate)::INTEGER AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """
+
+    sql["tpch_q15"] = """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS total_revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_suppkey IS NOT NULL
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+                                     FROM per_supp)
+        ORDER BY s_suppkey
+    """
+
+    sql["tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%7')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """
 
     sql["ann_pq"] = """

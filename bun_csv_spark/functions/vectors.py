@@ -98,12 +98,24 @@ def dlit(vals):
     Double.parseDouble map it to the same IEEE double."""
     def fmt(v):
         if isinstance(v, (list, tuple)):
+            if len(v) == 0:
+                # array() types as array<void> and breaks downstream
+                # zip_with/element_at typing — fail loudly instead
+                raise ValueError("dlit: empty array literal not supported")
             return "array(" + ",".join(fmt(x) for x in v) + ")"
-        return repr(float(v)) + "D"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            # repr() would emit 'nanD'/'infD' — unparseable SQL tokens;
+            # the old F.lit(float) path accepted these, so keep parity
+            return f"CAST('{f}' AS DOUBLE)"
+        return repr(f) + "D"
 
     return F.expr(fmt(vals))
 
 
 def llit(vals) -> Column:
     """1-D bigint-array literal in one py4j roundtrip (see dlit)."""
+    vals = list(vals)
+    if not vals:
+        raise ValueError("llit: empty array literal not supported")
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")

@@ -1,0 +1,263 @@
+"""Round-14 operator tests: the four new TPC-H shapes (reference:
+TPC-H spec Q7/Q9/Q15/Q16, adapted to the trimmed testdata schema — see
+the gate docstrings in __spark_entry__.py).
+
+Each gate's oracle equality is covered by the registry sweep; these
+tests prove the LAWS behind the plan choices instead:
+- q7: the scan-level two-key cut + post-join OR equals the canonical
+  six-way join with the symmetric name predicate, no same-nation pair
+  leaks through, and both dim cuts are pushed In() filters;
+- q9: profit per (nation, year) matches a driver-side row-by-row
+  recomputation of the adapted cost model;
+- q15: argmax is tight (every winner equals the max, every loser is
+  strictly below) and the duplicated per_supp subtree collapses via
+  runtime exchange reuse (the q11 law applied to argmax);
+- q16: the NOT IN -> left-anti decorrelation is exact for non-null
+  keys, the nullable divergence (one NULL in the subquery empties a
+  NOT IN) is demonstrated on synthetic data, and count(DISTINCT)
+  absorbs duplicate (partkey, suppkey) pairs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from tests.conftest import spark  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(spark, name, sf=SF):
+    return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+
+def test_q7_equals_canonical_join_and_excludes_same_nation(spark):
+    """The gate's scan-level isin() cuts + post-join OR must equal the
+    canonical six-way join that applies the symmetric name predicate
+    directly, and no (supp_nation == cust_nation) row may survive."""
+    # sf0.01: the 0.001 slice yields only 2 groups — use the wider one
+    sf = "/root/testdata/sf0.01"
+    rows = entry_mod.queries()["tpch_q7"](spark, sf).collect()
+    assert rows, "q7 must be non-degenerate at sf0.01"
+    assert all(r["supp_nation"] != r["cust_nation"] for r in rows)
+
+    sn = _t(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    want = (
+        _t(spark, "lineitem", sf)
+        .join(_t(spark, "supplier", sf), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .join(_t(spark, "orders", sf), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, "customer", sf), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_5")
+                & (F.col("cust_nation") == "NATION_12")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_5")
+            )
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .collect()
+    )
+    key = lambda r: (r["supp_nation"], r["cust_nation"], r["l_year"])  # noqa: E731
+    assert {key(r): r["revenue"] for r in rows} == {
+        key(r): r["revenue"] for r in want
+    }
+
+
+def test_q7_both_cuts_are_scan_level(spark):
+    """The r13 product rule made physical: the supplier AND customer
+    nation cuts must be pushed In() predicates on their scans — a
+    join-derived cut would price at the bytes-product of its children
+    and plan a fact-wide exchange at sf100."""
+    df = entry_mod.queries()["tpch_q7"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "In(s_nationkey, [12,5])" in plan
+    assert "In(c_nationkey, [12,5])" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_matches_rowwise_recomputation(spark):
+    """The adapted cost model (0.5 * p_retailprice per unit) recomputed
+    driver-side row by row must reproduce every (nation, year) bucket."""
+    rows = entry_mod.queries()["tpch_q9"](spark, SF).collect()
+    price = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in _t(spark, "part").collect()
+        if "red" in r["p_name"]
+    }
+    nat_of_supp = {
+        r["s_suppkey"]: r["s_nationkey"] for r in _t(spark, "supplier").collect()
+    }
+    year_of_order = {
+        r["o_orderkey"]: r["o_orderdate"].year for r in _t(spark, "orders").collect()
+    }
+    n_name = {
+        r["n_nationkey"]: r["n_name"] for r in _t(spark, "nation").collect()
+    }
+    want: dict[tuple[str, int], float] = {}
+    for li in _t(spark, "lineitem").collect():
+        if li["l_partkey"] not in price:
+            continue
+        k = (
+            n_name[nat_of_supp[li["l_suppkey"]]],
+            year_of_order[li["l_orderkey"]],
+        )
+        amt = li["l_extendedprice"] * (1 - li["l_discount"]) - 0.5 * price[
+            li["l_partkey"]
+        ] * li["l_quantity"]
+        want[k] = want.get(k, 0.0) + amt
+    assert {(r["nation"], r["o_year"]) for r in rows} == set(want)
+    for r in rows:
+        assert abs(r["sum_profit"] - round(want[(r["nation"], r["o_year"])], 2)) < 0.02
+
+
+def test_q15_argmax_tight_and_exchange_reused(spark):
+    """(a) Argmax law: every returned supplier's revenue equals the max
+    over ALL per-supplier revenues; every non-returned supplier with
+    any qualifying lineitem is strictly below it. (b) Scale law: the
+    per_supp subtree appears twice in the DAG (detail + max) but the
+    executed plan collapses it via ReusedExchange — the fact is
+    scanned once."""
+    df = entry_mod.queries()["tpch_q15"](spark, SF)
+    rows = df.collect()
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        _t(spark, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev) * 100, 0).cast("long").alias("vc"))
+        .collect()
+    )
+    mx = max(r["vc"] for r in per)
+    want = sorted(r["l_suppkey"] for r in per if r["vc"] == mx)
+    assert sorted(r["s_suppkey"] for r in rows) == want
+    assert all(r["total_revenue_cents"] == mx for r in rows)
+    # plan read AFTER collect: AQE finalizes stage reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in live
+    assert live.count("lineitem.parquet") == 1
+
+
+def test_q16_not_in_equals_anti_for_nonnull_and_diverges_on_null(spark):
+    """The gate decorrelates NOT IN to a left-anti equi-join, which is
+    equivalent ONLY because both key sides are non-nullable. Proven
+    both ways on synthetic data: (a) with non-null keys, SQL NOT IN and
+    the anti-join select identical rows; (b) one NULL in the NOT IN
+    subquery empties the SQL result while the anti-join keeps
+    non-matching rows — the divergence the decorrelation must respect."""
+    probe = spark.createDataFrame(
+        [(1,), (2,), (3,)], "k long"
+    )
+    clean = spark.createDataFrame([(2,), (9,)], "v long")
+    probe.createOrReplaceTempView("probe14")
+    clean.createOrReplaceTempView("clean14")
+    got_sql = sorted(
+        r["k"]
+        for r in spark.sql(
+            "SELECT k FROM probe14 WHERE k NOT IN (SELECT v FROM clean14)"
+        ).collect()
+    )
+    got_anti = sorted(
+        r["k"]
+        for r in probe.join(clean, F.col("k") == F.col("v"), "left_anti").collect()
+    )
+    assert got_sql == got_anti == [1, 3]
+    withnull = spark.createDataFrame([(2,), (None,)], "v long")
+    withnull.createOrReplaceTempView("dirty14")
+    got_sql_null = spark.sql(
+        "SELECT k FROM probe14 WHERE k NOT IN (SELECT v FROM dirty14)"
+    ).collect()
+    got_anti_null = probe.join(
+        withnull, F.col("k") == F.col("v"), "left_anti"
+    ).collect()
+    assert got_sql_null == []  # NULL makes every NOT IN row UNKNOWN
+    assert sorted(r["k"] for r in got_anti_null) == [1, 3]
+
+
+def test_q16_count_distinct_absorbs_duplicate_pairs(spark):
+    """The gate skips the pre-distinct of (partkey, suppkey) pairs:
+    count(DISTINCT l_suppkey) per group must equal the two-step
+    distinct-then-count form — one full pair shuffle saved."""
+    got = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in entry_mod.queries()["tpch_q16"](spark, SF).collect()
+    }
+    pc = (
+        _t(spark, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").like("MEDIUM%"))
+            & F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        _t(spark, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    want = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in (
+            _t(spark, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()  # the explicit pre-distinct the gate avoids
+            .join(pc, F.col("l_partkey") == F.col("p_partkey"))
+            .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_dlit_llit_guards(spark):
+    """r13 advice: non-finite dlit inputs must survive as literals (the
+    old F.lit(float) path accepted them) and empty arrays must fail
+    loudly instead of typing as array<void>."""
+    import math
+
+    import pytest
+
+    from bun_csv_spark.functions.vectors import dlit, llit
+    row = spark.range(1).select(
+        dlit([1.5, float("nan"), float("inf"), float("-inf")]).alias("a")
+    ).collect()[0]
+    assert row["a"][0] == 1.5
+    assert math.isnan(row["a"][1])
+    assert row["a"][2] == float("inf")
+    assert row["a"][3] == float("-inf")
+    with pytest.raises(ValueError, match="empty"):
+        dlit([])
+    with pytest.raises(ValueError, match="empty"):
+        dlit([[1.0], []])
+    with pytest.raises(ValueError, match="empty"):
+        llit([])

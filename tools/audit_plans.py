@@ -257,6 +257,25 @@ EXPECTATIONS = {
     # 1-row build is the intended threshold attach, so only a cartesian
     # is forbidden
     "tpch_q22": (6, ["HashAggregate"], ["CartesianProduct"]),
+    # r14 additions
+    # symmetric two-nation predicate: both dim cuts are scan-level
+    # isin() filters (pushed In predicates), the pair OR runs post-join
+    # on nationkeys — never a cartesian, never a second nation scan
+    "tpch_q7": (5, ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+                ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # profit rollup: the p_name cut is a pushed StringContains on the
+    # part scan; all joins equi; nation attaches post-aggregate
+    "tpch_q9": (5, ["PushedFilters: [IsNotNull(p_name), StringContains(p_name",
+                    "HashAggregate"],
+                ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # argmax vs global max: the 1-row threshold joins back as a
+    # broadcast; the duplicated per_supp subtree collapses at RUNTIME
+    # (asserted in RUNTIME_REUSE, like tpch_q11)
+    "tpch_q15": (4, ["BroadcastExchange"], ["CartesianProduct"]),
+    # NOT IN decorrelated to a left anti equi-join; grouped
+    # count-distinct is the two-exchange expand — never a cartesian
+    "tpch_q16": (4, ["Anti", "HashAggregate"],
+                 ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # IVF-PQ: the pinned-literal cell prune is a map-side Filter on the
     # scan, encode + ADC are pure codegen, both cuts are TakeOrdered —
     # zero shuffles end to end
@@ -302,6 +321,13 @@ FACT_SCAN_BUDGET = {
     "tpch_q11": {"lineitem": 2, "supplier": 2},
     # the scalar-avg branch is a second pushed 3-column scan by design
     "tpch_q22": {"customer": 2, "orders": 1},
+    # r14: both nation cuts are scan-level — one scan per fact/dim side
+    "tpch_q7": {"lineitem": 1, "orders": 1, "customer": 1, "supplier": 1},
+    "tpch_q9": {"lineitem": 1, "orders": 1, "part": 1, "supplier": 1},
+    # the static plan prints the duplicated per_supp subtree (2 scans);
+    # RUNTIME_REUSE asserts AQE collapses it to one executed scan
+    "tpch_q15": {"lineitem": 2, "supplier": 1},
+    "tpch_q16": {"lineitem": 1, "part": 1, "supplier": 1},
 }
 
 
@@ -328,6 +354,12 @@ BROADCAST_HINT_BUDGET = {
     # nation's hint sits inside the rs subtree, which late
     # materialization replays twice (keys-only cut + attribute attach)
     "tpch_q2": 2,
+    # r14: q7's cuts are scan-level isin() and names attach as a CASE
+    # over the collected pair — zero hints anywhere
+    "tpch_q7": 0,
+    "tpch_q9": 1,   # the 25-row nation dim only; part/supplier AQE-decided
+    "tpch_q15": 1,  # the 1-row global max only; supplier AQE-decided
+    "tpch_q16": 0,  # part cut and blacklist both scale with SF — AQE-decided
 }
 
 
@@ -338,6 +370,8 @@ BROADCAST_HINT_BUDGET = {
 # the assertion has to run the query and read the executed plan.
 RUNTIME_REUSE = {
     "tpch_q11": {"lineitem": 1},
+    # q11's shape applied to argmax: per_supp feeds detail AND max
+    "tpch_q15": {"lineitem": 1},
 }
 
 
