@@ -3598,11 +3598,18 @@ def q_tpch_q9(spark, sf_dir):
     build). The supplier attach is keys-only (s_suppkey, s_nationkey —
     2 of 4 columns, broadcast-priced). orders contributes a 2-column
     (orderkey, year) projection via the one inherent orderkey join
-    against the 1/8-cut fact. n_name attaches AFTER the <=25x|years|
-    aggregate (late materialization). At sf100 the part cut prices
-    above the static broadcast threshold (same boundary as q5's
-    orders-side cut — ANALYZE stats price the post-filter ~40 MB build
-    correctly on a real deployment); AQE flips it at runtime.
+    against the 1/8-cut fact — carrying an explicit MERGE hint, because
+    this is the INVERSE of the r13 product rule: the size-only
+    estimator prices the narrow projection at file-size x column-ratio
+    UNDER the broadcast threshold and statically broadcasts the scaling
+    FACT (measured at sf10: a 15M-row ~240 MB HashedRelation, 9.8 s
+    warm; at sf100 that is a 150M-row broadcast — driver-killing on a
+    real cluster). The merge hint is the anti-broadcast guard ANALYZE
+    statistics would provide (3.46 s warm at sf10, 2.8x faster, and the
+    only 100 TB-legal plan — A/B in SCALE.md). n_name attaches AFTER
+    the <=25x|years| aggregate (late materialization). At sf100 the
+    part cut prices above the static broadcast threshold (same boundary
+    as q5's orders-side cut); AQE flips it at runtime.
     Reference: TPC-H spec Q9."""
     pc = (
         _t(spark, sf_dir, "part")
@@ -3610,8 +3617,10 @@ def q_tpch_q9(spark, sf_dir):
         .select("p_partkey", "p_retailprice")
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ord_y = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    ord_y = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+        .hint("merge")
     )
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
         0.5

@@ -357,7 +357,12 @@ BROADCAST_HINT_BUDGET = {
     # r14: q7's cuts are scan-level isin() and names attach as a CASE
     # over the collected pair — zero hints anywhere
     "tpch_q7": 0,
-    "tpch_q9": 1,   # the 25-row nation dim only; part/supplier AQE-decided
+    # nation's broadcast + the orders MERGE hint (the ANTI-broadcast
+    # guard: the size-only estimator under-prices the 2-col orders
+    # projection and statically broadcasts the scaling fact — 2.8x
+    # slower at sf10 and driver-killing at sf100; ResolvedHint counts
+    # every hint kind, so the guard costs a budget slot)
+    "tpch_q9": 2,
     "tpch_q15": 1,  # the 1-row global max only; supplier AQE-decided
     "tpch_q16": 0,  # part cut and blacklist both scale with SF — AQE-decided
 }
