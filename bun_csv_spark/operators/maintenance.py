@@ -127,6 +127,15 @@ def bloom_build(
     )
 
 
+#: map-layout cliff: Spark's element_at on a (non-literal) map is a
+#: LINEAR key scan over ArrayBasedMapData, so a 1-row map bitmap costs
+#: O(words) per probe — measured r14: m_bits=30M (500k words) made a
+#: 26M-row probe 7x SLOWER than no prune at all (~250 us per lookup).
+#: Above this word count the words-table layout (broadcast HASH join,
+#: O(1) per probe) is forced.
+BLOOM_MAP_MAX_BITS = 1 << 20
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -135,17 +144,30 @@ def bloom_semi_join(
     m_bits: int = BLOOM_BITS_DEFAULT,
     salt: str = "bloom",
     hash_fn: str = "md5",
+    layout: str | None = None,
 ) -> DataFrame:
     """Semi-join ``probe`` against ``build``'s key set through a Bloom
     bitmap: keeps every matching row plus a DETERMINISTIC set of false
     positives (md5 positions — bit-identical across engines and runs).
 
-    The scale shape: the bitmap collapses to ONE row (a word_idx->word
-    map, ≤ m_bits/60 entries) broadcast onto the probe — the probe side
-    never shuffles and all k membership tests are map lookups in a single
-    codegen'd filter (a real semi-join shuffles both sides on the key).
-    The 1-row crossJoin is the same bounds-broadcast pattern as
-    embedding quantization. Use it to pre-prune 100 TB scans down to
+    Two physical layouts, auto-selected by m_bits:
+
+    - ``layout="map"`` (small bitmaps, <= BLOOM_MAP_MAX_BITS): the
+      bitmap collapses to ONE row (a word_idx->word map, <= m_bits/60
+      entries) broadcast onto the probe — all k membership tests are
+      map lookups in a single codegen'd filter. CAUTION: element_at on
+      a map is a LINEAR key scan in Spark, so this layout's per-probe
+      cost is O(words) — fine at the 64 Kbit default (~1k words),
+      catastrophic at multi-Mbit sizes (the r14 finding: a 30 Mbit map
+      made the prune 7x slower than no prune).
+    - ``layout="words"`` (large bitmaps): the (word_idx, word) rows
+      broadcast as a TABLE and each of the k probes is a broadcast
+      HASH equi-join on word_idx — O(1) per probe, still zero probe
+      shuffles, and the k joins of the same build side collapse to one
+      broadcast (exchange reuse). This is the 100 TB layout.
+
+    Either way the probe side never shuffles (a real semi-join shuffles
+    both sides on the key). Use it to pre-prune 100 TB scans down to
     candidate rows before an exact join.
 
     SIZE m_bits TO THE BUILD SIDE: FP rate is (1-e^{-kn/m})^k — about
@@ -155,14 +177,39 @@ def bloom_semi_join(
     and faster — bloom wins in the regime where the KEYS don't fit a
     broadcast but the BITMAP does (measured datapoint in SCALE.md).
     """
+    if layout is None:
+        layout = "map" if m_bits <= BLOOM_MAP_MAX_BITS else "words"
     bitmap = bloom_build(build, key, k, m_bits, salt, hash_fn)
+    positions = _bloom_positions(F.col(key), k, m_bits, salt, hash_fn)
+    w = BLOOM_WORD_BITS
+    if layout == "words":
+        out = probe
+        pos_cols = [f"__bp{j}" for j in range(k)]
+        for c, pos in zip(pos_cols, positions):
+            out = out.withColumn(c, pos)
+        for j, c in enumerate(pos_cols):
+            wrd = bitmap.select(
+                F.col("word_idx").alias(f"__wi{j}"),
+                F.col("word").alias(f"__bw{j}"),
+            )
+            # inner hash join: a probe whose word is absent has that
+            # bit unset by definition — dropping it IS the bloom test
+            out = (
+                out.join(
+                    F.broadcast(wrd),
+                    F.floor(F.col(c) / w).cast("long") == F.col(f"__wi{j}"),
+                )
+                .filter(
+                    F.col(f"__bw{j}").bitwiseAND(_one_shl(F.col(c) % w)) != 0
+                )
+                .drop(f"__wi{j}", f"__bw{j}")
+            )
+        return out.drop(*pos_cols)
     one = bitmap.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "word"))
         ).alias("__bloom")
     )
-    positions = _bloom_positions(F.col(key), k, m_bits, salt, hash_fn)
-    w = BLOOM_WORD_BITS
     cond = F.lit(True)
     for pos in positions:
         word = F.coalesce(

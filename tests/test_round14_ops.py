@@ -239,6 +239,52 @@ def test_q16_count_distinct_absorbs_duplicate_pairs(spark):
     assert got == want
 
 
+def test_bloom_words_layout_equals_map_layout(spark):
+    """The r14 scale fix: element_at on a 1-row map bitmap is a LINEAR
+    key scan (O(words) per probe — 7x slower than no prune at 30 Mbit),
+    so large bitmaps switch to a broadcast words-TABLE layout probed by
+    hash equi-joins. Laws: (a) both layouts keep the IDENTICAL row set
+    (same false positives — same hash, same bits, different physical
+    lookup) for both hash families; (b) no false negatives ever; (c)
+    the words layout probes via BroadcastHashJoin, never a
+    nested-loop; (d) auto-selection flips at BLOOM_MAP_MAX_BITS."""
+    from bun_csv_spark.operators.maintenance import (
+        BLOOM_MAP_MAX_BITS,
+        bloom_semi_join,
+    )
+
+    probe = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    build = spark.range(0, 5000, 7).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    members = {f"k{i}" for i in range(0, 5000, 7)}
+    for hf in ("md5", "xxhash64"):
+        a = sorted(
+            r["key"]
+            for r in bloom_semi_join(
+                probe, build, "key", m_bits=1 << 14, hash_fn=hf, layout="map"
+            ).collect()
+        )
+        b = sorted(
+            r["key"]
+            for r in bloom_semi_join(
+                probe, build, "key", m_bits=1 << 14, hash_fn=hf, layout="words"
+            ).collect()
+        )
+        assert a == b
+        assert members <= set(a)
+    big = bloom_semi_join(
+        probe, build, "key", m_bits=2 * BLOOM_MAP_MAX_BITS, hash_fn="xxhash64"
+    )
+    assert members <= {r["key"] for r in big.collect()}
+    assert big.columns == ["key"]
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dlit_llit_guards(spark):
     """r13 advice: non-finite dlit inputs must survive as literals (the
     old F.lit(float) path accepted them) and empty arrays must fail
