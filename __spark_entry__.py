@@ -3743,6 +3743,147 @@ def q_tpch_q16(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share (p_type adapted to the testdata's
+    single-word vocabulary): of all ECONOMY-part volume sold to
+    AMERICA-region customers in 1995-1996, what share came from one
+    supplier nation, per order year — the TWO-LEVEL CONDITIONAL-SHARE
+    shape (a ratio of a conditional aggregate to its own group total).
+
+    Plan, designed for 100 TB: the AMERICA nationkey set is a
+    FIXED-SIZE dim artifact (the q5 constant-fold), so the customer cut
+    is a SCAN-LEVEL isin() filter+project (1 of 5 columns — never a
+    join-derived build, the r13 product rule); the part cut is the
+    pushed p_type equality (1 of 6 columns); supplier attaches
+    keys-only (2 of 4 columns, broadcast-priced). orders carries the
+    pushed orderdate range and meets the part-cut fact in the one big
+    orderkey join — both sides are join-derived there, so both price at
+    the bytes-product and the planner keeps SMJ with AQE free to flip
+    (no q9-style fact-broadcast trap: neither orderkey input is a bare
+    narrow projection). The share is computed in EXACT INTEGER SPACE
+    (the q11/q15 discipline): both volume sums round to cent longs and
+    the ratio is long floor-division to basis points — `div` (Spark)
+    and `//` (DuckDB) agree on non-negative longs, so the gate is never
+    an ulp coin flip. The target-nation CASE runs on s_nationkey
+    against a constant-folded key — no second nation scan, no hint
+    anywhere. Reference: TPC-H spec Q8."""
+    target = "NATION_6"
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    amer_keys = sorted(
+        r["n_nationkey"]
+        for r in nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .select("n_nationkey")
+        .collect()
+    )
+    target_key = next(
+        (
+            r["n_nationkey"]
+            for r in nation.filter(F.col("n_name") == target).collect()
+        ),
+        -1,
+    )
+    cust_k = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_nationkey").isin(*amer_keys) if amer_keys else F.lit(False)
+        )
+        .select("c_custkey")
+    )
+    ord_c = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(cust_k, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    pc = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(pc, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("s_nationkey") == target_key, vol).otherwise(0.0)
+                )
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("nation_volume_cents"),
+            F.round(F.sum(vol) * 100, 0).cast("long").alias("total_volume_cents"),
+        )
+    )
+    return per.select(
+        "o_year",
+        "nation_volume_cents",
+        "total_volume_cents",
+        F.expr("nation_volume_cents * 10000 div total_volume_cents").alias(
+            "mkt_share_bp"
+        ),
+    ).orderBy("o_year")
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority counts (adapted: no l_shipmode
+    / l_commitdate / l_receiptdate in the testdata, so the two-mode
+    filter+group key is l_returnflag IN ('A','R') and the late-line
+    predicate is the CROSS-TABLE ship lag l_shipdate > o_orderdate + 60
+    days — the shape's essence survives: a fact-fact join whose
+    selective predicate spans BOTH tables and can only evaluate
+    post-join, feeding a two-way conditional count on the other fact's
+    priority attribute).
+
+    Plan, designed for 100 TB: the returnflag In() and the shipdate
+    year-window both push to the lineitem scan (3 of 11 columns); the
+    orders side is a plain 3-of-6-column projection — wide enough that
+    the size-only estimator prices it over the broadcast threshold at
+    every interesting SF (no q9 fact-broadcast trap, verified in the
+    static plan), so the one orderkey join is SMJ with AQE free to
+    flip at toy scales. The lag predicate runs as a post-join filter
+    (timestamp-vs-timestamp, exact in both engines); the conditional
+    counts are integer sums (hash-exact by construction) with map-side
+    partial aggregation collapsing the join output to 2 rows before
+    the final 2-row exchange. Reference: TPC-H spec Q12."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ret_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ret_mode")
+    )
+
+
 # Pinned IVF-PQ literals for the ann_pq gate: trained ONCE at sf0.01 via
 # similarity.pq_train_codebooks (m=8, ksub=16, iters=2) and
 # similarity.refined_centroids (4 cells, 1 Lloyd pass) — both fully
@@ -4450,6 +4591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q12": q_tpch_q12,
         # -- NEW round 12 ---------------------------------------------------
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
@@ -5335,6 +5478,50 @@ def oracle_sql() -> dict[str, str]:
                                 WHERE s_name LIKE '%7')
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    sql["tpch_q8"] = """
+        WITH per AS (
+            SELECT year(o_orderdate)::INTEGER AS o_year,
+                   CAST(round(sum(CASE WHEN sn.n_name = 'NATION_6'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END) * 100)
+                        AS BIGINT) AS nation_volume_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS total_volume_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1)
+        SELECT o_year, nation_volume_cents, total_volume_cents,
+               nation_volume_cents * 10000 // total_volume_cents AS mkt_share_bp
+        FROM per
+        ORDER BY o_year
+    """
+
+    sql["tpch_q12"] = """
+        SELECT l_returnflag AS ret_mode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('A', 'R')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+        ORDER BY 1
     """
 
     sql["ann_pq"] = """

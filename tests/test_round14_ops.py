@@ -239,6 +239,117 @@ def test_q16_count_distinct_absorbs_duplicate_pairs(spark):
     assert got == want
 
 
+def test_q8_share_is_exact_integer_ratio_of_canonical_volumes(spark):
+    """The market share must equal floor(nation_cents * 10000 /
+    total_cents) over volumes recomputed through the CANONICAL
+    eight-way join (names + region applied as post-join predicates,
+    no constant-fold, no scan-level cut) — proving the q5-style
+    artifact rewrite and the integer-space share at once. sf0.01:
+    the 0.001 slice also passes but with near-degenerate volumes."""
+    sf = "/root/testdata/sf0.01"
+    rows = entry_mod.queries()["tpch_q8"](spark, sf).collect()
+    assert rows, "q8 must be non-degenerate at sf0.01"
+    sn = _t(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("cnk"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    want = (
+        _t(spark, "lineitem", sf)
+        .join(_t(spark, "part", sf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_t(spark, "supplier", sf), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .join(_t(spark, "orders", sf), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, "customer", sf), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(
+            _t(spark, "region", sf),
+            F.col("c_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(
+            (F.col("r_name") == "AMERICA")
+            & (F.col("p_type") == "ECONOMY")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(0.0))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("nvc"),
+            F.round(F.sum(vol) * 100, 0).cast("long").alias("tvc"),
+        )
+        .collect()
+    )
+    want_by_year = {r["o_year"]: (r["nvc"], r["tvc"]) for r in want}
+    assert {r["o_year"] for r in rows} == set(want_by_year)
+    for r in rows:
+        nvc, tvc = want_by_year[r["o_year"]]
+        assert (r["nation_volume_cents"], r["total_volume_cents"]) == (nvc, tvc)
+        assert 0 <= r["nation_volume_cents"] <= r["total_volume_cents"]
+        assert r["mkt_share_bp"] == (nvc * 10000) // tvc  # exact long floor-div
+
+
+def test_q8_customer_cut_is_scan_level(spark):
+    """The r13 product rule applied to q8: the AMERICA-region customer
+    cut must be a pushed In() predicate on the customer scan (the q5
+    constant-fold), and the part cut a pushed equality — a join-derived
+    cut would price at the bytes-product of its children and plan a
+    fact-wide exchange at sf100."""
+    df = entry_mod.queries()["tpch_q8"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "In(c_nationkey, [1,11,16,21,6])" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_lag_formulations_agree_and_predicate_is_cross_table(spark):
+    """(a) Law: the interval form (l_shipdate > o_orderdate + 60 days)
+    and the datediff form (datediff > 60) select the same midnight-
+    valued rows — the gate and oracle may phrase the lag either way.
+    (b) The predicate is genuinely cross-table: dropping it changes the
+    counts (so it cannot be pushed to either scan alone)."""
+    li = (
+        _t(spark, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+    )
+    joined = li.join(
+        _t(spark, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    interval = joined.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    datediff = joined.filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    )
+    n_interval, n_datediff, n_all = (
+        interval.count(),
+        datediff.count(),
+        joined.count(),
+    )
+    assert n_interval == n_datediff
+    assert 0 < n_interval < n_all  # selective, and only decidable post-join
+    # and the gate's counts partition the lag-filtered rows exactly
+    rows = entry_mod.queries()["tpch_q12"](spark, SF).collect()
+    assert sorted(r["ret_mode"] for r in rows) == ["A", "R"]
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == n_interval
+
+
 def test_bloom_words_layout_equals_map_layout(spark):
     """The r14 scale fix: element_at on a 1-row map bitmap is a LINEAR
     key scan (O(words) per probe — 7x slower than no prune at 30 Mbit),

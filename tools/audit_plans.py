@@ -281,6 +281,17 @@ EXPECTATIONS = {
     # zero shuffles end to end
     "ann_pq": (0, ["TakeOrderedAndProject"],
                ["Exchange", "SortMergeJoin", "CartesianProduct"]),
+    # conditional market share: the customer cut is a pushed In() on the
+    # scan, the part cut a pushed equality; the share divides exact cent
+    # longs post-aggregate — never a cartesian, never a second nation scan
+    "tpch_q8": (4, ["In(c_nationkey, [1,11,16,21,6])",
+                    "EqualTo(p_type,ECONOMY)", "HashAggregate"],
+                ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # cross-table lag predicate: returnflag In() + shipdate window both
+    # push to the lineitem scan; the lag filter runs post-join; the
+    # conditional counts collapse map-side to 2 rows
+    "tpch_q12": (2, ["In(l_returnflag, [A,R])", "HashAggregate"],
+                 ["CartesianProduct", "BroadcastNestedLoopJoin", "Union"]),
 }
 
 
@@ -328,6 +339,9 @@ FACT_SCAN_BUDGET = {
     # RUNTIME_REUSE asserts AQE collapses it to one executed scan
     "tpch_q15": {"lineitem": 2, "supplier": 1},
     "tpch_q16": {"lineitem": 1, "part": 1, "supplier": 1},
+    "tpch_q8": {"lineitem": 1, "orders": 1, "customer": 1, "part": 1,
+                "supplier": 1},
+    "tpch_q12": {"lineitem": 1, "orders": 1},
 }
 
 
@@ -365,6 +379,10 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q9": 2,
     "tpch_q15": 1,  # the 1-row global max only; supplier AQE-decided
     "tpch_q16": 0,  # part cut and blacklist both scale with SF — AQE-decided
+    # r14b: q8's cuts are scan-level isin()/equality, both orderkey
+    # inputs are join-derived (product-priced, no q9 trap) — zero hints
+    "tpch_q8": 0,
+    "tpch_q12": 0,  # orders projection prices over threshold — AQE-decided
 }
 
 
