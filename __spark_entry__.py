@@ -3707,16 +3707,31 @@ def q_tpch_q16(spark, sf_dir):
     excluding a blacklisted supplier set.
 
     Plan, designed for 100 TB: the part cut is a SCAN-LEVEL
-    filter+project (4 of 6 columns; brand/type/size predicates all
-    push to the parquet scan) landing on the fact before any
-    aggregation; the NOT IN decorrelates to a LEFT ANTI equi-join
-    against the blacklist — exactly equivalent here because both join
-    keys are non-nullable (the nullable divergence, where one NULL in
-    the NOT IN subquery empties the result, is proven as a law test in
+    filter+project (brand/type/size predicates all push to the parquet
+    scan) landing on the fact before any aggregation; the NOT IN
+    decorrelates to a LEFT ANTI equi-join against the blacklist —
+    exactly equivalent here because both join keys are non-nullable
+    (the nullable divergence, where one NULL in the NOT IN subquery
+    empties the result, is proven as a law test in
     tests/test_round14_ops.py). No pre-distinct of the pairs is needed:
-    count(DISTINCT l_suppkey) per (brand, type, size) absorbs duplicate
-    pairs in the aggregate itself, saving a full (partkey, suppkey)
-    shuffle. The tie-safe sort (cnt desc, then the full group key) is
+    count(DISTINCT l_suppkey) absorbs duplicate pairs in the aggregate
+    itself, saving a full (partkey, suppkey) shuffle.
+
+    LATE MATERIALIZATION (the q5/q2 recipe applied to a GROUP KEY,
+    measured 3.2x at sf100 — 37.2 -> 11.8 s best, A/B in SCALE.md):
+    the textbook plan drags the ~30-byte (p_brand, p_type, p_size)
+    strings through every fact-side exchange AND the count-distinct
+    Expand (which doubles the rows carrying them). Instead the group
+    key travels as a dense int `bid` from a BUCKET DIM built off the
+    same part cut — bounded by the attribute-vocabulary PRODUCT
+    (<= 25 brands x type vocab x 50 sizes), SF-INDEPENDENT, so the
+    single-partition row_number window over it is legal at any scale —
+    and the strings attach to the <= |vocab-product|-row aggregate at
+    the end. The bucket-dim subtree is referenced twice (partkey->bid
+    build + final attach); both prints are byte-identical so AQE
+    collapses the second into a ReusedExchange at runtime (the
+    q11/q15 law — asserted in the audit's RUNTIME_REUSE section). The
+    tie-safe sort (cnt desc, then the full group key) is
     deterministic. Reference: TPC-H spec Q16."""
     pc = (
         _t(spark, sf_dir, "part")
@@ -3727,18 +3742,35 @@ def q_tpch_q16(spark, sf_dir):
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    bdim = (
+        pc.select("p_brand", "p_type", "p_size")
+        .distinct()
+        .withColumn(
+            "bid",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("p_brand", "p_type", "p_size")
+            ),
+        )
+    )
+    pk = pc.join(F.broadcast(bdim), ["p_brand", "p_type", "p_size"]).select(
+        "p_partkey", "bid"
+    )
     excl = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_name").like("%7"))
         .select("s_suppkey")
     )
-    return (
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(pc, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"))
         .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
+        .groupBy("bid")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return (
+        agg.join(F.broadcast(bdim), "bid")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 

@@ -41,9 +41,12 @@ def test_every_registry_query_analyzes_and_every_oracle_parses():
 #                        SinglePartition the blunt co-occurrence rule sees
 #                        is the final 1-row aggregate's partial-state
 #                        reduce (audited at 2 shuffles in audit_plans)
+#   tpch_q16             row_number over the bucket dim — bounded by the
+#                        brand x type x size vocabulary PRODUCT
+#                        (SF-independent; the late-materialized group key)
 BOUNDED_GLOBAL_WINDOW = {
     "quantile_sketch", "bm25", "temperature_resample",
-    "edit_overlay", "csv_opts_errors", "tpch_q17",
+    "edit_overlay", "csv_opts_errors", "tpch_q17", "tpch_q16",
 }
 
 

@@ -273,8 +273,13 @@ EXPECTATIONS = {
     # (asserted in RUNTIME_REUSE, like tpch_q11)
     "tpch_q15": (4, ["BroadcastExchange"], ["CartesianProduct"]),
     # NOT IN decorrelated to a left anti equi-join; grouped
-    # count-distinct is the two-exchange expand — never a cartesian
-    "tpch_q16": (4, ["Anti", "HashAggregate"],
+    # count-distinct is the two-exchange expand — never a cartesian.
+    # r14b late-materialized group key: the extra shuffles are the
+    # vocab-bounded bucket dim's distinct + row_number (<= |vocab
+    # product| rows each); the fact-side exchanges now carry a dense
+    # int bid instead of ~30 bytes of brand/type/size strings (3.2x
+    # at sf100)
+    "tpch_q16": (7, ["Anti", "HashAggregate", "Window"],
                  ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # IVF-PQ: the pinned-literal cell prune is a map-side Filter on the
     # scan, encode + ADC are pure codegen, both cuts are TakeOrdered —
@@ -338,7 +343,10 @@ FACT_SCAN_BUDGET = {
     # the static plan prints the duplicated per_supp subtree (2 scans);
     # RUNTIME_REUSE asserts AQE collapses it to one executed scan
     "tpch_q15": {"lineitem": 2, "supplier": 1},
-    "tpch_q16": {"lineitem": 1, "part": 1, "supplier": 1},
+    # the static plan prints the vocab-bounded bucket-dim subtree twice
+    # (partkey->bid build + final name attach) on top of the cut scan;
+    # RUNTIME_REUSE asserts AQE collapses the replay (2 executed scans)
+    "tpch_q16": {"lineitem": 1, "part": 3, "supplier": 1},
     "tpch_q8": {"lineitem": 1, "orders": 1, "customer": 1, "part": 1,
                 "supplier": 1},
     "tpch_q12": {"lineitem": 1, "orders": 1},
@@ -378,7 +386,10 @@ BROADCAST_HINT_BUDGET = {
     # every hint kind, so the guard costs a budget slot)
     "tpch_q9": 2,
     "tpch_q15": 1,  # the 1-row global max only; supplier AQE-decided
-    "tpch_q16": 0,  # part cut and blacklist both scale with SF — AQE-decided
+    # the vocab-bounded bucket dim is hinted at both of its references
+    # (partkey->bid build + final attach); part cut and blacklist stay
+    # AQE-decided
+    "tpch_q16": 2,
     # r14b: q8's cuts are scan-level isin()/equality, both orderkey
     # inputs are join-derived (product-priced, no q9 trap) — zero hints
     "tpch_q8": 0,
@@ -395,6 +406,10 @@ RUNTIME_REUSE = {
     "tpch_q11": {"lineitem": 1},
     # q11's shape applied to argmax: per_supp feeds detail AND max
     "tpch_q15": {"lineitem": 1},
+    # the bucket-dim broadcast is referenced twice (bid build + name
+    # attach); byte-identical subtrees collapse to one executed scan
+    # pair: 2 live part scans (cut + one bdim), never 3
+    "tpch_q16": {"part": 2},
 }
 
 
