@@ -3794,9 +3794,11 @@ def q_tpch_q8(spark, sf_dir):
     (no q9-style fact-broadcast trap: neither orderkey input is a bare
     narrow projection). The share is computed in EXACT INTEGER SPACE
     (the q11/q15 discipline): both volume sums round to cent longs and
-    the ratio is long floor-division to basis points — `div` (Spark)
-    and `//` (DuckDB) agree on non-negative longs, so the gate is never
-    an ulp coin flip. The target-nation CASE runs on s_nationkey
+    the ratio is long integer division to basis points — `div` (Spark)
+    and `//` (DuckDB) both truncate toward zero on every sign combo
+    (proven as a law test; both diverge from Python's floor on mixed
+    signs, irrelevant on this non-negative domain), so the gate is
+    never an ulp coin flip. The target-nation CASE runs on s_nationkey
     against a constant-folded key — no second nation scan, no hint
     anywhere. Reference: TPC-H spec Q8."""
     target = "NATION_6"

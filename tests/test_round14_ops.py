@@ -312,6 +312,32 @@ def test_q8_customer_cut_is_scan_level(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q8_integer_division_law(spark):
+    """The q8 share relies on Spark's `div` and DuckDB's `//` agreeing
+    on longs. Proven: both TRUNCATE toward zero on every sign combo,
+    so the engines can never diverge on the share — but both DIVERGE
+    from Python's floor `//` on mixed signs (-7 div 2 = -3 vs
+    -7 // 2 = -4), which is why driver-side recomputations of the
+    share (the other q8 law test) are valid only on the gate's
+    non-negative domain (volumes are sums of positive prices)."""
+    import duckdb
+
+    cases = [(7, 2), (7000, 3), (0, 5), (123456789, 997),
+             (-7, 2), (7, -2), (-7, -2)]
+    rows = spark.createDataFrame(cases, "a long, b long").selectExpr(
+        "a", "b", "a div b AS q"
+    ).collect()
+    spark_q = {(r["a"], r["b"]): r["q"] for r in rows}
+    con = duckdb.connect()
+    python_diverged = False
+    for a, b in cases:
+        duck_q = con.execute(f"SELECT {a}::BIGINT // {b}::BIGINT").fetchone()[0]
+        assert spark_q[(a, b)] == duck_q, (a, b)  # engines always agree
+        if duck_q != a // b:
+            python_diverged = True  # Python floors, the engines truncate
+    assert python_diverged
+
+
 def test_q12_lag_formulations_agree_and_predicate_is_cross_table(spark):
     """(a) Law: the interval form (l_shipdate > o_orderdate + 60 days)
     and the datediff form (datediff > 60) select the same midnight-
