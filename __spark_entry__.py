@@ -3160,24 +3160,61 @@ def q_tpch_q21(spark, sf_dir):
     NOT EXISTS(another LATE supplier on the order), both against the same
     fact with an inequality (suppkey <>) riding the orderkey equi-join.
 
-    Plan, read from the sf10 EXECUTED plan (ratio 7.28x for 100x data —
-    the canonical 3-fact-reference price): the semi and anti run as
-    SortMergeJoin equi-joins ON ORDERKEY carrying the suppkey<>
-    residual — never a cartesian — and the probe's ONE orderkey
-    exchange feeds the semi whose output (still orderkey-partitioned)
-    flows into the anti with no re-exchange. The code declares the
-    region-supplier cut (~1/5, hint-free: supplier scales with SF) and
-    the status='F' orders cut (~1/3) on the probe first, but Catalyst's
-    PushDownLeftSemiAntiJoin runs the semi/anti below the inner joins —
-    equivalent by commutation, and the right-side exchanges (ALL
-    (orderkey, suppkey) pairs + all late pairs) dominate the shuffle
-    either way, so the optimizer's order is not fought. Three lineitem
-    scans = the canonical triple reference (l1/l2/l3), each a 2-3
-    column pushed projection; the single-scan per-order-aggregate
-    restatement exists in tests as the law check. Reference: TPC-H
-    spec Q21."""
-    li = _t(spark, sf_dir, "lineitem")
-    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    Plan — the SINGLE-SCAN per-order-aggregate rewrite (r15; the q18
+    recipe from SCALE.md:327 applied to the exists-pair shape, replacing
+    the canonical 3-fact-reference plan whose sf100 calibrated ratio was
+    74.4, the suite's worst). The EXISTS pair has an order-level
+    restatement (law-tested since r12 at
+    tests/test_round12_ops.py:66): for a late l1 row with supplier s,
+    EXISTS(other supplier) == the order carries >= 2 distinct suppliers,
+    and NOT EXISTS(other late supplier) == the order carries EXACTLY ONE
+    distinct late supplier (l1 itself is late, so that one IS s). Then
+    every late row of a qualifying order belongs to that single late
+    supplier, so the per-supplier wait count is just the order's
+    late-row count. The distinct-count conditions are MIN/MAX laws — no
+    distinct aggregation (no Expand, no pair-level dedup hash table) is
+    ever built: >=2 distinct suppliers iff min(sk) != max(sk); exactly
+    one distinct late supplier iff min(late sk) == max(late sk) (non-
+    null equality also enforces >=1 late row); that shared value IS the
+    waiting supplier. So: ONE scan of lineitem into ONE
+    groupBy(l_orderkey) of five plain min/max/sum aggregates, whose
+    map-side partials collapse the ~4 lines/order BEFORE the only
+    fact-scale exchange (the first pair-level draft of this rewrite
+    built a ~|fact|-group hash table and measured 58.9 s / ratio 51 at
+    sf100; this form measures ~2x better — SCALE.md r15). The filtered
+    qualifiers (tiny, still ok-partitioned) inner-join orders
+    (status='F', 1-column projection, shuffle_hash-hinted: the q9
+    anti-broadcast guard — the static estimator prices the narrow
+    SF-scaling projection under the broadcast threshold and would ship
+    a 15M-row HashedRelation at sf100, measured +120% wall) and the
+    region-supplier dim (nation broadcast; supplier AQE-decided), then
+    groupBy(s_name) sums the per-order wait counts. Fact scans: 3 -> 1;
+    fact-scale exchanges: 3 + 3 SMJ sorts -> 1 post-partial hash
+    exchange, no sorts. Reference: TPC-H spec Q21."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_late"),
+    )
+    late_sk_expr = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+        F.min(late_sk_expr).alias("min_late_sk"),
+        F.max(late_sk_expr).alias("max_late_sk"),
+        F.sum("is_late").alias("waits"),
+    )
+    qual = per_order.filter(
+        (F.col("min_sk") != F.col("max_sk"))
+        & (F.col("min_late_sk") == F.col("max_late_sk"))
+    ).select(
+        "l_orderkey", F.col("max_late_sk").alias("late_sk"), "waits"
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
     sup_cut = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -3188,33 +3225,14 @@ def q_tpch_q21(spark, sf_dir):
         )
         .select("s_suppkey", "s_name")
     )
-    orders_f = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
-    l1 = late.join(sup_cut, F.col("l_suppkey") == F.col("s_suppkey")).join(
-        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    pairs = li.select(
-        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
-    )
-    l1 = l1.join(
-        pairs,
-        (l1.l_orderkey == pairs.p_ok) & (l1.l_suppkey != pairs.p_sk),
-        "left_semi",
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
-    )
-    l1 = l1.join(
-        other_late,
-        (l1.l_orderkey == other_late.x_ok) & (l1.l_suppkey != other_late.x_sk),
-        "left_anti",
-    )
     return (
-        l1.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        qual.join(
+            orders_f.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(sup_cut, F.col("late_sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("waits").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -127,17 +127,70 @@ def test_q21_semi_anti_equals_per_order_aggregate(spark):
     assert got == want and len(got) > 0
 
 
-def test_q21_plan_keeps_semi_and_anti(spark):
-    """The inequality residual (suppkey <>) must ride the orderkey
-    equi-join — if either EXISTS leg degrades to a nested-loop or a
-    join+distinct rewrite, the physical plan loses its Semi/Anti nodes."""
+def test_q21_plan_is_single_scan_minmax(spark):
+    """The r15 single-scan rewrite's physical invariants: exactly ONE
+    lineitem scan (the EXISTS pair folds into one per-order min/max
+    aggregate — a second scan is a regression to the semi/anti form),
+    no sort-merge/nested-loop/cartesian anywhere (the min/max plan has
+    no sorts at all), and the orders join holds the shuffle_hash
+    anti-broadcast guard (the q9 trap: the 1-col SF-scaling projection
+    prices under the static broadcast threshold)."""
     df = entry_mod.queries()["tpch_q21"](spark, SF)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "Semi" in plan and "Anti" in plan
+    import re
+
+    scan_blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    li_scans = {
+        re.match(r"\((\d+)\)", blk).group(1)
+        for blk in scan_blocks
+        if re.match(r"\(\d+\) Scan parquet\b", blk)
+        and "lineitem.parquet" in blk
+    }
+    assert len(li_scans) == 1
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_minmax_equals_distinct_counts(spark):
+    """The r15 gate replaces distinct counting with min/max laws:
+    countDistinct(sk) >= 2  iff  min(sk) != max(sk), and
+    countDistinct(late sk) == 1  iff  min(late sk) == max(late sk)
+    (non-null). The two per-order qualifier sets must be identical over
+    the real data, and the gate's waits sum must equal the late-row
+    count the countDistinct form implies."""
+    li = _t(spark, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_late"),
+    )
+    late_sk = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+        F.min(late_sk).alias("min_late_sk"),
+        F.max(late_sk).alias("max_late_sk"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_sk).alias("n_late_supp"),
+        F.sum("is_late").alias("waits"),
+    )
+    rows = per_order.collect()
+    got = {
+        r["l_orderkey"]: (r["max_late_sk"], r["waits"])
+        for r in rows
+        if r["min_sk"] != r["max_sk"]
+        and r["min_late_sk"] is not None
+        and r["min_late_sk"] == r["max_late_sk"]
+    }
+    want = {
+        r["l_orderkey"]: (r["max_late_sk"], r["waits"])
+        for r in rows
+        if r["n_supp"] >= 2 and r["n_late_supp"] == 1
+    }
+    assert got == want and len(got) > 0
 
 
 import pytest

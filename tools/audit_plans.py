@@ -232,11 +232,14 @@ EXPECTATIONS = {
     # rows: the only Exchanges are the partkey window shuffle + the 1-row
     # agg pair — never a second fact scan (see FACT_SCAN_BUDGET)
     "tpch_q17": (2, ["Window"], ["CartesianProduct", "GlobalSort"]),
-    # double EXISTS/NOT-EXISTS: semi + anti must survive in the physical
-    # plan as equi-joins on orderkey carrying the suppkey<> residual —
-    # never a nested-loop/cartesian evaluation of the inequality
-    "tpch_q21": (3, ["Semi", "Anti"],
-                 ["CartesianProduct", "BroadcastNestedLoopJoin", "GlobalSort"]),
+    # r15 single-scan rewrite: the EXISTS pair runs as ONE
+    # groupBy(orderkey) of min/max/sum aggregates (no Expand, no
+    # distinct), so no semi/anti/SMJ may appear; the orders join must
+    # hold the shuffle_hash anti-broadcast guard (static estimator
+    # under-prices the 1-col SF-scaling projection — the q9 trap)
+    "tpch_q21": (3, ["ShuffledHashJoin", "TakeOrderedAndProject"],
+                 ["SortMergeJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin", "GlobalSort"]),
     # min-per-group correlated subquery as a window over the doubly-cut
     # fact; top-100 via TakeOrdered, never a global sort
     "tpch_q2": (3, ["Window", "TakeOrderedAndProject"],
@@ -323,12 +326,10 @@ FACT_SCAN_BUDGET = {
     # ~100-row survivor set afterwards — the second scans are pushed
     # 2-column projections, the price of never shuffling the fact wide
     "tpch_q2": {"lineitem": 1, "part": 2, "supplier": 2},
-    # canonical Q21 references the fact three times (l1 probe, l2 exists,
-    # l3 not-exists) — every engine pays 3 logical references; each here
-    # is a 2-3 column pushed projection, and the probe's one orderkey
-    # exchange feeds semi AND anti (sf10 executed-plan read). Budget pins
-    # it at exactly the canonical 3 so a 4th scan still fails.
-    "tpch_q21": {"lineitem": 3, "orders": 1, "supplier": 1},
+    # r15 single-scan rewrite: the whole EXISTS pair folds into one
+    # per-order min/max aggregate — exactly ONE fact scan (was the
+    # canonical 3); a second scan is a regression to the semi/anti form
+    "tpch_q21": {"lineitem": 1, "orders": 1, "supplier": 1},
     # the disjunctive shape's whole point: never the 3-branch union
     "tpch_q19": {"lineitem": 1, "part": 1},
     "tpch_q20": {"lineitem": 1, "part": 1, "supplier": 1},
@@ -372,7 +373,11 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q11": 3,
     "tpch_q22": 1,   # the 1-row positive-balance average only
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
-    "tpch_q21": 1,   # the 25-row nation dim only; supplier is AQE-decided
+    # nation's broadcast + the orders SHUFFLE_HASH hint (the q9-family
+    # anti-broadcast guard: the 1-col orders projection prices under
+    # threshold and would statically broadcast a 15M-row HashedRelation
+    # at sf100 — measured +120% wall); supplier stays AQE-decided
+    "tpch_q21": 2,
     # nation's hint sits inside the rs subtree, which late
     # materialization replays twice (keys-only cut + attribute attach)
     "tpch_q2": 2,
