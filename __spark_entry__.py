@@ -3811,14 +3811,28 @@ def q_tpch_q8(spark, sf_dir):
     the bytes-product and the planner keeps SMJ with AQE free to flip
     (no q9-style fact-broadcast trap: neither orderkey input is a bare
     narrow projection). The share is computed in EXACT INTEGER SPACE
-    (the q11/q15 discipline): both volume sums round to cent longs and
-    the ratio is long integer division to basis points — `div` (Spark)
-    and `//` (DuckDB) both truncate toward zero on every sign combo
-    (proven as a law test; both diverge from Python's floor on mixed
-    signs, irrelevant on this non-negative domain), so the gate is
-    never an ulp coin flip. The target-nation CASE runs on s_nationkey
-    against a constant-folded key — no second nation scan, no hint
-    anywhere. Reference: TPC-H spec Q8."""
+    end to end (r15, closing the r14 advice): l_extendedprice and
+    l_discount each carry exactly 2 decimals, so PER-ROW
+    round(price*100) * round((1-disc)*100) is an exactly-representable
+    integer in 1e-4-dollar units — the volume sums are integer sums
+    (order-independent, engine-independent; never a rounded double
+    accumulation whose half-cent boundary could differ between Spark
+    and DuckDB), run as decimal(20,0)->decimal(30,0) so they cannot
+    wrap (bound: per-row <= ~1e9 e4-units; even 1e13 filtered rows —
+    100x the 100 TB design point — sums to 1e22 << 1e30). Cents =
+    e4-sum div 100; the basis-point ratio multiplies in decimal(38,0)
+    space before the div (cents*10^4 would need filtered volume over
+    $9.2e12 to wrap a raw long — reachable at 100 TB, hence the
+    decimal; DuckDB mirrors via HUGEINT) — `div` (Spark) and `//`
+    (DuckDB) both truncate toward zero on every sign combo (proven as
+    a law test; both diverge from Python's floor on mixed signs,
+    irrelevant on this non-negative domain), so the gate is never an
+    ulp coin flip. The target-nation CASE runs on s_nationkey against
+    a constant-folded key — no second nation scan, no hint anywhere;
+    the oracle compares s_nationkey to the same key via a scalar
+    subquery rather than joining nation, so gate and oracle agree even
+    on a dangling s_nationkey (no FK-integrity assumption).
+    Reference: TPC-H spec Q8."""
     target = "NATION_6"
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     nation = _t(spark, sf_dir, "nation")
@@ -3859,7 +3873,10 @@ def q_tpch_q8(spark, sf_dir):
         .select("p_partkey")
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("decimal(20,0)")
     per = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -3868,25 +3885,31 @@ def q_tpch_q8(spark, sf_dir):
         .join(ord_c, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("s_nationkey") == target_key, vol).otherwise(0.0)
+            F.sum(
+                F.when(F.col("s_nationkey") == target_key, vol_e4).otherwise(
+                    F.lit(0).cast("decimal(20,0)")
                 )
-                * 100,
-                0,
-            )
-            .cast("long")
-            .alias("nation_volume_cents"),
-            F.round(F.sum(vol) * 100, 0).cast("long").alias("total_volume_cents"),
+            ).alias("nation_e4"),
+            F.sum(vol_e4).alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            F.expr("CAST(nation_e4 div 100 AS BIGINT)").alias(
+                "nation_volume_cents"
+            ),
+            F.expr("CAST(total_e4 div 100 AS BIGINT)").alias(
+                "total_volume_cents"
+            ),
         )
     )
     return per.select(
         "o_year",
         "nation_volume_cents",
         "total_volume_cents",
-        F.expr("nation_volume_cents * 10000 div total_volume_cents").alias(
-            "mkt_share_bp"
-        ),
+        F.expr(
+            "CAST(CAST(nation_volume_cents AS DECIMAL(38,0)) * 10000"
+            " div total_volume_cents AS BIGINT)"
+        ).alias("mkt_share_bp"),
     ).orderBy("o_year")
 
 
@@ -5535,16 +5558,19 @@ def oracle_sql() -> dict[str, str]:
     sql["tpch_q8"] = """
         WITH per AS (
             SELECT year(o_orderdate)::INTEGER AS o_year,
-                   CAST(round(sum(CASE WHEN sn.n_name = 'NATION_6'
-                                       THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0 END) * 100)
+                   CAST(sum(CASE WHEN s_nationkey =
+                                      (SELECT n_nationkey FROM nation
+                                       WHERE n_name = 'NATION_6')
+                                 THEN round(l_extendedprice * 100)::BIGINT
+                                      * round((1 - l_discount) * 100)::BIGINT
+                                 ELSE 0 END) // 100
                         AS BIGINT) AS nation_volume_cents,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                   CAST(sum(round(l_extendedprice * 100)::BIGINT
+                            * round((1 - l_discount) * 100)::BIGINT) // 100
                         AS BIGINT) AS total_volume_cents
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation cn ON c_nationkey = cn.n_nationkey
@@ -5555,7 +5581,8 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY 1)
         SELECT o_year, nation_volume_cents, total_volume_cents,
-               nation_volume_cents * 10000 // total_volume_cents AS mkt_share_bp
+               CAST(nation_volume_cents::HUGEINT * 10000
+                    // total_volume_cents AS BIGINT) AS mkt_share_bp
         FROM per
         ORDER BY o_year
     """

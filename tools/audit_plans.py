@@ -291,8 +291,11 @@ EXPECTATIONS = {
                ["Exchange", "SortMergeJoin", "CartesianProduct"]),
     # conditional market share: the customer cut is a pushed In() on the
     # scan, the part cut a pushed equality; the share divides exact cent
-    # longs post-aggregate — never a cartesian, never a second nation scan
-    "tpch_q8": (4, ["In(c_nationkey, [1,11,16,21,6])",
+    # longs post-aggregate — never a cartesian, never a second nation
+    # scan. The In() fragment asserts pushdown only — the exact key set
+    # and print order are data/Spark-version dependent (r14 advice) and
+    # verified value-wise in tests/test_round14_ops.py
+    "tpch_q8": (4, ["In(c_nationkey, [",
                     "EqualTo(p_type,ECONOMY)", "HashAggregate"],
                 ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # cross-table lag predicate: returnflag In() + shipdate window both
