@@ -3435,11 +3435,27 @@ def q_tpch_q11(spark, sf_dir):
     0.0001/SF fraction needs the SF as an input).
 
     Plan, designed for 100 TB: the nation cut reduces the fact via a
-    keys-only semi FIRST; ONE groupBy(l_partkey) aggregation produces
-    per-part values, and the 1-row global threshold joins back as a
-    broadcast — the per_part subtree appears twice in the DAG but
-    Spark's ReuseExchange collapses the duplicated aggregation, so the
-    fact is scanned and shuffled ONCE (asserted in the plan audit).
+    keys-only semi FIRST — with an EXPLICIT broadcast on the supplier
+    build (r15): the build is suppliers/25, a single 8-byte column, 4+
+    orders of magnitude under the fact, but it is join-derived
+    (supplier x nation), so the static bytes-PRODUCT estimate prices it
+    over the threshold and plans SMJ — exchanging the ENTIRE fact on
+    l_suppkey, a shuffle AQE's late broadcast flip cannot un-spend
+    (read from the sf100 executed plan: `Exchange hashpartitioning(
+    l_suppkey)` under `AQEShuffleRead local` + BroadcastHashJoin — the
+    shuffle was materialized, then ignored). This was the r14 table's
+    "structural" ratio-30.4 row; the hint measures 3.5x better at sf100
+    (SCALE.md r15) and completes the q9/q21 product-rule family: q9
+    guards a fact UNDER-priced into a broadcast, q11 a dim-cut
+    OVER-priced out of one. At SFs extreme enough that even the
+    keys-only cut outgrows broadcast (~40M keys at SF 100k), the
+    documented scale path is the bloom_semi operator (same probe-side
+    never-shuffles property, constant-size build). ONE
+    groupBy(l_partkey) aggregation produces per-part values, and the
+    1-row global threshold joins back as a broadcast — the per_part
+    subtree appears twice in the DAG but Spark's ReuseExchange
+    collapses the duplicated aggregation, so the fact is scanned and
+    shuffled ONCE (asserted in the plan audit).
     Values are exact cent longs (round(sum*100)), and the 3x-mean
     threshold is compared in INTEGER space — value_cents * count >
     3 * sum(value_cents), all longs — because Spark's AVG over longs
@@ -3461,7 +3477,11 @@ def q_tpch_q11(spark, sf_dir):
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(n7_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n7_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(

@@ -371,9 +371,13 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q5": 2,
     "tpch_q19": 0,   # part scales with SF — AQE-decided
     "tpch_q20": 1,   # the 25-row nation dim only; excess keys AQE-decided
-    # nation's hint replays in both prints of the per_part subtree
-    # (detail + threshold) + the 1-row global threshold's own hint
-    "tpch_q11": 3,
+    # nation's hint + the r15 semi-build hint (the keys-only supplier
+    # cut is join-derived, so the bytes-product estimate OVER-prices it
+    # and the static plan exchanged the ENTIRE fact on suppkey — the
+    # q9 trap's inverse; 5.8x at sf100) each replay in both prints of
+    # the per_part subtree (detail + threshold) + the 1-row global
+    # threshold's own hint
+    "tpch_q11": 5,
     "tpch_q22": 1,   # the 1-row positive-balance average only
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
     # nation's broadcast + the orders SHUFFLE_HASH hint (the q9-family

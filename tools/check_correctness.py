@@ -4,12 +4,25 @@ Runs every ``queries()`` entry through Spark AND its ``oracle_sql()`` twin
 through DuckDB at sf0.01, then compares column sets, row counts, and
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
-"""
+    python tools/check_correctness.py [--no-oracle-cache] [sf_dir] [query ...]
+
+Oracle results are CACHED in .oracle_cache/ keyed on
+sha256(oracle_sql + per-table parquet (name, size, mtime)): an oracle is
+a pure function of its SQL text and the fixture bytes, so a hit replays
+the stored result instead of re-running DuckDB — the Spark side (the
+thing under test) always runs fresh. multimodal_cluster_split's
+recursive-CC oracle alone is ~30 min of the ~50-min sf0.1 sweep; with
+the cache the full sweep drops under the r14 verdict's ~25-min target.
+Any cache read/write error falls back to live DuckDB execution (the
+cache can never flip a verdict — a corrupt entry only costs time).
+``--no-oracle-cache`` forces live oracles (use for auditing the cache
+itself)."""
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 import sys
 import time
 
@@ -21,6 +34,49 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from bun_csv_spark.session import TABLES, get_spark  # noqa: E402
+
+CACHE_DIR = "/root/repo/.oracle_cache"
+
+
+def _fixture_digest(sf_dir: str) -> str:
+    h = hashlib.sha256()
+    for t in TABLES:
+        p = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        st = os.stat(p)
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def run_oracle(con, sql: str, fixture_digest: str, use_cache: bool):
+    """DuckDB oracle with an on-disk parquet memo. Returns
+    (DataFrame, from_cache)."""
+    if not use_cache:
+        return con.execute(sql).df(), False
+    key = hashlib.sha256(
+        (fixture_digest + "\x00" + sql).encode()
+    ).hexdigest()
+    path = os.path.join(CACHE_DIR, f"{key}.parquet")
+    if os.path.exists(path):
+        try:
+            return pd.read_parquet(path), True
+        except Exception:  # noqa: BLE001 — corrupt entry: fall through
+            pass
+    df = con.execute(sql).df()
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        df.to_parquet(path, index=False)
+        # round-trip guard: only trust the cache if reading it back
+        # reproduces the live result exactly (dtype-lossy columns —
+        # e.g. Decimal objects — must never be served from cache)
+        back = pd.read_parquet(path)
+        if canonical(back) != canonical(df) or list(back.columns) != list(
+            df.columns
+        ) or list(back.dtypes) != list(df.dtypes):
+            os.remove(path)
+    except Exception:  # noqa: BLE001 — unserializable result: live only
+        if os.path.exists(path):
+            os.remove(path)
+    return df, False
 
 
 def norm_value(v):
@@ -54,8 +110,11 @@ def canonical(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--no-oracle-cache"]
+    use_cache = "--no-oracle-cache" not in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    fixture_digest = _fixture_digest(sf_dir)
 
     spark = get_spark("check_correctness", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
@@ -83,7 +142,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            odf = con.execute(oracles[name]).df()
+            odf, cached = run_oracle(
+                con, oracles[name], fixture_digest, use_cache
+            )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -111,8 +172,10 @@ def main() -> int:
                 print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
             n_fail += 1
         else:
+            tag = " cached" if cached else ""
             print(
-                f"PASS {name}: {len(s_rows)} rows  (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+                f"PASS {name}: {len(s_rows)} rows  "
+                f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s{tag})"
             )
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
