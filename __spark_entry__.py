@@ -3183,14 +3183,19 @@ def q_tpch_q21(spark, sf_dir):
     built a ~|fact|-group hash table and measured 58.9 s / ratio 51 at
     sf100; this form measures ~2x better — SCALE.md r15). The filtered
     qualifiers (tiny, still ok-partitioned) inner-join orders
-    (status='F', 1-column projection, shuffle_hash-hinted: the q9
+    (status='F', 1-column projection, MERGE-hinted: the q9
     anti-broadcast guard — the static estimator prices the narrow
     SF-scaling projection under the broadcast threshold and would ship
-    a 15M-row HashedRelation at sf100, measured +120% wall) and the
+    a 15M-row HashedRelation at sf100, measured +120% wall. merge over
+    shuffle_hash by MEASURED robustness: the two are a wash at sf100
+    (22.5 s vs 25.3 s best, overlapping walls) but q9's same-shape
+    shuffle_hash A/B HARD-FAILED with 'cannot acquire memory to build
+    hash relation' — the SHJ build cannot spill, while SMJ's sorts
+    here are dim-scale, not fact-scale — SCALE.md r15) and the
     region-supplier dim (nation broadcast; supplier AQE-decided), then
     groupBy(s_name) sums the per-order wait counts. Fact scans: 3 -> 1;
-    fact-scale exchanges: 3 + 3 SMJ sorts -> 1 post-partial hash
-    exchange, no sorts. Reference: TPC-H spec Q21."""
+    fact-scale exchanges: 3 + 3 fact sorts -> 1 post-partial hash
+    exchange with no fact-scale sort. Reference: TPC-H spec Q21."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -3227,7 +3232,7 @@ def q_tpch_q21(spark, sf_dir):
     )
     return (
         qual.join(
-            orders_f.hint("shuffle_hash"),
+            orders_f.hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(sup_cut, F.col("late_sk") == F.col("s_suppkey"))

@@ -131,10 +131,12 @@ def test_q21_plan_is_single_scan_minmax(spark):
     """The r15 single-scan rewrite's physical invariants: exactly ONE
     lineitem scan (the EXISTS pair folds into one per-order min/max
     aggregate — a second scan is a regression to the semi/anti form),
-    no sort-merge/nested-loop/cartesian anywhere (the min/max plan has
-    no sorts at all), and the orders join holds the shuffle_hash
+    no nested-loop/cartesian anywhere, the orders join holds the MERGE
     anti-broadcast guard (the q9 trap: the 1-col SF-scaling projection
-    prices under the static broadcast threshold)."""
+    prices under the static broadcast threshold; merge over
+    shuffle_hash because the SHJ build cannot spill — q9's sf100 A/B
+    hard-failed on this shape), and the FACT side never sorts — the
+    SMJ's sorts sit above the aggregate, on dim-scale inputs."""
     df = entry_mod.queries()["tpch_q21"](spark, SF)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -149,10 +151,19 @@ def test_q21_plan_is_single_scan_minmax(spark):
         and "lineitem.parquet" in blk
     }
     assert len(li_scans) == 1
-    assert "ShuffledHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the fact is consumed unsorted: the only Sort nodes are the SMJ's
+    # two inputs (qual — post-aggregate — and the 1-col orders cut);
+    # a third Sort would mean a fact-scale sort crept in
+    tree = plan.split("(1) Scan")[0]
+    n_sorts = sum(
+        1
+        for ln in tree.splitlines()
+        if re.search(r"\+- \*?\(?\d*\)?\s*Sort\b", ln)
+    )
+    assert n_sorts <= 2
 
 
 def test_q21_minmax_equals_distinct_counts(spark):

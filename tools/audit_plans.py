@@ -234,11 +234,15 @@ EXPECTATIONS = {
     "tpch_q17": (2, ["Window"], ["CartesianProduct", "GlobalSort"]),
     # r15 single-scan rewrite: the EXISTS pair runs as ONE
     # groupBy(orderkey) of min/max/sum aggregates (no Expand, no
-    # distinct), so no semi/anti/SMJ may appear; the orders join must
-    # hold the shuffle_hash anti-broadcast guard (static estimator
-    # under-prices the 1-col SF-scaling projection — the q9 trap)
-    "tpch_q21": (3, ["ShuffledHashJoin", "TakeOrderedAndProject"],
-                 ["SortMergeJoin", "CartesianProduct",
+    # distinct), so no semi/anti may appear; the orders join holds a
+    # MERGE anti-broadcast guard (static estimator under-prices the
+    # 1-col SF-scaling projection — the q9 trap; merge over
+    # shuffle_hash because the SHJ build cannot spill — q9's A/B
+    # hard-failed on exactly this shape, SCALE.md r15), and its sorts
+    # are dim-scale: the fact side never sorts (it is consumed by the
+    # hash aggregate before any join)
+    "tpch_q21": (3, ["SortMergeJoin", "TakeOrderedAndProject"],
+                 ["CartesianProduct",
                   "BroadcastNestedLoopJoin", "GlobalSort"]),
     # min-per-group correlated subquery as a window over the doubly-cut
     # fact; top-100 via TakeOrdered, never a global sort
