@@ -3842,13 +3842,16 @@ def q_tpch_q8(spark, sf_dir):
     integer in 1e-4-dollar units — the volume sums are integer sums
     (order-independent, engine-independent; never a rounded double
     accumulation whose half-cent boundary could differ between Spark
-    and DuckDB), run as decimal(20,0)->decimal(30,0) so they cannot
-    wrap (bound: per-row <= ~1e9 e4-units; even 1e13 filtered rows —
-    100x the 100 TB design point — sums to 1e22 << 1e30). Cents =
-    e4-sum div 100; the basis-point ratio multiplies in decimal(38,0)
-    space before the div (cents*10^4 would need filtered volume over
-    $9.2e12 to wrap a raw long — reachable at 100 TB, hence the
-    decimal; DuckDB mirrors via HUGEINT) — `div` (Spark) and `//`
+    and DuckDB), run as decimal(20,0)->decimal(30,0) so the SUMS cannot
+    wrap (bound: per-row <= ~1e9 e4-units; even 1e13 filtered rows sums
+    to 1e22 << 1e30). The binding bound is one operator later: cents =
+    e4-sum div 100 returns a LONG, exact up to 9.2e18 cents = $9.2e16
+    filtered volume — ~4,600x the ~2e16-cent 100 TB design point, and
+    past it Spark wraps silently while DuckDB's HUGEINT->BIGINT cast
+    raises, so THAT is the stated divergence boundary. The basis-point
+    ratio multiplies in decimal(38,0) space before the div (cents*10^4
+    alone would wrap a raw long at $9.2e12 — reachable at 100 TB,
+    hence the decimal; DuckDB mirrors via HUGEINT) — `div` (Spark) and `//`
     (DuckDB) both truncate toward zero on every sign combo (proven as
     a law test; both diverge from Python's floor on mixed signs,
     irrelevant on this non-negative domain), so the gate is never an

@@ -155,15 +155,14 @@ def test_q21_plan_is_single_scan_minmax(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the fact is consumed unsorted: the only Sort nodes are the SMJ's
-    # two inputs (qual — post-aggregate — and the 1-col orders cut);
-    # a third Sort would mean a fact-scale sort crept in
-    tree = plan.split("(1) Scan")[0]
-    n_sorts = sum(
-        1
-        for ln in tree.splitlines()
-        if re.search(r"\+- \*?\(?\d*\)?\s*Sort\b", ln)
-    )
-    assert n_sorts <= 2
+    # two inputs (qual — post-aggregate — and the 1-col orders cut); a
+    # third Sort would mean a fact-scale sort crept in. Count the
+    # "(N) Sort" DETAIL headers, not tree lines — tree branches prefix
+    # with ':-' as well as '+-' and a line regex undercounts (r15
+    # review finding: the first version matched only '+-' and counted
+    # 1 of the plan's 2 real Sorts)
+    n_sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
+    assert n_sorts == 2
 
 
 def test_q21_minmax_equals_distinct_counts(spark):

@@ -62,11 +62,14 @@ PARAMS = {"n_hashes": 8, "bands": 4, "shingle_k": 5}
 
 def _recurring_pred(i):
     """The generator's recurring-block predicate on a WITHIN-DAY id
-    (day_docs_highentropy: base block hashed with salt 11, 1-in-20)."""
-    base = F.when(i % 25 == 1, (i / 25).cast("long") * 25).otherwise(i)
-    return (
-        F.pmod(F.xxhash64((base / 25).cast("long"), F.lit(11)), F.lit(20)) == 0
-    )
+    (day_docs_highentropy: block id hashed with salt 11, 1-in-20).
+    The generator routes plants through `base` first, but
+    floor(base/25) == floor(i/25) for every id (a plant's base is in
+    its own block), so the block id is just i/25 — kept as the direct
+    form; tests/test_round15_tools.py pins equality against the
+    generator so drift in ab_bloom_highentropy cannot silently
+    desynchronize this copy."""
+    return F.pmod(F.xxhash64((i / 25).cast("long"), F.lit(11)), F.lit(20)) == 0
 
 
 def real_recurring_rows(spark, n: int):
@@ -167,21 +170,20 @@ def main() -> int:
             spark, docs, store, ab_day, repartition=par
         ).count()
         print(f"  commit fold: {time.time() - t0:.1f}s pairs={n0}", flush=True)
-        m_bits = 16 * (
-            spark.read.parquet(f"{store}/day={ab_day}")
-            .select("band", "bucket")
-            .distinct()
-            .count()
-        )
-        # coverage probe: fraction of history rows whose bucket is
-        # touched by today (the crossover rule's other input)
+        # one distinct over today's committed partition serves both the
+        # bitmap sizing and the coverage probe (was two full scans)
         today_b = (
             spark.read.parquet(f"{store}/day={ab_day}")
             .select("band", "bucket")
             .distinct()
+            .cache()
         )
+        m_bits = 16 * today_b.count()
+        # coverage probe: fraction of history rows whose bucket is
+        # touched by today (the crossover rule's other input)
         hist = spark.read.parquet(store).filter(F.col("day") < ab_day)
         n_cov = hist.join(today_b, ["band", "bucket"], "left_semi").count()
+        today_b.unpersist()
         print(
             f"  coverage: {n_cov}/{n_hist} ({100 * n_cov / max(n_hist, 1):.2f}%) "
             f"m_bits={m_bits}",

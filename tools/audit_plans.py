@@ -384,10 +384,12 @@ BROADCAST_HINT_BUDGET = {
     "tpch_q11": 5,
     "tpch_q22": 1,   # the 1-row positive-balance average only
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
-    # nation's broadcast + the orders SHUFFLE_HASH hint (the q9-family
+    # nation's broadcast + the orders MERGE hint (the q9-family
     # anti-broadcast guard: the 1-col orders projection prices under
     # threshold and would statically broadcast a 15M-row HashedRelation
-    # at sf100 — measured +120% wall); supplier stays AQE-decided
+    # at sf100 — measured +120% wall; merge, NOT shuffle_hash — the SHJ
+    # build cannot spill and hard-failed q9's sf100 A/B); supplier
+    # stays AQE-decided
     "tpch_q21": 2,
     # nation's hint sits inside the rs subtree, which late
     # materialization replays twice (keys-only cut + attribute attach)

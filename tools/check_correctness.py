@@ -40,6 +40,11 @@ CACHE_DIR = "/root/repo/.oracle_cache"
 
 def _fixture_digest(sf_dir: str) -> str:
     h = hashlib.sha256()
+    # an oracle result is a function of (sql, fixture bytes, ENGINE):
+    # a DuckDB/pandas upgrade that changes a behavior (rounding mode,
+    # overflow promotion, // semantics) must invalidate the cache, so
+    # the engine versions are part of the key
+    h.update(f"duckdb={duckdb.__version__};pandas={pd.__version__}".encode())
     for t in TABLES:
         p = f"{sf_dir.rstrip('/')}/{t}.parquet"
         st = os.stat(p)
