@@ -141,6 +141,13 @@ def main() -> int:
     par = spark.sparkContext.defaultParallelism
     store = f"/tmp/ab_bloom_deep_store_{os.getpid()}"
     shutil.rmtree(store, ignore_errors=True)
+    import atexit
+
+    # the store is tens of GB at year-class depths: an exception mid-run
+    # (the first 730M attempt died ENOSPC in the commit fold) must not
+    # leak it — os._exit below skips finally blocks, so atexit + the
+    # explicit rmtree cover both exits
+    atexit.register(lambda: shutil.rmtree(store, ignore_errors=True))
     _check_store_params(spark, store, PARAMS)  # writes _PARAMS
     print(f"depths={depths} per_day={per_day} store={store}", flush=True)
 
