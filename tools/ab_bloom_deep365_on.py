@@ -1,3 +1,10 @@
+"""Year-deep (365x day, 730M-row) ON-only fold: grows the synthetic
+store (tools/ab_bloom_deepstore.py machinery) and measures ONLY the
+bloom-pruned fold — the unpruned fold is disk-infeasible on this box
+(2x ENOSPC at ~3x store-bytes of shuffle+sort transient; SCALE.md
+round-15 year-deep addendum). Best-of-2, pairs asserted stable run to
+run by inspection of the printed counts."""
+
 import os, shutil, sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
