@@ -157,6 +157,7 @@ def _band_buckets(
     shingle_k: int,
     repartition: int | None,
     max_bucket: int | None,
+    bucket_encoding: str = "md5",
 ) -> DataFrame:
     """(id, band, bucket) LSH banding table with the degenerate-bucket cap
     applied — the shared head of both neardup candidate strategies.
@@ -166,14 +167,32 @@ def _band_buckets(
     candidate pairs — a single 10k-identical-docs bucket would add 5·10⁷
     pairs and stall the stage). The size count is a window over the SAME
     (band, bucket) key later joins use, so the cap adds no extra
-    exchange. ``None`` disables."""
+    exchange. ``None`` disables.
+
+    ``bucket_encoding``: the bucket key is an identity stand-in for the
+    band's minhash VECTOR — two docs share a bucket iff their band
+    columns are equal — so any injective-in-practice digest works.
+    "md5" (default) keeps the 32-char hex form every DuckDB gate oracle
+    reproduces; "xxhash64" stores an 8-byte long instead (~3x fewer
+    scan bytes per store row), the hot-path layout for year-deep
+    incremental stores where the fold is store-scan-dominated
+    (SCALE.md r16 A/B: same pairs, smaller store). Collision risk is
+    2^-64 per colliding PAIR within one band — and a collision only
+    ADDS a candidate pair (verified downstream by Jaccard), never drops
+    one."""
+    if bucket_encoding not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown bucket_encoding {bucket_encoding!r}")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, repartition)
     band_cols = []
     for b in range(bands):
         cols = [f"minhash_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if bucket_encoding == "xxhash64":
+            bucket = F.xxhash64(*[F.col(c) for c in cols])
+        else:
+            bucket = F.md5(F.concat_ws("|", *cols))
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
@@ -1016,6 +1035,7 @@ def incremental_neardup_update(
     max_bucket: int | None = 64,
     repartition: int | None = None,
     bloom_bits: "int | None" = None,
+    bucket_encoding: str = "md5",
 ) -> DataFrame:
     """Day-over-day NEAR-dup against a persisted MinHash band store —
     the LSH twin of ``incremental_dedup_update``: fold TODAY's shard in
@@ -1071,11 +1091,14 @@ def incremental_neardup_update(
     decision). As with the exact twin, the prune pays off once the
     store dwarfs the day (the multi-year regime); below the crossover
     the plain union wins — see SCALE.md for the measured A/B."""
-    _check_store_params(
-        spark,
-        store_dir,
-        {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k},
-    )
+    # the encoding joins the pinned signature params ONLY when narrow:
+    # md5 folds stay byte-compatible with every pre-r16 store marker,
+    # while an xxhash64 store refuses an md5 fold (and vice versa) —
+    # mixed-encoding buckets would silently never join
+    params = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k}
+    if bucket_encoding != "md5":
+        params["bucket_encoding"] = bucket_encoding
+    _check_store_params(spark, store_dir, params)
     # Commit FIRST, then derive the pairs from the committed bytes: the
     # shingle+minhash banding is the fold's expensive map work, and the
     # lazy pair plan references today's rows four ways (cap window,
@@ -1085,7 +1108,8 @@ def incremental_neardup_update(
     # describe exactly what the store now contains (the twin,
     # incremental_dedup_update, commits first for the same reason).
     today = _band_buckets(
-        day_df, id_col, text_col, n_hashes, bands, shingle_k, repartition, None
+        day_df, id_col, text_col, n_hashes, bands, shingle_k, repartition,
+        None, bucket_encoding=bucket_encoding,
     )
     out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
     today.select(id_col, "band", "bucket").write.mode("overwrite").parquet(out_dir)
@@ -1097,7 +1121,13 @@ def incremental_neardup_update(
         if bloom_bits is not None:
             from bun_csv_spark.operators.maintenance import bloom_semi_join
 
-            bk = F.concat_ws("|", F.col("band").cast("string"), F.col("bucket"))
+            # bucket cast covers both encodings (md5 string no-op,
+            # xxhash64 long -> decimal string)
+            bk = F.concat_ws(
+                "|",
+                F.col("band").cast("string"),
+                F.col("bucket").cast("string"),
+            )
             # xxhash64 probes (see incremental_dedup_update: output is
             # bit-identical at any FP rate, so the portable-md5 oracle
             # constraint doesn't apply to this hot path); large m_bits

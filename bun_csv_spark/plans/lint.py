@@ -4,7 +4,13 @@
 and returns structured findings for the shapes that kill 100 TB jobs:
 cartesian products, filters that never reached the parquet scan,
 global-sort / single-partition windows, row-at-a-time Python UDFs, scans
-that read every column for a narrow projection. It is the reusable
+that read every column for a narrow projection — and (r16) the two
+static-pricing traps this repo hit five times across rounds 12-15:
+a fact under-priced INTO a broadcast (q9/q21: narrow projections price
+at file-size x column-ratio, under the threshold, while the actual
+build scales with the data) and a dim cut over-priced OUT of one
+(q2/q5/q11: join-derived builds price at the bytes-PRODUCT of their
+children, so the whole fact is exchanged on the join key). It is the reusable
 library form of the repo's own plan audit (tools/audit_plans.py asserts
 per-gate expectations; this lints arbitrary user queries).
 
@@ -16,10 +22,23 @@ default") to declarative plans.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+
+# Size-class vocabulary for the two static-pricing rules below. These are
+# the repo's test tables; a user lints their own schema by passing
+# fact_tables= / dim_tables= to lint_plan. "fact" = grows linearly with
+# the dataset (never broadcastable at scale); "dim" = small enough that a
+# cut of it always fits a broadcast build.
+FACT_TABLES = frozenset(
+    {"lineitem", "orders", "events", "documents", "embeddings"}
+)
+DIM_TABLES = frozenset({"nation", "region", "supplier", "customer", "part"})
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
 
 @dataclass
@@ -39,10 +58,179 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
-def lint_plan(df: DataFrame) -> list[Finding]:
+# --- formatted-plan tree parsing (for the subtree-shape rules) --------
+
+_NODE_RE = re.compile(r"^([\s:+\-*]*)(\S.*?)\s*\((\d+)\)\s*$")
+
+
+def _tree_nodes(p: str) -> list[tuple[int, str, int]]:
+    """(node_id, node_name, indent_column) per line of the plan tree.
+
+    Formatted mode prints the tree between ``== Physical Plan ==`` and
+    the first blank line; indent column encodes parent/child (children
+    are strictly deeper), so a node's subtree is the run of following
+    nodes with a larger column."""
+    nodes: list[tuple[int, str, int]] = []
+    in_tree = False
+    for ln in p.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not ln.strip():
+                break
+            m = _NODE_RE.match(ln)
+            if m:
+                nodes.append(
+                    (int(m.group(3)), m.group(2).strip(), len(m.group(1)))
+                )
+    return nodes
+
+
+def _node_blocks(p: str) -> dict[int, str]:
+    """node_id -> its detail block (the ``(N) Name`` sections)."""
+    blocks: dict[int, list[str]] = {}
+    cur: int | None = None
+    for ln in p.splitlines():
+        m = re.match(r"^\((\d+)\) \S", ln)
+        if m:
+            cur = int(m.group(1))
+            blocks[cur] = [ln]
+        elif cur is not None:
+            blocks[cur].append(ln)
+    return {k: "\n".join(v) for k, v in blocks.items()}
+
+
+def _subtree(nodes: list[tuple[int, str, int]], i: int) -> list[int]:
+    """Indices of node i's descendants (strictly deeper columns)."""
+    col = nodes[i][2]
+    out = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][2] <= col:
+            break
+        out.append(j)
+    return out
+
+
+def _scan_tables(
+    nodes: list[tuple[int, str, int]],
+    idxs: list[int],
+    blocks: dict[int, str],
+    known: frozenset[str],
+) -> set[str]:
+    """Known table names scanned anywhere among the given node indices.
+
+    Identity comes from the scan's Location path segments (file scans)
+    or the catalog-qualified name in the node line (table scans)."""
+    found: set[str] = set()
+    pat = re.compile(
+        r"(?:[/\\]|\bdefault\.)("
+        + "|".join(sorted(known))
+        + r")(?=\.parquet\b|\.csv\b|\.json\b|\.orc\b|[/\\\],\s]|$)",
+        re.I,
+    )
+    for j in idxs:
+        nid, name, _ = nodes[j]
+        if not name.startswith("Scan "):
+            continue
+        text = name + "\n" + blocks.get(nid, "")
+        loc = re.search(r"Location: [^\n]*", text)
+        hay = (loc.group(0) if loc else "") + "\n" + name
+        for m in pat.finditer(hay):
+            found.add(m.group(1).lower())
+    return found
+
+
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size(v: str) -> int:
+    """Spark size-conf string ('67108864', '64MB', '-1') -> bytes."""
+    m = re.match(r"^\s*(-?\d+)\s*([a-zA-Z]*)\s*$", str(v))
+    if not m:
+        return -1
+    return int(m.group(1)) * _SIZE_UNITS.get(m.group(2).lower(), 1)
+
+
+def _broadcast_threshold(df: DataFrame) -> int:
+    """The session's effective broadcast threshold in bytes.
+
+    -1 (broadcasts disabled) still leaves EXPLICIT F.broadcast() hints
+    possible, so the rules fall back to Spark's historical 64 MB ceiling
+    as the 'too big to broadcast' line."""
+    try:
+        thr = _parse_size(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        thr = -1
+    return thr if thr > 0 else 64 * 1024 * 1024
+
+
+def _location_bytes(block: str) -> int | None:
+    """On-disk bytes of a scan's Location paths (driver-side stat only).
+
+    None when the location is unreadable (catalog table, remote FS) —
+    the rules stay silent rather than guess. A truncated path list
+    ('...') undercounts, which only makes the rules MORE conservative."""
+    m = re.search(r"Location: \w+ \[([^\]]*)\]", block or "")
+    if not m:
+        return None
+    total, seen = 0, False
+    for raw in m.group(1).split(","):
+        path = raw.strip()
+        if not path or path == "...":
+            continue
+        if path.startswith("file:"):
+            path = path[5:]
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+            seen = True
+        elif os.path.isdir(path):
+            for dp, _dns, fns in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(dp, fn)) for fn in fns
+                )
+            seen = True
+    return total if seen else None
+
+
+def _children(
+    nodes: list[tuple[int, str, int]], i: int
+) -> list[list[int]]:
+    """Partition node i's descendants into per-direct-child subtrees."""
+    sub = _subtree(nodes, i)
+    if not sub:
+        return []
+    mincol = min(nodes[j][2] for j in sub)
+    out: list[list[int]] = []
+    for j in sub:
+        if nodes[j][2] == mincol:
+            out.append([j])
+        elif out:
+            out[-1].append(j)
+    return out
+
+
+def lint_plan(
+    df: DataFrame,
+    fact_tables: frozenset[str] | None = None,
+    dim_tables: frozenset[str] | None = None,
+) -> list[Finding]:
     """Lint the DataFrame's physical plan; returns findings worst-first.
 
-    Driver-side plan-string inspection only — nothing is executed."""
+    Driver-side plan-string inspection only — nothing is executed.
+    ``fact_tables`` / ``dim_tables`` parameterize the two static-pricing
+    rules (default: this repo's test schema) — pass your own table
+    names to lint queries over another schema."""
+    facts = FACT_TABLES if fact_tables is None else frozenset(fact_tables)
+    dims = DIM_TABLES if dim_tables is None else frozenset(dim_tables)
     p = plan_text(df)
     findings: list[Finding] = []
 
@@ -93,6 +281,98 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             "Filter node present but no PushedFilters reached any scan: "
             "the predicate may wrap the column in a non-pushable "
             "expression (cast/UDF). Filter on raw columns first."))
+
+    # --- the two static-pricing traps (seen 5x across rounds 12-15:
+    # q2/q5/q11 over-priced a dim cut out of its broadcast; q9/q21
+    # under-priced a narrow fact projection INTO one). Both are
+    # size-only-estimator artifacts that ANALYZE statistics would fix
+    # on a managed deployment; in a stats-less job the guard must be
+    # explicit, so the linter surfaces them for any user query.
+    thr = _broadcast_threshold(df)
+    nodes = _tree_nodes(p)
+    blocks = _node_blocks(p)
+
+    def _scan_bytes(idxs: list[int]) -> list[tuple[str, int]]:
+        """(scan name, on-disk bytes) per file scan among the indices,
+        skipping partition-pruned scans (raw dir bytes overstate them)."""
+        out = []
+        for j in idxs:
+            nid, nm, _c = nodes[j]
+            if not nm.startswith("Scan "):
+                continue
+            block = blocks.get(nid, "")
+            pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
+            if pf and pf.group(1).strip():
+                continue
+            b = _location_bytes(block)
+            if b is not None:
+                out.append((nm, b))
+        return out
+
+    for i, (nid, name, _col) in enumerate(nodes):
+        if name.startswith("BroadcastExchange"):
+            # Trap (a), the q9/q21 shape: a statically-planned broadcast
+            # whose build scans a table that is ITSELF over the broadcast
+            # threshold. The plan chose broadcast, so the size-only
+            # estimate (file bytes x column-ratio) priced the cut under
+            # the threshold — but the build's ROW count is the table's,
+            # so the actual HashedRelation scales with the data (q9 at
+            # sf10: a 40 MB estimate, a 15M-row ~240 MB actual — and at
+            # the next scale-up it is driver-killing). An aggregate
+            # below the exchange bounds the build, so those are exempt.
+            sub = _subtree(nodes, i)
+            if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
+                continue
+            big = [(nm, b) for nm, b in _scan_bytes(sub) if b >= thr]
+            if big:
+                mb = max(b for _nm, b in big) / (1 << 20)
+                findings.append(Finding(
+                    "fact-broadcast", "warn",
+                    "BroadcastExchange build scans a table whose raw "
+                    f"bytes ({mb:.0f} MB) exceed the broadcast threshold "
+                    f"({thr / (1 << 20):.0f} MB): the size-only estimator "
+                    "priced a narrow projection at file-size x "
+                    "column-ratio, UNDER the threshold, but the build's "
+                    "row count is the table's — the actual HashedRelation "
+                    "grows with the data and lands on every executor. "
+                    "Guard with .hint('merge') on the scaling side, or "
+                    "ANALYZE TABLE for real statistics."))
+        elif name.startswith(("SortMergeJoin", "ShuffledHashJoin")):
+            # Trap (b), the q2/q5/q11 shape: a shuffle join whose build
+            # side only scans whitelisted small dims (a dim CUT — priced
+            # at the bytes-PRODUCT of its children, over the threshold
+            # however narrow) while the probe side scans a big table:
+            # the plan exchanges the ENTIRE fact on the join key, a
+            # shuffle AQE's late broadcast flip cannot un-spend.
+            kids = _children(nodes, i)
+            if len(kids) != 2:
+                continue
+            sides = []
+            for kid in kids:
+                kf = _scan_tables(nodes, kid, blocks, facts)
+                kd = _scan_tables(nodes, kid, blocks, dims)
+                big = any(b >= thr for _nm, b in _scan_bytes(kid))
+                sides.append((kf, kd, big))
+            for a, b in ((0, 1), (1, 0)):
+                a_facts, a_dims, _a_big = sides[a]
+                b_facts, _b_dims, b_big = sides[b]
+                if a_dims and not a_facts and (b_facts or b_big):
+                    findings.append(Finding(
+                        "dim-cut-not-broadcast", "warn",
+                        f"{name.split()[0]} shuffles a fact side "
+                        f"({sorted(b_facts) or 'big scan'}) against a "
+                        f"build that only scans small dims "
+                        f"({sorted(a_dims)}). A join-derived dim cut is "
+                        "priced at the bytes-PRODUCT of its children — "
+                        "over the broadcast threshold however narrow the "
+                        "cut — so the plan exchanges the ENTIRE fact on "
+                        "the join key, a shuffle AQE's late broadcast "
+                        "flip cannot un-spend (q11: one F.broadcast() on "
+                        "the cut = 5.8x at sf100). Wrap the dim-cut side "
+                        "in F.broadcast(), or make the cut scan-level "
+                        "(isin over a collected fixed-size key set — the "
+                        "q5 recipe)."))
+                    break
 
     # wide scan: ReadSchema lists many columns but the plan projects few
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)

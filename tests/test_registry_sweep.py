@@ -53,17 +53,25 @@ BOUNDED_GLOBAL_WINDOW = {
 def test_no_gate_plan_has_lint_errors(spark):
     """Standing scale-antipattern gate: no registry query may plan a
     cartesian product, a row-at-a-time Python UDF, or an unbounded
-    global window. New gates are linted automatically the moment they
-    enter the registry; new exceptions must be argued into the
-    allowlist above WITH the boundedness reason."""
+    global window — and (r16) no gate may trip either static-pricing
+    trap rule (fact-broadcast / dim-cut-not-broadcast, warn-severity
+    but forbidden here: every landed gate carries its guard, so a
+    firing means a guard regressed). New gates are linted automatically
+    the moment they enter the registry; new exceptions must be argued
+    into the allowlist above WITH the boundedness reason."""
     import __spark_entry__ as entry_mod
 
     from bun_csv_spark.plans.lint import lint_plan
 
+    forbidden_warns = {"fact-broadcast", "dim-cut-not-broadcast"}
     bad = {}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
-        errs = [f.code for f in lint_plan(df) if f.severity == "error"]
+        errs = [
+            f.code
+            for f in lint_plan(df)
+            if f.severity == "error" or f.code in forbidden_warns
+        ]
         if name in BOUNDED_GLOBAL_WINDOW:
             errs = [c for c in errs if c != "global-window"]
         if errs:

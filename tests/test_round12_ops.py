@@ -154,15 +154,38 @@ def test_q21_plan_is_single_scan_minmax(spark):
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the fact is consumed unsorted: the only Sort nodes are the SMJ's
-    # two inputs (qual — post-aggregate — and the 1-col orders cut); a
-    # third Sort would mean a fact-scale sort crept in. Count the
-    # "(N) Sort" DETAIL headers, not tree lines — tree branches prefix
-    # with ':-' as well as '+-' and a line regex undercounts (r15
-    # review finding: the first version matched only '+-' and counted
-    # 1 of the plan's 2 real Sorts)
-    n_sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
-    assert n_sorts == 2
+    # the fact is consumed UNSORTED: walking up from the lineitem scan,
+    # the first aggregate must arrive before any Sort — a Sort below it
+    # would be a fact-scale sort. (This replaces an exact global
+    # Sort-node count, which pinned unrelated dim-scale Sorts and would
+    # flip on any Spark/AQE plan-shape change even with the invariant
+    # intact — r15 advice.)
+    from bun_csv_spark.plans.lint import _node_blocks, _tree_nodes
+
+    nodes = _tree_nodes(plan)
+    blocks = _node_blocks(plan)
+    li_idx = [
+        i
+        for i, (nid, nm, _c) in enumerate(nodes)
+        if nm.startswith("Scan parquet")
+        and "lineitem.parquet" in blocks.get(nid, "")
+    ]
+    assert len(li_idx) == 1
+    i = li_idx[0]
+    col = nodes[i][2]
+    ancestors = []
+    for j in range(i - 1, -1, -1):
+        if nodes[j][2] < col:
+            ancestors.append(nodes[j][1])
+            col = nodes[j][2]
+    aggs = [
+        k for k, nm in enumerate(ancestors) if nm.startswith("HashAggregate")
+    ]
+    assert aggs, f"no aggregate above the fact scan: {ancestors}"
+    below_agg = ancestors[: aggs[0]]
+    assert not any(
+        nm == "Sort" or nm.startswith("Sort ") for nm in below_agg
+    ), f"fact-scale Sort crept in below the aggregate: {below_agg}"
 
 
 def test_q21_minmax_equals_distinct_counts(spark):

@@ -242,8 +242,8 @@ EXPECTATIONS = {
     # are dim-scale: the fact side never sorts (it is consumed by the
     # hash aggregate before any join)
     "tpch_q21": (3, ["SortMergeJoin", "TakeOrderedAndProject"],
-                 ["CartesianProduct",
-                  "BroadcastNestedLoopJoin", "GlobalSort"]),
+                 ["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "GlobalSort", "Semi", "Anti"]),
     # min-per-group correlated subquery as a window over the doubly-cut
     # fact; top-100 via TakeOrdered, never a global sort
     "tpch_q2": (3, ["Window", "TakeOrderedAndProject"],
