@@ -1234,6 +1234,35 @@ def q_incremental_neardup(spark, sf_dir):
     return out.select("day", "id_a", "id_b")
 
 
+def q_incremental_neardup_narrow(spark, sf_dir):
+    """The incremental_neardup fold on the NARROW band-store layout
+    (r16, operators/dedup.py bucket_encoding="xxhash64"): identical
+    three-pseudo-day replay, but the store commits 8-byte long buckets
+    instead of 32-char md5 hex — ~3x fewer scan bytes per store row on
+    the store-scan-dominated year-deep fold (SCALE.md r16 A/B at
+    100x-day depth). The emitted PAIRS are encoding-independent (the
+    bucket is an identity digest of the band's minhash vector: two
+    docs share a bucket iff their band columns are equal, under either
+    digest), so this gate reuses the md5 twin's DuckDB oracle VERBATIM
+    — the driver hash-match IS the equality law, oracle-verified
+    (also pinned small in tests/test_round16_ops.py)."""
+    from bun_csv_spark.operators.dedup import incremental_neardup_update
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    store = _scratch_dir("band_store_xx", sf_dir)
+    outs = []
+    for d in range(3):
+        pairs = incremental_neardup_update(
+            spark, corpus.filter(F.col("doc_id") % 3 == d), store, d,
+            n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
+            repartition=spark.sparkContext.defaultParallelism,
+            bucket_encoding="xxhash64",
+        )
+        outs.append(pairs.withColumn("day", F.lit(d).cast("long")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("day", "id_a", "id_b")
+
+
 def q_multimodal_video(spark, sf_dir):
     """REAL video decode end-to-end (r11): each doc carries an MJPEG-
     in-AVI file (RIFF container — avih/strh/strf headers, movi '00dc'
@@ -4707,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         # -- NEW round 11 ---------------------------------------------------
         "incremental_neardup": q_incremental_neardup,
+        "incremental_neardup_narrow": q_incremental_neardup_narrow,
         "multimodal_video": q_multimodal_video,
         # -- NEW round 10 ---------------------------------------------------
         "streaming_kmv": q_streaming_kmv,
@@ -8595,6 +8625,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum.cumc <= 64
     """
     )
+    # the narrow (xxhash64-long bucket) fold emits the SAME pairs — the
+    # bucket is an identity digest of the band vector, so the md5
+    # oracle applies verbatim (r16; law in tests/test_round16_ops.py)
+    sql["incremental_neardup_narrow"] = sql["incremental_neardup"]
 
     return sql
 

@@ -169,9 +169,13 @@ def main() -> int:
                     spark, docs, store, depth, repartition=par,
                     bloom_bits=bits, bucket_encoding=enc,
                 )
+                # checksum sums in decimal(38,0): a long sum of ~1e7
+                # signed 64-bit hashes overflows under ANSI mode
                 agg = pairs.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64("id_a", "id_b")).alias("chk"),
+                    F.sum(
+                        F.xxhash64("id_a", "id_b").cast("decimal(38,0)")
+                    ).alias("chk"),
                 ).collect()[0]
                 w = time.time() - t0
                 best[tag] = min(best.get(tag, float("inf")), w)
