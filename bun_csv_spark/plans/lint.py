@@ -354,9 +354,16 @@ def lint_plan(
                 big = any(b >= thr for _nm, b in _scan_bytes(kid))
                 sides.append((kf, kd, big))
             for a, b in ((0, 1), (1, 0)):
-                a_facts, a_dims, _a_big = sides[a]
+                a_facts, a_dims, a_big = sides[a]
                 b_facts, _b_dims, b_big = sides[b]
-                if a_dims and not a_facts and (b_facts or b_big):
+                # a_big guard: a dims-only build whose scans are
+                # THEMSELVES over the threshold (customer at sf100 is
+                # 2.4 GB) must not be advised into a broadcast — that
+                # SMJ is the correct plan (the adjudicated q5
+                # customer-side shape, SCALE.md r13)
+                if a_dims and not a_facts and not a_big and (
+                    b_facts or b_big
+                ):
                     findings.append(Finding(
                         "dim-cut-not-broadcast", "warn",
                         f"{name.split()[0]} shuffles a fact side "

@@ -208,6 +208,19 @@ def test_q2_unguarded_dim_cut_fires(spark):
         assert codes and set(codes) == {"dim-cut-not-broadcast"}
 
 
+def test_dim_side_itself_big_does_not_fire(spark):
+    """A dims-only build whose scans are THEMSELVES over the threshold
+    must not be advised into a broadcast — that SMJ is the correct plan
+    (the adjudicated q5 customer-side shape at sf100, miniaturized by a
+    1 KB threshold: customer's 6.9 KB raw is 'big', so the rule stays
+    silent)."""
+    o = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, "customer").select("c_custkey", "c_name")
+    with _threshold(spark, "1k"):
+        j = o.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        assert _trap_codes(j) == []
+
+
 def test_fact_fact_smj_does_not_fire(spark):
     """The inherent fact-fact orderkey SMJ (q18's shape) is the correct
     plan at scale — rule (b) must stay silent when neither side is a
