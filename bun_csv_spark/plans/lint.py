@@ -87,6 +87,42 @@ def _tree_nodes(p: str) -> list[tuple[int, str, int]]:
     return nodes
 
 
+def _all_trees(p: str) -> list[list[tuple[int, str, int]]]:
+    """EVERY plan tree in the formatted text: the main
+    ``== Physical Plan ==`` tree plus each subquery's tree (the
+    ``===== Subqueries =====`` section prints one per scalar/IN
+    subquery). Trees are maximal runs of consecutive node lines; they
+    must stay separate because indent columns are only comparable
+    within one tree (a subquery root's column would otherwise read as
+    a descendant of the previous tree's leaves). Detail-block lines
+    (``(N) Name``, ``Arguments: ...``) do not match the node pattern,
+    so blocks terminate runs naturally."""
+    trees: list[list[tuple[int, str, int]]] = []
+    seen: set[tuple[int, ...]] = set()
+    cur: list[tuple[int, str, int]] = []
+
+    def _flush() -> None:
+        # a ReusedSubquery prints the same tree (same node ids) twice —
+        # lint it once, not once per print
+        if len(cur) >= 2:
+            sig = tuple(nid for nid, _nm, _c in cur)
+            if sig not in seen:
+                seen.add(sig)
+                trees.append(list(cur))
+        cur.clear()
+
+    for ln in p.splitlines():
+        m = _NODE_RE.match(ln)
+        if m:
+            cur.append(
+                (int(m.group(3)), m.group(2).strip(), len(m.group(1)))
+            )
+        else:
+            _flush()
+    _flush()
+    return trees
+
+
 def _node_blocks(p: str) -> dict[int, str]:
     """node_id -> its detail block (the ``(N) Name`` sections)."""
     blocks: dict[int, list[str]] = {}
@@ -289,8 +325,35 @@ def lint_plan(
     # on a managed deployment; in a stats-less job the guard must be
     # explicit, so the linter surfaces them for any user query.
     thr = _broadcast_threshold(df)
-    nodes = _tree_nodes(p)
     blocks = _node_blocks(p)
+    for nodes in _all_trees(p):
+        _lint_pricing_traps(nodes, blocks, thr, facts, dims, findings)
+
+    # wide scan: ReadSchema lists many columns but the plan projects few
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    if m:
+        n_read = len([c for c in m.group(1).split(",") if ":" in c])
+        if n_read > 24:
+            findings.append(Finding(
+                "wide-scan", "info",
+                f"Scan reads {n_read} columns — if the query needs few, "
+                "select() early so column pruning reaches the reader."))
+
+    order = {"error": 0, "warn": 1, "info": 2}
+    findings.sort(key=lambda f: order[f.severity])
+    return findings
+
+
+def _lint_pricing_traps(
+    nodes: list[tuple[int, str, int]],
+    blocks: dict[int, str],
+    thr: int,
+    facts: frozenset[str],
+    dims: frozenset[str],
+    findings: list[Finding],
+) -> None:
+    """The two static-pricing trap rules over ONE plan tree (the main
+    tree or a subquery's) — appends findings in place."""
 
     def _scan_bytes(idxs: list[int]) -> list[tuple[str, int]]:
         """(scan name, on-disk bytes) per file scan among the indices,
@@ -380,17 +443,3 @@ def lint_plan(
                         "(isin over a collected fixed-size key set — the "
                         "q5 recipe)."))
                     break
-
-    # wide scan: ReadSchema lists many columns but the plan projects few
-    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    if m:
-        n_read = len([c for c in m.group(1).split(",") if ":" in c])
-        if n_read > 24:
-            findings.append(Finding(
-                "wide-scan", "info",
-                f"Scan reads {n_read} columns — if the query needs few, "
-                "select() early so column pruning reaches the reader."))
-
-    order = {"error": 0, "warn": 1, "info": 2}
-    findings.sort(key=lambda f: order[f.severity])
-    return findings

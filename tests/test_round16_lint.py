@@ -232,6 +232,31 @@ def test_fact_fact_smj_does_not_fire(spark):
         assert _trap_codes(j) == []
 
 
+def test_trap_rules_see_subquery_trees(spark):
+    """A fact broadcast hidden inside a scalar subquery's plan tree
+    (the ``===== Subqueries =====`` section) must fire too — and only
+    ONCE, even though a reused subquery prints its tree twice."""
+    sf = SF
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView(
+        "lint16_li"
+    )
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView(
+        "lint16_o"
+    )
+    with _threshold(spark, "24k"):
+        q = spark.sql(
+            """
+            SELECT l_orderkey FROM lint16_li
+            WHERE l_extendedprice > (
+              SELECT avg(o1.o_totalprice) FROM lint16_o o1
+              JOIN (SELECT o_orderkey, year(o_orderdate) AS yr
+                    FROM lint16_o) o2
+                ON o1.o_orderkey = o2.o_orderkey AND o2.yr > 1992)
+            """
+        )
+        assert _trap_codes(q) == ["fact-broadcast"]
+
+
 # --- landed gate forms stay silent (the five fixed gates) -------------
 
 
