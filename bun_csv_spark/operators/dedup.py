@@ -965,7 +965,15 @@ def incremental_dedup_update(
     bitmap sized to the whole store and still leaves the store shuffle
     in place). With a mostly-novel daily shard the surviving store
     side is small enough for AQE to broadcast, removing the anti-join
-    shuffle entirely."""
+    shuffle entirely.
+
+    No ``bucket_encoding`` here, deliberately (r16): the band store's
+    narrow xxhash64 layout is safe because a bucket collision only ADDS
+    a candidate pair (verified downstream); this store's fp IS the
+    dedup decision, so a 64-bit collision would silently DROP a
+    distinct document — at 10^10 docs the birthday bound puts the
+    collision expectation near 3 (vs ~10^-18 for 128-bit md5). The
+    digest store stays 128-bit."""
     from bun_csv_spark.functions.text import fingerprint as _fingerprint
 
     fps = day_df.select(F.col(id_col), _fingerprint(text_col).alias("fp"))
