@@ -1485,16 +1485,21 @@ def q_percentiles(spark, sf_dir):
 
 def q_semi_anti_join(spark, sf_dir):
     """left_semi (EXISTS) and left_anti (NOT EXISTS) — Spark-native join
-    types beyond the reference's four."""
+    types beyond the reference's four. Both builds carry a MERGE hint
+    (r16: the lint sf10 sweep flagged both as live q9-window fact
+    broadcasts — the urgent-orders keys projection is ~20% of an
+    SF-scaling table, priced under the threshold at sf10 and statically
+    broadcast as a ~3M-key build, twice; merge measures 1.48x at sf10
+    and is a within-noise no-op at sf100 — A/B in SCALE.md r16)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    semi = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
-        "c_custkey", F.lit("has_urgent").alias("tag")
-    )
-    anti = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
-        "c_custkey", F.lit("no_urgent").alias("tag")
-    )
+    semi = cust.join(
+        urgent.hint("merge"), cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_urgent").alias("tag"))
+    anti = cust.join(
+        urgent.hint("merge"), cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_urgent").alias("tag"))
     return semi.unionAll(anti)
 
 
@@ -3282,8 +3287,12 @@ def q_tpch_q2(spark, sf_dir):
     Plan, designed for 100 TB: both cuts commute with the per-part min
     (the supplier cut IS the min's domain restriction; the part cut only
     removes whole partkey groups), so they land on the fact FIRST — the
-    ≤25-row nation dim is the only forced broadcast; supplier and part
-    joins are AQE-decided — and min().over(partitionBy l_partkey)
+    ≤25-row nation dim is always broadcast, the part join AQE-decided,
+    and (r16) both rs references carry explicit broadcasts: the
+    join-derived supplier cut is bytes-product-priced over the
+    threshold (the q11 family — the static SMJ exchanged the part-cut
+    fact slice on l_suppkey; lint-caught, 1.22x at sf10, A/B in
+    SCALE.md r16) — and min().over(partitionBy l_partkey)
     computes threshold + detail in one pass over the doubly-cut rows
     (same window-vs-rejoin call as q17). Two r12 sf100 lessons are
     baked into the shape: (1) JOIN ORDER — Catalyst won't reorder
@@ -3329,7 +3338,16 @@ def q_tpch_q2(spark, sf_dir):
     cut = (
         li.join(part_cut.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(rs.select(F.col("s_suppkey").alias("rk")),
+        # r16: explicit broadcast on the join-derived rs keys cut — the
+        # bytes-product estimate prices it over the threshold and the
+        # static plan SMJ'd here, exchanging the part-cut fact slice on
+        # l_suppkey (the q11 family, caught by the lint sf10 sweep;
+        # 1.22x at sf10, wash at sf100 where AQE had flipped it anyway
+        # AFTER writing the exchange — A/B in SCALE.md r16). Same
+        # documented boundary as q11's hint: supplier is ~34 MB at
+        # sf100; at SFs where even the cut outgrows broadcast, the
+        # bloom_semi operator is the scale path.
+        .join(F.broadcast(rs.select(F.col("s_suppkey").alias("rk"))),
               F.col("l_suppkey") == F.col("rk"))
         .withColumn("__unit", unit)
     )
@@ -3341,7 +3359,7 @@ def q_tpch_q2(spark, sf_dir):
     )
     return (
         winners.join(part_cut, F.col("l_partkey") == F.col("p_partkey"))
-        .join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -3545,9 +3563,14 @@ def q_tpch_q22(spark, sf_dir):
     single-partition global window over the bucket cut, which would
     funnel every selected customer through one task at scale; the
     positive-balance average broadcasts as a 1-row threshold; the
-    anti-join probes the date-cut orders projection (o_custkey only).
-    The final per-code rollup is a 25-ish-row aggregate. Reference:
-    TPC-H spec Q22."""
+    anti-join probes the date-cut orders projection (o_custkey only),
+    MERGE-hinted (r16: the lint sf10 sweep caught the q9 window live —
+    the keys-only projection prices at file x 1/9 columns, 40 MB < the
+    64 MB threshold at sf10, statically broadcasting a 3.7M-key
+    SF-scaling build; merge measures 1.85-2.10x at sf10 and is a
+    within-noise no-op at sf100 where the estimate prices over on its
+    own — A/B in SCALE.md r16). The final per-code rollup is a
+    25-ish-row aggregate. Reference: TPC-H spec Q22."""
     codes = ["13", "31", "23", "29", "30", "18", "17"]
     sel = (
         _t(spark, sf_dir, "customer")
@@ -3565,7 +3588,11 @@ def q_tpch_q22(spark, sf_dir):
     return (
         sel.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            recent.hint("merge"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

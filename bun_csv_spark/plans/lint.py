@@ -410,6 +410,20 @@ def _lint_pricing_traps(
             kids = _children(nodes, i)
             if len(kids) != 2:
                 continue
+            # broadcastability depends on the join type: the PRESERVED
+            # side of an outer join cannot be the broadcast build
+            # (Spark supports BuildRight for inner/left-family joins,
+            # BuildLeft for inner/right-outer, neither for full outer)
+            # — without this, q13/join_left's customer side (the
+            # preserved left of a LeftOuter) reads as a false positive
+            jm = re.search(r"Join type: (\w+)", blocks.get(nid, ""))
+            jt = jm.group(1) if jm else (
+                name.split()[1] if len(name.split()) > 1 else "Inner"
+            )
+            left_ok = jt in ("Inner", "Cross", "RightOuter")
+            right_ok = jt in (
+                "Inner", "Cross", "LeftOuter", "LeftSemi", "LeftAnti",
+            ) or jt.startswith("ExistenceJoin")
             sides = []
             for kid in kids:
                 kf = _scan_tables(nodes, kid, blocks, facts)
@@ -417,6 +431,8 @@ def _lint_pricing_traps(
                 big = any(b >= thr for _nm, b in _scan_bytes(kid))
                 sides.append((kf, kd, big))
             for a, b in ((0, 1), (1, 0)):
+                if not (left_ok if a == 0 else right_ok):
+                    continue
                 a_facts, a_dims, a_big = sides[a]
                 b_facts, _b_dims, b_big = sides[b]
                 # a_big guard: a dims-only build whose scans are

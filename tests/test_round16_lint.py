@@ -221,6 +221,20 @@ def test_dim_side_itself_big_does_not_fire(spark):
         assert _trap_codes(j) == []
 
 
+def test_preserved_outer_side_is_not_advised_into_broadcast(spark):
+    """The preserved side of an outer join cannot be the broadcast
+    build (Spark: BuildRight for left-family joins only), so a dim on
+    the preserved left of a LeftOuter (q13 / join_left's customer) must
+    NOT fire — while the same dim in an inner join must."""
+    cust = _t(spark, "customer").select("c_custkey", "c_name")
+    o = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    with _threshold(spark, "-1"):
+        left = cust.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        assert _trap_codes(left) == []
+        inner = cust.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        assert _trap_codes(inner) == ["dim-cut-not-broadcast"]
+
+
 def test_fact_fact_smj_does_not_fire(spark):
     """The inherent fact-fact orderkey SMJ (q18's shape) is the correct
     plan at scale — rule (b) must stay silent when neither side is a

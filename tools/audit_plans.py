@@ -382,7 +382,10 @@ BROADCAST_HINT_BUDGET = {
     # the per_part subtree (detail + threshold) + the 1-row global
     # threshold's own hint
     "tpch_q11": 5,
-    "tpch_q22": 1,   # the 1-row positive-balance average only
+    # the 1-row positive-balance average + the r16 MERGE guard on the
+    # date-cut orders anti build (lint-caught q9 window: keys-only
+    # SF-scaling projection priced under threshold at sf10)
+    "tpch_q22": 2,
     "tpch_q17": 0,   # part cut scales with SF — AQE-decided
     # nation's broadcast + the orders MERGE hint (the q9-family
     # anti-broadcast guard: the 1-col orders projection prices under
@@ -392,8 +395,11 @@ BROADCAST_HINT_BUDGET = {
     # stays AQE-decided
     "tpch_q21": 2,
     # nation's hint sits inside the rs subtree, which late
-    # materialization replays twice (keys-only cut + attribute attach)
-    "tpch_q2": 2,
+    # materialization replays twice (keys-only cut + attribute attach);
+    # r16 adds explicit broadcasts on both rs references (the
+    # join-derived cut is bytes-product-priced over the threshold —
+    # the q11 family, lint-caught; A/B in SCALE.md r16)
+    "tpch_q2": 4,
     # r14: q7's cuts are scan-level isin() and names attach as a CASE
     # over the collected pair — zero hints anywhere
     "tpch_q7": 0,
