@@ -26,12 +26,43 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# measured-wash allowlist: gate -> reason (SCALE.md r16)
+# adjudicated allowlist: gate -> reason + evidence (SCALE.md r16).
+# Two classes: (1) measured washes — the hinted variant A/B'd within
+# noise at both scales, so the flag costs nothing here (single-box
+# caveat: a multi-hundred-MB broadcast still fans out to every executor
+# on a real cluster; revisit if a cluster-scale harness lands);
+# (2) the scan-level-cut recipe — the build scans a big table but with
+# a SELECTIVE pushed row filter (p_size=15, name LIKE, isin) that the
+# size-only estimator cannot see: broadcasting that cut IS the landed
+# r12/r13 fix (q2's 27 MB actual at sf100), and the raw-bytes test
+# cannot distinguish it from a whole-table narrow projection.
 ADJUDICATED = {
-    "tpch_q21": "sup_cut broadcast A/B'd 1.04-1.05x at sf10 AND sf100 — "
-    "the flagged exchange carries the post-aggregate qualifier set, "
-    "already collapsed by map-side partials; left unhinted to keep the "
-    "audited plan minimal",
+    "tpch_q21": "measured wash: sup_cut broadcast A/B'd 1.04-1.05x at "
+    "sf10 AND sf100 — the flagged exchange carries the post-aggregate "
+    "qualifier set, already collapsed by map-side partials",
+    "set_ops": "measured wash: merge on the intersect/except builds "
+    "A/B'd 0.98-1.02x at sf10 AND sf100 — the keys-only 7.5M-row "
+    "HashedRelation is compact and the SMJ alternative exchanges BOTH "
+    "large sides",
+    "join_size_estimate": "measured wash: merge on the exact arm's "
+    "customer side A/B'd 0.96-0.98x at sf10 AND sf100 (same reasoning "
+    "as set_ops); the gate's point is the sketch estimate — the exact "
+    "arm is the verification baseline",
+    "tpch_q2": "scan-level-cut recipe: the part p_size=15 cut prices "
+    "~27 MB ACTUAL at sf100 (SCALE.md r12/r13) — broadcasting it is "
+    "the landed fix, not the trap",
+    "tpch_q3": "scan-level-cut recipe: customer mktsegment cut (~1/5 "
+    "keys-only); sf100 dedicated census in-family (r14 22-shape table)",
+    "tpch_q8": "scan-level-cut recipe x2: customer isin() + part "
+    "equality cuts (r14; docstring documents both orderkey inputs as "
+    "join-derived, so no q9 fact trap)",
+    "tpch_q9": "scan-level-cut recipe: the p_name LIKE part cut "
+    "carrying p_retailprice (r14 landed shape; the orders side holds "
+    "the merge guard already)",
+    "tpch_q17": "scan-level-cut recipe: part cut, audited at 2 "
+    "shuffles with the windowed one-pass shape (r12)",
+    "tpch_q20": "scan-level-cut recipe: part name-cut semi build "
+    "(r13 landed shape, audited LeftSemi)",
 }
 
 TRAP_CODES = ("fact-broadcast", "dim-cut-not-broadcast")
@@ -46,7 +77,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entry_mod
 
-    bad, skipped, clean = {}, 0, 0
+    bad, skipped, clean, washed = {}, 0, 0, 0
     for name, fn in entry_mod.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -55,15 +86,16 @@ def main() -> int:
             skipped += 1
             continue
         if codes and name in ADJUDICATED:
+            washed += 1
             print(f"WASH {name}: {codes} — {ADJUDICATED[name]}")
         elif codes:
             bad[name] = codes
             print(f"TRAP {name}: {codes}")
         else:
             clean += 1
-    print(f"\n{clean} clean, {len(bad)} trap, "
-          f"{len(ADJUDICATED)} adjudicated, {skipped} skipped (table "
-          f"absent at this SF)")
+    print(f"\n{clean} clean, {len(bad)} trap, {washed} adjudicated-fired "
+          f"(of {len(ADJUDICATED)} allowlisted), {skipped} skipped "
+          f"(table absent at this SF)")
     return 1 if bad else 0
 
 
