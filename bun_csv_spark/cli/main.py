@@ -8,7 +8,10 @@ cluster path unchanged.
     python -m bun_csv_spark.cli <command> [options] <file>
 
 Commands: count, head, tail, select, filter, sort, convert, validate,
-stats, benchmark, completions.
+stats, benchmark, completions — plus `lint`, a Spark-native extension
+(the reference has no planner surface): it runs plans.lint.lint_plan
+over a query's physical plan and reports scale antipatterns without
+executing anything.
 """
 
 from __future__ import annotations
@@ -83,6 +86,26 @@ def build_parser() -> argparse.ArgumentParser:
     cmd("stats", help="Per-column statistics")
     sp = cmd("benchmark", help="Measure parse throughput")
     sp.add_argument("--runs", type=int, default=3)
+    sp = cmd(
+        "lint",
+        help="Lint a query's physical plan for scale antipatterns "
+        "(no execution). FILE is a CSV/parquet path (lint the scan, "
+        "optionally after --select/--filter/--sort), or a .py pipeline "
+        "file defining build(spark) -> DataFrame (or a top-level df).",
+    )
+    sp.add_argument("--select", default=None, help="comma-separated columns to project first")
+    sp.add_argument("--filter", dest="filter_expr", default=None, help="filter expression (same grammar as the filter command)")
+    sp.add_argument("--sort", dest="sort_col", default=None, help="column to sort by")
+    sp.add_argument("--desc", action="store_true")
+    sp.add_argument("--limit", type=int, default=None, help="limit(k) after the sort (top-k shape)")
+    sp.add_argument("--explain", action="store_true", help="also print the formatted physical plan")
+    sp.add_argument(
+        "--budget", type=float, default=None, metavar="MB",
+        help="broadcast fan-out budget in MB for the info-tier advisory "
+        "(default 100; 0 disables)",
+    )
+    sp.add_argument("--fact-tables", default=None, help="comma-separated table names that scale with the data (default: the test schema)")
+    sp.add_argument("--dim-tables", default=None, help="comma-separated small-dimension table names")
     sub.add_parser("completions", help="Shell completion script").add_argument(
         "shell", choices=["bash", "zsh"], nargs="?", default="bash"
     )
@@ -269,6 +292,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(render(rows, fmt if fmt != "auto" else "table"))
         return 0
 
+    if args.command == "lint":
+        return _run_lint(spark, path, args, opts, fmt)
+
     if args.command == "benchmark":
         # warmup + N timed full-scan parses, avg/best/worst MB/s
         # (reference cli/commands/benchmark.ts:26-141)
@@ -288,8 +314,101 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     raise AssertionError(f"unhandled command {args.command}")
 
 
+def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
+    """The `lint` command: build the DataFrame (a scan, a scan plus the
+    CLI pipeline flags, or a user .py pipeline), run plans.lint.lint_plan
+    on its plan — NOTHING is executed — and render the findings with the
+    same table/csv/json renderers the other commands use.
+
+    Exit code: 0 when the plan is clean or carries only info-tier
+    advisories, 1 on any warn/error finding (so `bcsv lint` gates a CI
+    step the same way tools/lint_registry.py gates this repo's own
+    gates), 2 on usage errors."""
+    from bun_csv_spark.plans.lint import lint_plan, plan_text
+
+    if path.endswith(".py"):
+        # a pipeline file: exec'd with `spark` in scope; the query is
+        # whatever `build(spark)` returns (or a top-level `df`)
+        ns: dict = {"spark": spark}
+        with open(path) as fh:
+            src = fh.read()
+        try:
+            exec(compile(src, path, "exec"), ns)  # noqa: S102 — user's own file, the CLI is the driver
+        except Exception as e:
+            print(f"error: pipeline file raised {type(e).__name__}: {e}", file=sys.stderr)
+            return 2
+        df = ns["build"](spark) if callable(ns.get("build")) else ns.get("df")
+        if not isinstance(df, DataFrame):
+            print(
+                "error: pipeline file must define build(spark) -> DataFrame "
+                "or a top-level DataFrame named df",
+                file=sys.stderr,
+            )
+            return 2
+    elif ".parquet" in os.path.basename(path.rstrip("/")) or (
+        os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    ):
+        df = spark.read.parquet(path)
+    else:
+        df = read_csv(spark, path, opts)
+
+    if args.select:
+        spec = [c.strip() for c in args.select.split(",")]
+        missing = [c for c in spec if c not in df.columns]
+        if missing:
+            print(f"error: unknown column(s) {missing}", file=sys.stderr)
+            return 2
+        df = df.select(*spec)
+    if args.filter_expr:
+        try:
+            df = df.filter(compile_filter(args.filter_expr))
+        except ExprError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    if args.sort_col:
+        if args.sort_col not in df.columns:
+            print(f"error: unknown column {args.sort_col!r}", file=sys.stderr)
+            return 2
+        df = TurboFrame(df).sort(args.sort_col, descending=args.desc).df
+    if args.limit is not None:
+        df = df.limit(args.limit)
+
+    budget = None if args.budget is None else int(args.budget * (1 << 20))
+    facts = (
+        frozenset(t.strip() for t in args.fact_tables.split(","))
+        if args.fact_tables
+        else None
+    )
+    dims = (
+        frozenset(t.strip() for t in args.dim_tables.split(","))
+        if args.dim_tables
+        else None
+    )
+    findings = lint_plan(
+        df, fact_tables=facts, dim_tables=dims, fanout_budget=budget
+    )
+
+    if args.explain:
+        print(plan_text(df))
+    if not findings:
+        print("clean: no findings")
+        return 0
+    rows = [
+        {"severity": f.severity, "code": f.code, "message": f.message}
+        for f in findings
+    ]
+    print(render(rows, fmt if fmt != "auto" else "table"))
+    gating = sum(1 for f in findings if f.severity in ("error", "warn"))
+    print(
+        f"{len(findings)} finding(s), {gating} gating (warn/error)",
+        file=sys.stderr,
+    )
+    return 1 if gating else 0
+
+
 def _completions(shell: str) -> str:
-    cmds = "count head tail select filter sort convert validate stats benchmark completions"
+    cmds = "count head tail select filter sort convert validate stats benchmark lint completions"
     if shell == "zsh":
         return f"compdef '_arguments \"1: :({cmds})\" \"*:file:_files\"' bcsv"
     return (

@@ -178,8 +178,12 @@ def _band_buckets(
     incremental stores where the fold is store-scan-dominated
     (SCALE.md r16 A/B: same pairs, smaller store). Collision risk is
     2^-64 per colliding PAIR within one band — and a collision only
-    ADDS a candidate pair (verified downstream by Jaccard), never drops
-    one."""
+    ADDS a candidate pair (verified downstream by Jaccard); the one
+    exception is with ``max_bucket`` set, where a collision that merges
+    two buckets can push the merged bucket over the cap and drop ALL
+    its rows, removing pairs the md5 encoding would emit — same 2^-64
+    order, negligible, but the invariant is "adds except across the cap
+    boundary", not "never drops"."""
     if bucket_encoding not in ("md5", "xxhash64"):
         raise ValueError(f"unknown bucket_encoding {bucket_encoding!r}")
     rows_per_band = n_hashes // bands

@@ -38,6 +38,22 @@ FACT_TABLES = frozenset(
 )
 DIM_TABLES = frozenset({"nation", "region", "supplier", "customer", "part"})
 
+# Fallback "too big to broadcast" line when the session has broadcasts
+# disabled (threshold -1) but explicit F.broadcast() hints remain
+# possible. 64 MB is THIS REPO'S session default for
+# spark.sql.autoBroadcastJoinThreshold (session.py) — Spark's own
+# default is 10 MB — so external users with broadcasts disabled should
+# override this to match their deployment's ceiling.
+FALLBACK_BROADCAST_THRESHOLD = 64 * 1024 * 1024
+
+# Default per-executor fan-out budget for the info-tier
+# "broadcast-fanout-budget" rule: a broadcast build is shipped to EVERY
+# executor, so a multi-hundred-MB build that measures as a wash on a
+# single box still costs build-size x executor-count cluster-wide
+# (1000 executors x 200 MB = 200 GB of network + heap). ~100 MB is the
+# conventional "think twice" line for cluster deployments.
+FANOUT_BUDGET = 100 * 1024 * 1024
+
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
 
@@ -198,15 +214,16 @@ def _broadcast_threshold(df: DataFrame) -> int:
     """The session's effective broadcast threshold in bytes.
 
     -1 (broadcasts disabled) still leaves EXPLICIT F.broadcast() hints
-    possible, so the rules fall back to Spark's historical 64 MB ceiling
-    as the 'too big to broadcast' line."""
+    possible, so the rules fall back to FALLBACK_BROADCAST_THRESHOLD
+    (this repo's 64 MB session default — NOT Spark's 10 MB default;
+    override the constant to match your deployment)."""
     try:
         thr = _parse_size(
             df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         )
     except Exception:
         thr = -1
-    return thr if thr > 0 else 64 * 1024 * 1024
+    return thr if thr > 0 else FALLBACK_BROADCAST_THRESHOLD
 
 
 def _location_bytes(block: str) -> int | None:
@@ -237,6 +254,28 @@ def _location_bytes(block: str) -> int | None:
     return total if seen else None
 
 
+def _scan_bytes(
+    nodes: list[tuple[int, str, int]],
+    idxs: list[int],
+    blocks: dict[int, str],
+) -> list[tuple[str, int]]:
+    """(scan name, on-disk bytes) per file scan among the indices,
+    skipping partition-pruned scans (raw dir bytes overstate them)."""
+    out = []
+    for j in idxs:
+        nid, nm, _c = nodes[j]
+        if not nm.startswith("Scan "):
+            continue
+        block = blocks.get(nid, "")
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
+        if pf and pf.group(1).strip():
+            continue
+        b = _location_bytes(block)
+        if b is not None:
+            out.append((nm, b))
+    return out
+
+
 def _children(
     nodes: list[tuple[int, str, int]], i: int
 ) -> list[list[int]]:
@@ -258,16 +297,22 @@ def lint_plan(
     df: DataFrame,
     fact_tables: frozenset[str] | None = None,
     dim_tables: frozenset[str] | None = None,
+    fanout_budget: int | None = None,
 ) -> list[Finding]:
     """Lint the DataFrame's physical plan; returns findings worst-first.
 
     Driver-side plan-string inspection only — nothing is executed.
     ``fact_tables`` / ``dim_tables`` parameterize the two static-pricing
     rules (default: this repo's test schema) — pass your own table
-    names to lint queries over another schema."""
+    names to lint queries over another schema. ``fanout_budget``
+    (bytes, default FANOUT_BUDGET = 100 MB) parameterizes the info-tier
+    broadcast fan-out advisory; 0 disables it."""
     facts = FACT_TABLES if fact_tables is None else frozenset(fact_tables)
     dims = DIM_TABLES if dim_tables is None else frozenset(dim_tables)
+    budget = FANOUT_BUDGET if fanout_budget is None else fanout_budget
     p = plan_text(df)
+    blocks = _node_blocks(p)
+    trees = _all_trees(p)
     findings: list[Finding] = []
 
     if "CartesianProduct" in p:
@@ -290,7 +335,16 @@ def lint_plan(
             "Window over Exchange SinglePartition: ALL rows move to one "
             "task. partitionBy an entity key, or restate as running sums "
             "over a bounded aggregate (see SCALE.md token_budget note)."))
-    if re.search(r"\bSort \[[^\]]*\], true,", p) and "TakeOrderedAndProject" not in p:
+    # formatted mode splits "Sort" and its "Arguments: [...], global,
+    # offset" detail onto separate lines — the global flag lives in the
+    # node's block (simple-mode text keeps it inline, hence the fallback)
+    global_sort = any(
+        nm == "Sort"
+        and re.search(r"Arguments: \[[^\]]*\], true,", blocks.get(nid, ""))
+        for tree in trees
+        for nid, nm, _c in tree
+    ) or bool(re.search(r"\bSort \[[^\]]*\], true,", p))
+    if global_sort and "TakeOrderedAndProject" not in p:
         findings.append(Finding(
             "global-sort", "warn",
             "Global sort without a limit: a full range-partitioned sort. "
@@ -325,9 +379,10 @@ def lint_plan(
     # on a managed deployment; in a stats-less job the guard must be
     # explicit, so the linter surfaces them for any user query.
     thr = _broadcast_threshold(df)
-    blocks = _node_blocks(p)
-    for nodes in _all_trees(p):
+    for nodes in trees:
         _lint_pricing_traps(nodes, blocks, thr, facts, dims, findings)
+        if budget > 0:
+            _lint_fanout_budget(nodes, blocks, budget, findings)
 
     # wide scan: ReadSchema lists many columns but the plan projects few
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
@@ -355,23 +410,6 @@ def _lint_pricing_traps(
     """The two static-pricing trap rules over ONE plan tree (the main
     tree or a subquery's) — appends findings in place."""
 
-    def _scan_bytes(idxs: list[int]) -> list[tuple[str, int]]:
-        """(scan name, on-disk bytes) per file scan among the indices,
-        skipping partition-pruned scans (raw dir bytes overstate them)."""
-        out = []
-        for j in idxs:
-            nid, nm, _c = nodes[j]
-            if not nm.startswith("Scan "):
-                continue
-            block = blocks.get(nid, "")
-            pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
-            if pf and pf.group(1).strip():
-                continue
-            b = _location_bytes(block)
-            if b is not None:
-                out.append((nm, b))
-        return out
-
     for i, (nid, name, _col) in enumerate(nodes):
         if name.startswith("BroadcastExchange"):
             # Trap (a), the q9/q21 shape: a statically-planned broadcast
@@ -386,14 +424,18 @@ def _lint_pricing_traps(
             sub = _subtree(nodes, i)
             if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
                 continue
-            big = [(nm, b) for nm, b in _scan_bytes(sub) if b >= thr]
+            big = [
+                (nm, b)
+                for nm, b in _scan_bytes(nodes, sub, blocks)
+                if b >= thr
+            ]
             if big:
-                mb = max(b for _nm, b in big) / (1 << 20)
+                mb = _fmt_bytes(max(b for _nm, b in big))
                 findings.append(Finding(
                     "fact-broadcast", "warn",
                     "BroadcastExchange build scans a table whose raw "
-                    f"bytes ({mb:.0f} MB) exceed the broadcast threshold "
-                    f"({thr / (1 << 20):.0f} MB): the size-only estimator "
+                    f"bytes ({mb}) exceed the broadcast threshold "
+                    f"({_fmt_bytes(thr)}): the size-only estimator "
                     "priced a narrow projection at file-size x "
                     "column-ratio, UNDER the threshold, but the build's "
                     "row count is the table's — the actual HashedRelation "
@@ -428,7 +470,9 @@ def _lint_pricing_traps(
             for kid in kids:
                 kf = _scan_tables(nodes, kid, blocks, facts)
                 kd = _scan_tables(nodes, kid, blocks, dims)
-                big = any(b >= thr for _nm, b in _scan_bytes(kid))
+                big = any(
+                    b >= thr for _nm, b in _scan_bytes(nodes, kid, blocks)
+                )
                 sides.append((kf, kd, big))
             for a, b in ((0, 1), (1, 0)):
                 if not (left_ok if a == 0 else right_ok):
@@ -459,3 +503,53 @@ def _lint_pricing_traps(
                         "(isin over a collected fixed-size key set — the "
                         "q5 recipe)."))
                     break
+
+
+def _lint_fanout_budget(
+    nodes: list[tuple[int, str, int]],
+    blocks: dict[int, str],
+    budget: int,
+    findings: list[Finding],
+) -> None:
+    """Info-tier broadcast fan-out advisory over ONE plan tree.
+
+    A broadcast that measures as a wash on a single box (one JVM holds
+    one copy) still ships the build to EVERY executor on a real cluster
+    — build-size x executor-count of network and heap. This rule flags
+    any ADOPTED BroadcastExchange whose build is bounded below the sky
+    only by scans totalling >= budget raw bytes. The bound is the raw
+    unpruned on-disk bytes of the scans under the exchange — filters
+    shrink the build below it, joins can grow it past it — so the
+    message reports it as what it is: the bytes ENTERING the build
+    pipeline, not the HashedRelation's size. Aggregates below the
+    exchange bound the build by group count, which a static lint cannot
+    price, so those stay silent (consistent with the trap rules'
+    stay-silent-rather-than-guess posture). One finding per tree (the
+    largest offender) keeps repeated subquery prints readable."""
+    worst: int | None = None
+    for i, (_nid, name, _col) in enumerate(nodes):
+        if not name.startswith("BroadcastExchange"):
+            continue
+        sub = _subtree(nodes, i)
+        if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
+            continue
+        total = sum(b for _nm, b in _scan_bytes(nodes, sub, blocks))
+        if total >= budget and (worst is None or total > worst):
+            worst = total
+    if worst is not None:
+        findings.append(Finding(
+            "broadcast-fanout-budget", "info",
+            f"Adopted broadcast build reads {_fmt_bytes(worst)} raw "
+            f"(budget {_fmt_bytes(budget)}): on a cluster the built "
+            "relation lands on EVERY executor — build-size x "
+            "executor-count of network and heap, even when a single-box "
+            "A/B measures it as a wash. Verify the post-filter build "
+            "size, or prefer a shuffle join / bloom semi-join past this "
+            "size."))
+
+
+def _fmt_bytes(n: int | float) -> str:
+    for unit, div in (("GB", 1 << 30), ("MB", 1 << 20), ("KB", 1 << 10)):
+        if n >= div:
+            return f"{n / div:.1f} {unit}"
+    return f"{n:.0f} B"

@@ -1,0 +1,300 @@
+"""Round-17: the plan linter at the user surface.
+
+  * broadcast-fanout-budget — the info-tier cluster advisory (VERDICT
+    r16 #4): a broadcast that measures as a wash on one box still ships
+    build-size x executor-count on a real cluster, so any adopted
+    non-aggregate broadcast whose build pipeline reads >= the budget in
+    raw scan bytes gets an advisory, even when every trap rule is
+    silent. Info severity: it never gates (the single-box wash
+    adjudications in tools/lint_registry.py stay rc=0), it makes the
+    recorded caveat CHECKABLE.
+  * global-sort — previously dead in formatted mode (the rule matched
+    simple-mode text, but plan_text uses formatted mode, where the
+    global flag lives in the node's Arguments detail block). Found
+    while building the CLI command; pinned here.
+  * bcsv lint — the CLI command exposing plans.lint.lint_plan to the
+    reference's own persona (VERDICT r16 #2): lints a CSV/parquet scan
+    (plus the CLI pipeline flags) or a user .py pipeline file, renders
+    findings through the standard table/csv/json renderers, exits 1 on
+    any warn/error finding and 0 on clean-or-info-only.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bun_csv_spark.cli.main import main
+from bun_csv_spark.plans.lint import FANOUT_BUDGET, lint_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(spark, name):
+    return spark.read.parquet(f"{SF}/{name}.parquet")
+
+
+@contextlib.contextmanager
+def _threshold(spark, value):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _fanout(df, budget=None):
+    return [
+        f
+        for f in lint_plan(df, fanout_budget=budget)
+        if f.code == "broadcast-fanout-budget"
+    ]
+
+
+# --- broadcast-fanout-budget -------------------------------------------
+
+
+def test_fanout_budget_fires_on_big_adopted_broadcast(spark):
+    """An explicit F.broadcast of a non-aggregate build whose scans
+    total >= the budget gets the info advisory — the set_ops /
+    join_size_estimate single-box-wash shape, miniaturized."""
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, "orders").select("o_orderkey")
+    j = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    found = _fanout(j, budget=1024)
+    assert len(found) == 1
+    f = found[0]
+    assert f.severity == "info"
+    assert "EVERY executor" in f.message and "KB" in f.message
+
+
+def test_fanout_budget_exempts_bounded_aggregate(spark):
+    """An aggregate below the exchange bounds the build by group count
+    — static bytes cannot price it, so the advisory stays silent
+    (same posture as the fact-broadcast exemption)."""
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    agg = (
+        _t(spark, "orders")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = li.join(F.broadcast(agg), F.col("l_orderkey") == F.col("o_orderkey"))
+    assert _fanout(j, budget=1024) == []
+
+
+def test_fanout_budget_zero_disables_and_default_is_100mb(spark):
+    li = _t(spark, "lineitem").select("l_orderkey")
+    o = _t(spark, "orders").select("o_orderkey")
+    j = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    assert _fanout(j, budget=0) == []
+    # default budget: sf0.001's 36 KB orders is far under 100 MB
+    assert FANOUT_BUDGET == 100 * (1 << 20)
+    assert _fanout(j) == []
+
+
+def test_fanout_budget_one_finding_per_tree(spark):
+    """Two breaching broadcasts in one tree report ONCE (the largest)
+    — repeated subquery prints stay readable."""
+    li = _t(spark, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, "orders").select("o_orderkey")
+    p = _t(spark, "part").select("p_partkey")
+    j = li.join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    assert len(_fanout(j, budget=512)) == 1
+
+
+def test_fanout_budget_is_info_tier_never_gates(spark):
+    """The advisory must not flip a clean plan into a gating one: CLI
+    rc and the registry sweep key off warn/error only."""
+    li = _t(spark, "lineitem").select("l_orderkey")
+    o = _t(spark, "orders").select("o_orderkey")
+    j = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    findings = lint_plan(j, fanout_budget=1024)
+    assert all(
+        f.severity == "info"
+        for f in findings
+        if f.code == "broadcast-fanout-budget"
+    )
+    assert not [f for f in findings if f.severity in ("error", "warn")]
+
+
+# --- global-sort (formatted-mode detection) ----------------------------
+
+
+def test_global_sort_fires_in_formatted_mode(spark):
+    """plan_text is formatted mode, where Sort's global flag is in the
+    detail block ('Arguments: [...], true, 0') — the old inline regex
+    never matched, so the rule was dead until r17."""
+    df = (
+        _t(spark, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc())
+    )
+    codes = {f.code for f in lint_plan(df)}
+    assert "global-sort" in codes
+
+
+def test_global_sort_silent_with_limit(spark):
+    df = (
+        _t(spark, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc())
+        .limit(5)
+    )
+    assert "global-sort" not in {f.code for f in lint_plan(df)}
+
+
+def test_partitioned_window_sort_not_flagged_as_global(spark):
+    """A window's partition-local sort (global=false) must not fire."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    df = _t(spark, "lineitem").select(
+        "l_orderkey", F.row_number().over(w).alias("rn")
+    )
+    assert "global-sort" not in {f.code for f in lint_plan(df)}
+
+
+# --- bcsv lint ----------------------------------------------------------
+
+
+def run_cli(capsys, spark, argv):
+    rc = main(argv, spark=spark)
+    out = capsys.readouterr()
+    return rc, out.out, out.err
+
+
+@pytest.fixture()
+def people_csv(write_csv_file):
+    return write_csv_file(
+        "name,age,city\nAlice,30,NYC\nBob,25,LA\nCarol,35,SF\n"
+    )
+
+
+def test_cli_lint_clean_scan(capsys, spark, people_csv):
+    rc, out, _ = run_cli(capsys, spark, ["lint", people_csv])
+    assert rc == 0 and "clean: no findings" in out
+
+
+def test_cli_lint_global_sort_gates(capsys, spark, people_csv):
+    rc, out, err = run_cli(
+        capsys, spark, ["-f", "csv", "lint", "--sort", "age", people_csv]
+    )
+    assert rc == 1
+    assert "global-sort" in out
+    assert "1 gating" in err
+    # top-k shape: --limit turns it into TakeOrderedAndProject -> clean
+    rc2, out2, _ = run_cli(
+        capsys,
+        spark,
+        ["lint", "--sort", "age", "--limit", "2", people_csv],
+    )
+    assert rc2 == 0 and "clean" in out2
+
+
+def test_cli_lint_parquet_path(capsys, spark):
+    rc, out, _ = run_cli(
+        capsys,
+        spark,
+        ["lint", f"{SF}/lineitem.parquet", "--select", "l_orderkey"],
+    )
+    assert rc == 0 and "clean: no findings" in out
+
+
+def test_cli_lint_pipeline_file_trap(capsys, spark, tmp_path):
+    """A .py pipeline that trips fact-broadcast exits 1 and renders the
+    finding through the standard renderer."""
+    pipe = tmp_path / "pipe.py"
+    pipe.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def build(spark):\n"
+        f"    li = spark.read.parquet('{SF}/lineitem.parquet')"
+        ".select('l_orderkey', 'l_extendedprice')\n"
+        f"    o = spark.read.parquet('{SF}/orders.parquet')"
+        ".select('o_orderkey', F.year('o_orderdate').alias('yr'))\n"
+        "    return li.join(o, F.col('l_orderkey') == F.col('o_orderkey'))\n"
+    )
+    with _threshold(spark, "24k"):
+        rc, out, err = run_cli(
+            capsys, spark, ["-f", "csv", "lint", str(pipe)]
+        )
+    assert rc == 1
+    assert "fact-broadcast" in out
+    # the guarded form is clean
+    pipe2 = tmp_path / "pipe2.py"
+    pipe2.write_text(
+        pipe.read_text().replace(
+            "li.join(o,", "li.join(o.hint('merge'),"
+        )
+    )
+    with _threshold(spark, "24k"):
+        rc2, out2, _ = run_cli(capsys, spark, ["lint", str(pipe2)])
+    assert rc2 == 0 and "clean" in out2
+
+
+def test_cli_lint_pipeline_file_top_level_df(capsys, spark, tmp_path):
+    pipe = tmp_path / "df_pipe.py"
+    pipe.write_text(
+        f"df = spark.read.parquet('{SF}/nation.parquet')"
+        ".select('n_name')\n"
+    )
+    rc, out, _ = run_cli(capsys, spark, ["lint", str(pipe)])
+    assert rc == 0 and "clean" in out
+
+
+def test_cli_lint_usage_errors(capsys, spark, tmp_path, people_csv):
+    # pipeline file with neither build() nor df
+    bad = tmp_path / "bad.py"
+    bad.write_text("x = 1\n")
+    rc, _, err = run_cli(capsys, spark, ["lint", str(bad)])
+    assert rc == 2 and "build(spark)" in err
+    # pipeline file that raises
+    boom = tmp_path / "boom.py"
+    boom.write_text("raise RuntimeError('nope')\n")
+    rc, _, err = run_cli(capsys, spark, ["lint", str(boom)])
+    assert rc == 2 and "RuntimeError" in err
+    # bad filter grammar / unknown column reuse the CLI's rc=2 contract
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", "--filter", "age >", people_csv]
+    )
+    assert rc == 2 and "error:" in err
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", "--select", "nope", people_csv]
+    )
+    assert rc == 2 and "nope" in err
+
+
+def test_cli_lint_budget_info_does_not_gate(capsys, spark, tmp_path):
+    """--budget breaches render but stay rc=0 (info tier)."""
+    pipe = tmp_path / "bcast.py"
+    pipe.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def build(spark):\n"
+        f"    li = spark.read.parquet('{SF}/lineitem.parquet')"
+        ".select('l_orderkey')\n"
+        f"    o = spark.read.parquet('{SF}/orders.parquet')"
+        ".select('o_orderkey')\n"
+        "    return li.join(F.broadcast(o), "
+        "F.col('l_orderkey') == F.col('o_orderkey'))\n"
+    )
+    rc, out, err = run_cli(
+        capsys, spark, ["-f", "csv", "lint", "--budget", "0.001", str(pipe)]
+    )
+    assert rc == 0
+    assert "broadcast-fanout-budget" in out
+    assert "0 gating" in err
+
+
+def test_cli_lint_explain_prints_plan(capsys, spark, people_csv):
+    rc, out, _ = run_cli(capsys, spark, ["lint", "--explain", people_csv])
+    assert rc == 0 and "== Physical Plan ==" in out
+
+
+def test_cli_completions_include_lint(capsys, spark):
+    rc, out, _ = run_cli(capsys, spark, ["completions", "bash"])
+    assert rc == 0 and "lint" in out
