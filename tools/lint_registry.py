@@ -36,6 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # size-only estimator cannot see: broadcasting that cut IS the landed
 # r12/r13 fix (q2's 27 MB actual at sf100), and the raw-bytes test
 # cannot distinguish it from a whole-table narrow projection.
+#
+# r17: the single-box caveat is now CHECKABLE — the info-tier
+# broadcast-fanout-budget rule (plans/lint.py, default 100 MB) prints a
+# non-gating FANOUT line per breaching gate. At sf100 it fires on all 8
+# broadcast-carrying allowlisted gates: set_ops / join_size_estimate
+# read 224 MB raw (customer/orders keys builds — the measured-wash pair;
+# past ~the budget on a real cluster prefer the merge hint these A/Bs
+# showed costless), and the 6 scan-level-cut gates read 159-224 MB RAW
+# where the post-filter ACTUAL build is far smaller (q2: 27 MB measured
+# at sf100) — for those the advisory overstates by the cut selectivity,
+# which a raw-bytes bound cannot see; the recipe stands.
 ADJUDICATED = {
     "tpch_q21": "measured wash: sup_cut broadcast A/B'd 1.04-1.05x at "
     "sf10 AND sf100 — the flagged exchange carries the post-aggregate "
