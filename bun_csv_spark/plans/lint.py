@@ -4,7 +4,9 @@
 and returns structured findings for the shapes that kill 100 TB jobs:
 cartesian products, filters that never reached the parquet scan,
 global-sort / single-partition windows, row-at-a-time Python UDFs, scans
-that read every column for a narrow projection — and (r16) the two
+that read every column for a narrow projection, unpruned reads of
+hive-partitioned layouts, broadcasts past a cluster fan-out budget
+(both r17) — and (r16) the two
 static-pricing traps this repo hit five times across rounds 12-15:
 a fact under-priced INTO a broadcast (q9/q21: narrow projections price
 at file-size x column-ratio, under the threshold, while the actual
@@ -276,6 +278,31 @@ def _scan_bytes(
     return out
 
 
+def _partition_cols(root: str) -> list[str]:
+    """Hive-partition column names of an on-disk layout (``k=v``
+    subdirectory levels under ``root``), outermost first. Empty when the
+    path is unreadable or unpartitioned — the rule stays silent."""
+    cols: list[str] = []
+    path = root
+    for _depth in range(10):
+        try:
+            subs = [
+                d for d in os.listdir(path)
+                if "=" in d and os.path.isdir(os.path.join(path, d))
+            ]
+        except OSError:
+            return cols
+        keys = {d.split("=", 1)[0] for d in subs}
+        if len(keys) != 1:
+            return cols
+        key = keys.pop()
+        if not re.match(r"^[\w.]+$", key):
+            return cols
+        cols.append(key)
+        path = os.path.join(path, subs[0])
+    return cols
+
+
 def _children(
     nodes: list[tuple[int, str, int]], i: int
 ) -> list[list[int]]:
@@ -383,6 +410,41 @@ def lint_plan(
         _lint_pricing_traps(nodes, blocks, thr, facts, dims, findings)
         if budget > 0:
             _lint_fanout_budget(nodes, blocks, budget, findings)
+
+    # unpruned partitioned scan: the layout is hive-partitioned (k=v
+    # dirs) but PartitionFilters is empty — the scan reads EVERY
+    # partition. At datalake scale partition pruning is the single
+    # biggest lever (a day-partitioned 100 TB table read for one day is
+    # a 365x cut), so an unbounded read of a partitioned layout is
+    # worth a line even when legitimate (full-table rollups). Info
+    # tier: the linter cannot know the query's intent.
+    seen_part_roots: set[str] = set()
+    for nid, nm, _c in (n for tree in trees for n in tree):
+        if not nm.startswith("Scan "):
+            continue
+        block = blocks.get(nid, "")
+        # formatted mode omits the PartitionFilters line entirely when
+        # none apply — absent and "[]" both mean unpruned; the on-disk
+        # layout check below is what distinguishes "unpartitioned"
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
+        if pf is not None and pf.group(1).strip():
+            continue  # pruned — correct plan
+        loc = re.search(r"Location: \w+ \[([^\],]*)", block)
+        root = (loc.group(1) if loc else "").removeprefix("file:")
+        if not root or root in seen_part_roots:
+            continue
+        pcols = _partition_cols(root)
+        if pcols:
+            seen_part_roots.add(root)
+            findings.append(Finding(
+                "unpruned-partitioned-scan", "info",
+                f"Scan of a layout partitioned by {pcols} has no "
+                "PartitionFilters: every partition is read. If the "
+                "query can bound the partition column, filter on it "
+                "directly with literal/partition-evaluable predicates "
+                "(a UDF- or join-derived bound cannot prune "
+                "statically; dynamic partition pruning needs an "
+                "equi-join on the partition key)."))
 
     # wide scan: ReadSchema lists many columns but the plan projects few
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)

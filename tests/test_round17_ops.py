@@ -123,6 +123,65 @@ def test_fanout_budget_is_info_tier_never_gates(spark):
     assert not [f for f in findings if f.severity in ("error", "warn")]
 
 
+# --- unpruned-partitioned-scan ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def day_partitioned(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lint17") / "part_tbl")
+    (
+        spark.range(100)
+        .withColumn("day", (F.col("id") % 4).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+        .write.partitionBy("day")
+        .parquet(d)
+    )
+    return d
+
+
+def test_unpruned_partitioned_scan_fires(spark, day_partitioned):
+    """A full read of a hive-partitioned layout gets the info advisory
+    (at datalake scale partition pruning is the biggest single lever)."""
+    full = spark.read.parquet(day_partitioned).groupBy().agg(
+        F.sum("v").alias("s")
+    )
+    found = [
+        f for f in lint_plan(full) if f.code == "unpruned-partitioned-scan"
+    ]
+    assert len(found) == 1
+    assert found[0].severity == "info" and "['day']" in found[0].message
+
+
+def test_pruned_partitioned_scan_silent(spark, day_partitioned):
+    """A literal partition predicate prunes (PartitionFilters carries
+    it) — silent. So does DPP via an equi-join on the partition key
+    (the dynamicpruning expression IS a partition filter)."""
+    pruned = (
+        spark.read.parquet(day_partitioned)
+        .filter(F.col("day") == "2")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert "unpruned-partitioned-scan" not in {
+        f.code for f in lint_plan(pruned)
+    }
+    dim = (
+        spark.range(2)
+        .withColumn("day", F.col("id").cast("string"))
+        .select("day")
+    )
+    dpp = spark.read.parquet(day_partitioned).join(dim, "day")
+    assert "unpruned-partitioned-scan" not in {
+        f.code for f in lint_plan(dpp)
+    }
+
+
+def test_unpartitioned_scan_silent(spark):
+    plain = _t(spark, "lineitem").agg(F.sum("l_extendedprice").alias("s"))
+    assert "unpruned-partitioned-scan" not in {
+        f.code for f in lint_plan(plain)
+    }
+
+
 # --- global-sort (formatted-mode detection) ----------------------------
 
 
