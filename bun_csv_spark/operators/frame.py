@@ -197,6 +197,17 @@ class TurboFrame:
         ]
         return TurboFrame(self.df.agg(*aggs))
 
+    # -- diagnostics ------------------------------------------------------------
+
+    def lint(self, **kwargs) -> list:
+        """Scale-antipattern findings for this frame's physical plan
+        (``plans.lint.lint_plan``; nothing executes). Same surface the
+        ``bcsv lint`` CLI command exposes — kwargs pass through
+        (``fact_tables=``, ``dim_tables=``, ``fanout_budget=``)."""
+        from bun_csv_spark.plans.lint import lint_plan
+
+        return lint_plan(self.df, **kwargs)
+
     # -- consumption ------------------------------------------------------------
 
     def to_array(self) -> list[dict[str, Any]]:

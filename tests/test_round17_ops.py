@@ -354,6 +354,21 @@ def test_cli_lint_explain_prints_plan(capsys, spark, people_csv):
     assert rc == 0 and "== Physical Plan ==" in out
 
 
+def test_turboframe_lint_method(spark):
+    """TurboFrame.lint() is the library-frame face of the same linter —
+    kwargs pass through."""
+    from bun_csv_spark.operators.frame import TurboFrame
+
+    li = _t(spark, "lineitem").select("l_orderkey")
+    o = _t(spark, "orders").select("o_orderkey")
+    tf = TurboFrame(
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    codes = {f.code for f in tf.lint(fanout_budget=1024)}
+    assert "broadcast-fanout-budget" in codes
+    assert "broadcast-fanout-budget" not in {f.code for f in tf.lint()}
+
+
 def test_cli_completions_include_lint(capsys, spark):
     rc, out, _ = run_cli(capsys, spark, ["completions", "bash"])
     assert rc == 0 and "lint" in out
