@@ -314,6 +314,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     raise AssertionError(f"unhandled command {args.command}")
 
 
+def _looks_like_parquet(path: str) -> bool:
+    """Route a lint input to the parquet reader: a *.parquet file, or a
+    directory holding parquet files anywhere under it (hive-partitioned
+    layouts keep the files under k=v subdirs, so the walk must recurse;
+    bounded at the first parquet or csv-ish hit)."""
+    if os.path.isfile(path):
+        return path.endswith(".parquet")
+    if not os.path.isdir(path):
+        return False
+    for _dp, _dns, fns in os.walk(path):
+        for f in fns:
+            if f.endswith(".parquet"):
+                return True
+            if f.endswith((".csv", ".tsv", ".txt")):
+                return False
+    return False
+
+
 def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
     """The `lint` command: build the DataFrame (a scan, a scan plus the
     CLI pipeline flags, or a user .py pipeline), run plans.lint.lint_plan
@@ -334,10 +352,14 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
             src = fh.read()
         try:
             exec(compile(src, path, "exec"), ns)  # noqa: S102 — user's own file, the CLI is the driver
+            df = (
+                ns["build"](spark)
+                if callable(ns.get("build"))
+                else ns.get("df")
+            )
         except Exception as e:
             print(f"error: pipeline file raised {type(e).__name__}: {e}", file=sys.stderr)
             return 2
-        df = ns["build"](spark) if callable(ns.get("build")) else ns.get("df")
         if not isinstance(df, DataFrame):
             print(
                 "error: pipeline file must define build(spark) -> DataFrame "
@@ -345,10 +367,7 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
                 file=sys.stderr,
             )
             return 2
-    elif ".parquet" in os.path.basename(path.rstrip("/")) or (
-        os.path.isdir(path)
-        and any(f.endswith(".parquet") for f in os.listdir(path))
-    ):
+    elif _looks_like_parquet(path):
         df = spark.read.parquet(path)
     else:
         df = read_csv(spark, path, opts)
@@ -375,13 +394,15 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
         df = df.limit(args.limit)
 
     budget = None if args.budget is None else int(args.budget * (1 << 20))
+    # blank entries (trailing comma) must not reach the rules — an empty
+    # name would inject an empty alternation into the table regex
     facts = (
-        frozenset(t.strip() for t in args.fact_tables.split(","))
+        frozenset(t.strip() for t in args.fact_tables.split(",") if t.strip())
         if args.fact_tables
         else None
     )
     dims = (
-        frozenset(t.strip() for t in args.dim_tables.split(","))
+        frozenset(t.strip() for t in args.dim_tables.split(",") if t.strip())
         if args.dim_tables
         else None
     )

@@ -177,6 +177,8 @@ def _scan_tables(
     Identity comes from the scan's Location path segments (file scans)
     or the catalog-qualified name in the node line (table scans)."""
     found: set[str] = set()
+    if not known:  # empty vocabulary would regex-match everywhere
+        return found
     pat = re.compile(
         r"(?:[/\\]|\bdefault\.)("
         + "|".join(sorted(known))
@@ -260,21 +262,34 @@ def _scan_bytes(
     nodes: list[tuple[int, str, int]],
     idxs: list[int],
     blocks: dict[int, str],
+    cache: dict[int, tuple[str, int] | None] | None = None,
 ) -> list[tuple[str, int]]:
     """(scan name, on-disk bytes) per file scan among the indices,
-    skipping partition-pruned scans (raw dir bytes overstate them)."""
+    skipping partition-pruned scans (raw dir bytes overstate them).
+
+    ``cache`` (node id -> result) amortizes the os.walk/getsize stats
+    across rules within one lint_plan call — the pricing traps and the
+    fan-out budget both price the same BroadcastExchange subtrees."""
     out = []
     for j in idxs:
         nid, nm, _c = nodes[j]
         if not nm.startswith("Scan "):
             continue
-        block = blocks.get(nid, "")
-        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
-        if pf and pf.group(1).strip():
+        if cache is not None and nid in cache:
+            if cache[nid] is not None:
+                out.append(cache[nid])
             continue
-        b = _location_bytes(block)
-        if b is not None:
-            out.append((nm, b))
+        block = blocks.get(nid, "")
+        entry: tuple[str, int] | None = None
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", block)
+        if not (pf and pf.group(1).strip()):
+            b = _location_bytes(block)
+            if b is not None:
+                entry = (nm, b)
+        if cache is not None:
+            cache[nid] = entry
+        if entry is not None:
+            out.append(entry)
     return out
 
 
@@ -334,8 +349,18 @@ def lint_plan(
     names to lint queries over another schema. ``fanout_budget``
     (bytes, default FANOUT_BUDGET = 100 MB) parameterizes the info-tier
     broadcast fan-out advisory; 0 disables it."""
-    facts = FACT_TABLES if fact_tables is None else frozenset(fact_tables)
-    dims = DIM_TABLES if dim_tables is None else frozenset(dim_tables)
+    # drop falsy names defensively: an empty string would become an
+    # empty regex alternation in _scan_tables and match everywhere
+    facts = (
+        FACT_TABLES
+        if fact_tables is None
+        else frozenset(t for t in fact_tables if t)
+    )
+    dims = (
+        DIM_TABLES
+        if dim_tables is None
+        else frozenset(t for t in dim_tables if t)
+    )
     budget = FANOUT_BUDGET if fanout_budget is None else fanout_budget
     p = plan_text(df)
     blocks = _node_blocks(p)
@@ -364,13 +389,13 @@ def lint_plan(
             "over a bounded aggregate (see SCALE.md token_budget note)."))
     # formatted mode splits "Sort" and its "Arguments: [...], global,
     # offset" detail onto separate lines — the global flag lives in the
-    # node's block (simple-mode text keeps it inline, hence the fallback)
+    # node's block (p is always formatted here: plan_text's default)
     global_sort = any(
         nm == "Sort"
         and re.search(r"Arguments: \[[^\]]*\], true,", blocks.get(nid, ""))
         for tree in trees
         for nid, nm, _c in tree
-    ) or bool(re.search(r"\bSort \[[^\]]*\], true,", p))
+    )
     if global_sort and "TakeOrderedAndProject" not in p:
         findings.append(Finding(
             "global-sort", "warn",
@@ -406,10 +431,13 @@ def lint_plan(
     # on a managed deployment; in a stats-less job the guard must be
     # explicit, so the linter surfaces them for any user query.
     thr = _broadcast_threshold(df)
+    bytes_cache: dict[int, tuple[str, int] | None] = {}
     for nodes in trees:
-        _lint_pricing_traps(nodes, blocks, thr, facts, dims, findings)
+        _lint_pricing_traps(
+            nodes, blocks, thr, facts, dims, findings, bytes_cache
+        )
         if budget > 0:
-            _lint_fanout_budget(nodes, blocks, budget, findings)
+            _lint_fanout_budget(nodes, blocks, budget, findings, bytes_cache)
 
     # unpruned partitioned scan: the layout is hive-partitioned (k=v
     # dirs) but PartitionFilters is empty — the scan reads EVERY
@@ -468,6 +496,7 @@ def _lint_pricing_traps(
     facts: frozenset[str],
     dims: frozenset[str],
     findings: list[Finding],
+    cache: dict[int, tuple[str, int] | None] | None = None,
 ) -> None:
     """The two static-pricing trap rules over ONE plan tree (the main
     tree or a subquery's) — appends findings in place."""
@@ -488,7 +517,7 @@ def _lint_pricing_traps(
                 continue
             big = [
                 (nm, b)
-                for nm, b in _scan_bytes(nodes, sub, blocks)
+                for nm, b in _scan_bytes(nodes, sub, blocks, cache)
                 if b >= thr
             ]
             if big:
@@ -533,7 +562,7 @@ def _lint_pricing_traps(
                 kf = _scan_tables(nodes, kid, blocks, facts)
                 kd = _scan_tables(nodes, kid, blocks, dims)
                 big = any(
-                    b >= thr for _nm, b in _scan_bytes(nodes, kid, blocks)
+                    b >= thr for _nm, b in _scan_bytes(nodes, kid, blocks, cache)
                 )
                 sides.append((kf, kd, big))
             for a, b in ((0, 1), (1, 0)):
@@ -572,6 +601,7 @@ def _lint_fanout_budget(
     blocks: dict[int, str],
     budget: int,
     findings: list[Finding],
+    cache: dict[int, tuple[str, int] | None] | None = None,
 ) -> None:
     """Info-tier broadcast fan-out advisory over ONE plan tree.
 
@@ -595,7 +625,7 @@ def _lint_fanout_budget(
         sub = _subtree(nodes, i)
         if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
             continue
-        total = sum(b for _nm, b in _scan_bytes(nodes, sub, blocks))
+        total = sum(b for _nm, b in _scan_bytes(nodes, sub, blocks, cache))
         if total >= budget and (worst is None or total > worst):
             worst = total
     if worst is not None:

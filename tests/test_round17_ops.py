@@ -354,6 +354,65 @@ def test_cli_lint_explain_prints_plan(capsys, spark, people_csv):
     assert rc == 0 and "== Physical Plan ==" in out
 
 
+def test_cli_lint_partitioned_parquet_dir(capsys, spark, day_partitioned):
+    """A hive-partitioned parquet DIR (files only under k=v subdirs)
+    must route to the parquet reader — and the unpruned advisory
+    renders, staying non-gating."""
+    rc, out, err = run_cli(
+        capsys, spark, ["-f", "csv", "lint", day_partitioned]
+    )
+    assert rc == 0
+    assert "unpruned-partitioned-scan" in out
+    assert "0 gating" in err
+
+
+def test_cli_lint_build_raising_is_usage_error(capsys, spark, tmp_path):
+    """An exception from build(spark) itself (not just module exec)
+    keeps the rc=2 contract."""
+    pipe = tmp_path / "raise_in_build.py"
+    pipe.write_text(
+        "def build(spark):\n"
+        "    return spark.read.parquet('/no/such/path_r17')\n"
+    )
+    rc, _, err = run_cli(capsys, spark, ["lint", str(pipe)])
+    assert rc == 2 and "error: pipeline file raised" in err
+
+
+def test_lint_blank_table_names_ignored(spark):
+    """Blank entries in fact/dim vocabularies (a trailing comma at the
+    CLI) must not become an empty regex alternation that matches every
+    path."""
+    o = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, "customer").select("c_custkey")
+    with _threshold(spark, "-1"):
+        j = o.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        base = [
+            f.code
+            for f in lint_plan(
+                j,
+                fact_tables=["orders"],
+                dim_tables=["customer"],
+            )
+        ]
+        padded = [
+            f.code
+            for f in lint_plan(
+                j,
+                fact_tables=["orders", "", "  ".strip()],
+                dim_tables=["customer", ""],
+            )
+        ]
+    assert padded == base
+    # fully-blank vocabularies -> no table-classified findings at all
+    with _threshold(spark, "-1"):
+        none = [
+            f.code
+            for f in lint_plan(j, fact_tables=[""], dim_tables=[""])
+            if f.code == "dim-cut-not-broadcast"
+        ]
+    assert none == []
+
+
 def test_turboframe_lint_method(spark):
     """TurboFrame.lint() is the library-frame face of the same linter —
     kwargs pass through."""

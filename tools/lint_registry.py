@@ -100,15 +100,15 @@ def main() -> int:
             # tables only) — expected, but named so a NEW failure mode
             # hiding under AnalysisException is still visible
             skipped += 1
-            print(f"SKIP {name}: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}")
+            first = (str(e).splitlines() or [""])[0]
+            print(f"SKIP {name}: {type(e).__name__}: {first[:120]}")
             continue
         except Exception as e:  # noqa: BLE001
             # anything else is a CONSTRUCTION REGRESSION, not a fixture
             # gap — it must fail the sweep, not inflate 'skipped'
             bad[name] = [f"construction-error: {type(e).__name__}"]
-            print(f"ERROR {name}: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:200]}")
+            first = (str(e).splitlines() or [""])[0]
+            print(f"ERROR {name}: {type(e).__name__}: {first[:200]}")
             continue
         codes = [f.code for f in findings if f.code in TRAP_CODES]
         # info-tier cluster advisory: never affects rc, but the budget
