@@ -15,8 +15,10 @@ Gates whose tables don't exist in the fixture (documents/events/
 embeddings are TPC-H-only in .scale) are skipped and counted.
 
 Usage: python tools/lint_registry.py [sf_dir=/root/repo/.scale/sf10]
-Exit 1 if any gate fires a trap rule (q21's adjudicated wash is
-allowlisted with its reason).
+Exit 1 if any gate fires a non-adjudicated trap rule OR raises a
+non-AnalysisException during plan construction (r17: a construction
+regression is an ERROR row, not a skip). Info-tier findings
+(broadcast-fanout-budget) print as FANOUT lines and never gate.
 """
 
 from __future__ import annotations
