@@ -317,8 +317,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 def _looks_like_parquet(path: str) -> bool:
     """Route a lint input to the parquet reader: a *.parquet file, or a
     directory holding parquet files anywhere under it (hive-partitioned
-    layouts keep the files under k=v subdirs, so the walk must recurse;
-    bounded at the first parquet or csv-ish hit)."""
+    layouts keep the files under k=v subdirs, so the walk must recurse).
+    The walk stops at the first decisive file — parquet wins, a
+    csv/tsv/txt file routes to the CSV reader — so on real layouts it
+    reads one directory level; a tree with NO decisive files is walked
+    fully and treated as CSV."""
     if os.path.isfile(path):
         return path.endswith(".parquet")
     if not os.path.isdir(path):

@@ -121,8 +121,12 @@ def _all_trees(p: str) -> list[list[tuple[int, str, int]]]:
 
     def _flush() -> None:
         # a ReusedSubquery prints the same tree (same node ids) twice —
-        # lint it once, not once per print
-        if len(cur) >= 2:
+        # lint it once, not once per print. Single-node runs are kept
+        # only when the node is a Scan: a bare `spark.read.csv(dir)`
+        # prints a one-node tree (no ColumnarToRow, no exchange) and
+        # the partitioned-scan rule must still see it, while other
+        # stray single "Name (N)" lines stay excluded.
+        if len(cur) >= 2 or (len(cur) == 1 and cur[0][1].startswith("Scan ")):
             sig = tuple(nid for nid, _nm, _c in cur)
             if sig not in seen:
                 seen.add(sig)
@@ -163,6 +167,21 @@ def _subtree(nodes: list[tuple[int, str, int]], i: int) -> list[int]:
         if nodes[j][2] <= col:
             break
         out.append(j)
+    return out
+
+
+def _ancestors(
+    nodes: list[tuple[int, str, int]], i: int, j: int
+) -> list[int]:
+    """Indices of node j's ancestors strictly between subtree root i
+    (exclusive) and j: walking backward, each node with a smaller
+    column than everything seen so far is the next ancestor up."""
+    out: list[int] = []
+    cur_col = nodes[j][2]
+    for k in range(j - 1, i, -1):
+        if nodes[k][2] < cur_col:
+            out.append(k)
+            cur_col = nodes[k][2]
     return out
 
 
@@ -373,15 +392,52 @@ def lint_plan(
             "CartesianProduct in plan: cost is |left| x |right|. Add an "
             "equi-join key, or bucket/LSH the similarity condition "
             "(see operators.dedup / operators.temporal for shapes)."))
-    if "BroadcastNestedLoopJoin" in p and "LocalTableScan" not in p:
-        findings.append(Finding(
-            "nested-loop-join", "warn",
-            "BroadcastNestedLoopJoin: fine for a broadcast 1-row bounds "
-            "table, quadratic for anything else. Check the build side "
-            "is O(1)-sized."))
-    # formatted mode splits the node name and its arguments across lines:
-    # "(2) Exchange" ... "Arguments: SinglePartition, ..." — match both
-    if re.search(r"SinglePartition", p) and re.search(r"\(\d+\) Window", p):
+    # per-join (r17 review fix): a BNLJ is benign when ITS OWN subtree
+    # holds a local/driver-side relation (createDataFrame prints "Scan
+    # ExistingRDD" on the Arrow path, literals "LocalTableScan") — a
+    # whole-text check both missed that spelling and let one benign
+    # local scan bless every other BNLJ in the plan
+    _LOCAL_SCANS = ("LocalTableScan", "Scan ExistingRDD", "Scan OneRowRelation")
+    for tree in trees:
+        fired = False
+        for idx, (_nid, nm, _c) in enumerate(tree):
+            if not nm.startswith("BroadcastNestedLoopJoin"):
+                continue
+            if any(
+                tree[j][1].startswith(_LOCAL_SCANS)
+                for j in _subtree(tree, idx)
+            ):
+                continue
+            findings.append(Finding(
+                "nested-loop-join", "warn",
+                "BroadcastNestedLoopJoin over file scans: fine for a "
+                "broadcast 1-row bounds table, quadratic for anything "
+                "else. Check the build side is O(1)-sized."))
+            fired = True
+            break
+        if fired:
+            break
+    # per-window (r17 review fix): the error means THIS window's input
+    # is single-partition — the first Exchange on the window's input
+    # chain must say SinglePartition. The old whole-text co-occurrence
+    # check fired on a healthy keyed window plus an unrelated global
+    # aggregate elsewhere in the plan.
+    global_window = False
+    for tree in trees:
+        for idx, (_nid, nm, _c) in enumerate(tree):
+            if nm != "Window":
+                continue
+            for j in _subtree(tree, idx):
+                jn, jm, _jc = tree[j]
+                if jm.startswith("Exchange"):
+                    if "SinglePartition" in blocks.get(jn, ""):
+                        global_window = True
+                    break  # first exchange on the input chain decides
+            if global_window:
+                break
+        if global_window:
+            break
+    if global_window:
         findings.append(Finding(
             "global-window", "error",
             "Window over Exchange SinglePartition: ALL rows move to one "
@@ -389,14 +445,18 @@ def lint_plan(
             "over a bounded aggregate (see SCALE.md token_budget note)."))
     # formatted mode splits "Sort" and its "Arguments: [...], global,
     # offset" detail onto separate lines — the global flag lives in the
-    # node's block (p is always formatted here: plan_text's default)
+    # node's block (p is always formatted here: plan_text's default).
+    # No whole-text TakeOrderedAndProject suppression (r17 review fix):
+    # orderBy().limit(k) compiles to TOAP with NO Sort node at all, so
+    # any global Sort node that exists is by definition not the top-k
+    # shape — an unrelated TOAP elsewhere must not hide it.
     global_sort = any(
         nm == "Sort"
         and re.search(r"Arguments: \[[^\]]*\], true,", blocks.get(nid, ""))
         for tree in trees
         for nid, nm, _c in tree
     )
-    if global_sort and "TakeOrderedAndProject" not in p:
+    if global_sort:
         findings.append(Finding(
             "global-sort", "warn",
             "Global sort without a limit: a full range-partitioned sort. "
@@ -414,14 +474,43 @@ def lint_plan(
             "Arrow-batched Python stage present: acceptable off the hot "
             "path; prefer JVM Column expressions where one exists."))
 
-    # unpushed filter: a Filter node above a scan whose PushedFilters is
-    # empty while the plan filters a plain attribute
-    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
-    if scans and all(not s.strip() for s in scans) and re.search(r"\(\d+\) Filter", p):
+    # unpushed filter (r17 review fix — per scan, not whole-text): a
+    # Filter sitting DIRECTLY above a scan whose PushedFilters field is
+    # present but empty is the canonical "predicate wrapped in a
+    # non-pushable expression" shape. The old all()-scans check let one
+    # pushed scan hide another scan's miss; requiring the Filter to be
+    # the scan's immediate ancestor (through pass-through nodes) keeps
+    # legitimate post-join filters silent.
+    _PASSTHROUGH = ("ColumnarToRow", "InputAdapter", "Project")
+    unpushed = False
+    for tree in trees:
+        for idx, (nid, nm, _c) in enumerate(tree):
+            # pushdown-capable formats only — and formatted mode OMITS
+            # the PushedFilters line entirely when nothing pushed (same
+            # omission as PartitionFilters), so absence means empty
+            if not nm.startswith(("Scan parquet", "Scan orc")):
+                continue
+            pfm = re.search(
+                r"PushedFilters: \[([^\]]*)\]", blocks.get(nid, "")
+            )
+            if pfm is not None and pfm.group(1).strip():
+                continue  # pushdown happened
+            for k in _ancestors(tree, -1, idx):
+                name = tree[k][1]
+                if name.startswith(_PASSTHROUGH):
+                    continue
+                if name.startswith("Filter"):
+                    unpushed = True
+                break
+            if unpushed:
+                break
+        if unpushed:
+            break
+    if unpushed:
         findings.append(Finding(
             "unpushed-filter", "warn",
-            "Filter node present but no PushedFilters reached any scan: "
-            "the predicate may wrap the column in a non-pushable "
+            "Filter sits directly above a scan whose PushedFilters is "
+            "empty: the predicate may wrap the column in a non-pushable "
             "expression (cast/UDF). Filter on raw columns first."))
 
     # --- the two static-pricing traps (seen 5x across rounds 12-15:
@@ -475,14 +564,17 @@ def lint_plan(
                 "equi-join on the partition key)."))
 
     # wide scan: ReadSchema lists many columns but the plan projects few
-    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    if m:
-        n_read = len([c for c in m.group(1).split(",") if ":" in c])
-        if n_read > 24:
-            findings.append(Finding(
-                "wide-scan", "info",
-                f"Scan reads {n_read} columns — if the query needs few, "
-                "select() early so column pruning reaches the reader."))
+    # (r17 review fix: check EVERY scan's schema, not just the first —
+    # the wide fact behind a narrow dim was invisible)
+    widths = [
+        len([c for c in m.group(1).split(",") if ":" in c])
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p)
+    ]
+    if widths and max(widths) > 24:
+        findings.append(Finding(
+            "wide-scan", "info",
+            f"Scan reads {max(widths)} columns — if the query needs "
+            "few, select() early so column pruning reaches the reader."))
 
     order = {"error": 0, "warn": 1, "info": 2}
     findings.sort(key=lambda f: order[f.severity])
@@ -511,13 +603,14 @@ def _lint_pricing_traps(
             # so the actual HashedRelation scales with the data (q9 at
             # sf10: a 40 MB estimate, a 15M-row ~240 MB actual — and at
             # the next scale-up it is driver-killing). An aggregate
-            # below the exchange bounds the build, so those are exempt.
-            sub = _subtree(nodes, i)
-            if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
-                continue
+            # bounds the build by group count, so a scan BELOW one is
+            # exempt — per branch, not per exchange (r17 review fix: a
+            # build joining an aggregated dim branch with a raw fact
+            # branch is still the trap; the old any-agg-in-subtree test
+            # let the dim branch's aggregate silence the fact branch).
             big = [
                 (nm, b)
-                for nm, b in _scan_bytes(nodes, sub, blocks, cache)
+                for nm, b in _unbounded_scan_bytes(nodes, i, blocks, cache)
                 if b >= thr
             ]
             if big:
@@ -557,6 +650,7 @@ def _lint_pricing_traps(
             right_ok = jt in (
                 "Inner", "Cross", "LeftOuter", "LeftSemi", "LeftAnti",
             ) or jt.startswith("ExistenceJoin")
+            known = facts | dims
             sides = []
             for kid in kids:
                 kf = _scan_tables(nodes, kid, blocks, facts)
@@ -564,18 +658,28 @@ def _lint_pricing_traps(
                 big = any(
                     b >= thr for _nm, b in _scan_bytes(nodes, kid, blocks, cache)
                 )
-                sides.append((kf, kd, big))
+                # unknown guard (r17 review fix): a scan the vocabulary
+                # cannot name (a foreign table, a Scan ExistingRDD
+                # artifact) makes the side's size un-classifiable — the
+                # "only scans small dims" claim would be a guess, so
+                # the rule stays silent for that side
+                unknown = any(
+                    nodes[j][1].startswith("Scan ")
+                    and not _scan_tables(nodes, [j], blocks, known)
+                    for j in kid
+                )
+                sides.append((kf, kd, big, unknown))
             for a, b in ((0, 1), (1, 0)):
                 if not (left_ok if a == 0 else right_ok):
                     continue
-                a_facts, a_dims, a_big = sides[a]
-                b_facts, _b_dims, b_big = sides[b]
+                a_facts, a_dims, a_big, a_unknown = sides[a]
+                b_facts, _b_dims, b_big, _b_unknown = sides[b]
                 # a_big guard: a dims-only build whose scans are
                 # THEMSELVES over the threshold (customer at sf100 is
                 # 2.4 GB) must not be advised into a broadcast — that
                 # SMJ is the correct plan (the adjudicated q5
                 # customer-side shape, SCALE.md r13)
-                if a_dims and not a_facts and not a_big and (
+                if a_dims and not a_facts and not a_big and not a_unknown and (
                     b_facts or b_big
                 ):
                     findings.append(Finding(
@@ -594,6 +698,29 @@ def _lint_pricing_traps(
                         "(isin over a collected fixed-size key set — the "
                         "q5 recipe)."))
                     break
+
+
+def _unbounded_scan_bytes(
+    nodes: list[tuple[int, str, int]],
+    i: int,
+    blocks: dict[int, str],
+    cache: dict[int, tuple[str, int] | None] | None = None,
+) -> list[tuple[str, int]]:
+    """(name, bytes) for each file scan under node i that is NOT below
+    an aggregate within i's subtree — an aggregate bounds that BRANCH's
+    cardinality by group count (which static bytes cannot price), but
+    exempts only its own branch, never sibling branches."""
+    out: list[tuple[str, int]] = []
+    for j in _subtree(nodes, i):
+        if not nodes[j][1].startswith("Scan "):
+            continue
+        if any(
+            nodes[k][1].startswith(_AGG_NODES)
+            for k in _ancestors(nodes, i, j)
+        ):
+            continue
+        out.extend(_scan_bytes(nodes, [j], blocks, cache))
+    return out
 
 
 def _lint_fanout_budget(
@@ -622,10 +749,9 @@ def _lint_fanout_budget(
     for i, (_nid, name, _col) in enumerate(nodes):
         if not name.startswith("BroadcastExchange"):
             continue
-        sub = _subtree(nodes, i)
-        if any(nodes[j][1].startswith(_AGG_NODES) for j in sub):
-            continue
-        total = sum(b for _nm, b in _scan_bytes(nodes, sub, blocks, cache))
+        total = sum(
+            b for _nm, b in _unbounded_scan_bytes(nodes, i, blocks, cache)
+        )
         if total >= budget and (worst is None or total > worst):
             worst = total
     if worst is not None:

@@ -182,6 +182,185 @@ def test_unpartitioned_scan_silent(spark):
     }
 
 
+# --- r17 review fixes: the blunt whole-text rules made precise ---------
+
+
+def test_global_window_not_fired_by_unrelated_global_agg(spark):
+    """A healthy KEYED window plus an unrelated global aggregate used
+    to co-occur into a false error (the old rule searched the whole
+    text for SinglePartition + Window); now the first Exchange on the
+    window's own input chain decides."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    df = (
+        _t(spark, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy()
+        .agg(F.sum("rn").alias("s"))
+    )
+    assert "global-window" not in {f.code for f in lint_plan(df)}
+    # the genuinely-global window still errors
+    from pyspark.sql import Window as W
+
+    g = _t(spark, "lineitem").withColumn(
+        "rs", F.sum("l_linenumber").over(W.orderBy("l_orderkey"))
+    )
+    assert "global-window" in {f.code for f in lint_plan(g)}
+
+
+def test_unpruned_rule_sees_single_node_csv_tree(spark, tmp_path):
+    """A bare spark.read.csv of a partitioned layout prints a ONE-node
+    plan tree, which _all_trees used to drop — the CLI's primary input
+    shape was invisible to the partitioned-scan rule."""
+    d = str(tmp_path / "csv_by_day")
+    (
+        spark.range(40)
+        .withColumn("day", (F.col("id") % 2).cast("string"))
+        .write.partitionBy("day")
+        .option("header", True)
+        .csv(d)
+    )
+    df = spark.read.option("header", True).csv(d)
+    assert "unpruned-partitioned-scan" in {f.code for f in lint_plan(df)}
+
+
+def test_nested_loop_join_benign_bounds_table(spark):
+    """A BNLJ against a createDataFrame 1-row bounds table (prints
+    'Scan ExistingRDD' on the Arrow path, not 'LocalTableScan') is the
+    rule's own blessed shape — silent; a file-scan-vs-file-scan BNLJ
+    still warns."""
+    big = _t(spark, "lineitem").select("l_orderkey")
+    bounds = spark.createDataFrame([(0, 500)], ["lo", "hi"])
+    ok = big.join(
+        bounds, (big.l_orderkey >= bounds.lo) & (big.l_orderkey <= bounds.hi)
+    )
+    assert "nested-loop-join" not in {f.code for f in lint_plan(ok)}
+    o = _t(spark, "orders").select("o_orderkey", "o_totalprice")
+    bad = big.join(
+        F.broadcast(o), big.l_orderkey >= o.o_orderkey - o.o_orderkey
+    )
+    codes = {f.code for f in lint_plan(bad)}
+    assert "nested-loop-join" in codes or "cartesian-product" in codes
+
+
+def test_fact_broadcast_agg_exemption_is_per_branch(spark):
+    """An aggregate bounds only ITS OWN branch: a broadcast build that
+    joins an aggregated dim branch with a RAW fact scan is still the
+    q9 trap — the old any-agg-in-subtree test silenced it."""
+    li = _t(spark, "lineitem").select("l_suppkey", "l_orderkey")
+    sup_stats = (
+        _t(spark, "supplier")
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    build = li.join(
+        sup_stats, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "n")
+    probe = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    with _threshold(spark, "1k"):
+        j = probe.join(F.broadcast(build), "l_orderkey")
+        codes = [f.code for f in lint_plan(j)]
+    assert "fact-broadcast" in codes
+    # and the fully-aggregated build stays exempt (the r16 law)
+    bounded = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    with _threshold(spark, "1k"):
+        j2 = probe.join(F.broadcast(bounded), "l_orderkey")
+        assert "fact-broadcast" not in {f.code for f in lint_plan(j2)}
+
+
+def test_dim_cut_silent_when_build_scans_unknown_table(spark, tmp_path):
+    """A build side containing a scan the vocabulary cannot name is
+    un-classifiable — 'only scans small dims' would be a guess, so the
+    rule stays silent instead of advising a broadcast of unknown
+    size."""
+    d = str(tmp_path / "mystery.parquet")
+    spark.range(50).withColumn(
+        "n_nationkey", F.col("id") % 25
+    ).write.parquet(d)
+    o = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    build = (
+        _t(spark, "customer")
+        .join(
+            spark.read.parquet(d),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    with _threshold(spark, "-1"):
+        j = o.join(build, F.col("o_custkey") == F.col("c_custkey"))
+        assert "dim-cut-not-broadcast" not in {
+            f.code for f in lint_plan(j)
+        }
+
+
+def test_global_sort_not_hidden_by_unrelated_topk(spark):
+    """An unlimited global sort must fire even when a TOP-K
+    (TakeOrderedAndProject) exists elsewhere in the plan text — the
+    old whole-text suppression swallowed it."""
+    _t(spark, "lineitem").createOrReplaceTempView("r17_li")
+    _t(spark, "orders").createOrReplaceTempView("r17_o")
+    q = spark.sql(
+        """
+        SELECT l_orderkey, l_extendedprice FROM r17_li
+        WHERE l_extendedprice > (
+          SELECT o_totalprice FROM r17_o ORDER BY o_totalprice DESC LIMIT 1
+        ) * 0.5
+        ORDER BY l_extendedprice
+        """
+    )
+    from bun_csv_spark.plans.lint import plan_text
+
+    p = plan_text(q)
+    assert "TakeOrderedAndProject" in p  # the subquery's top-1
+    assert "global-sort" in {f.code for f in lint_plan(q)}
+
+
+def test_wide_scan_checks_every_scan(spark, tmp_path):
+    """The wide fact behind a narrow dim must still flag — the old
+    rule read only the FIRST ReadSchema in the text."""
+    d = str(tmp_path / "wide.parquet")
+    wide = spark.range(100)
+    for i in range(26):
+        wide = wide.withColumn(f"c{i}", F.col("id") + i)
+    wide.write.parquet(d)
+    w = spark.read.parquet(d)
+    nar = _t(spark, "nation").select("n_nationkey")
+    j = nar.join(w, nar.n_nationkey == w.id)
+    assert "wide-scan" in {f.code for f in lint_plan(j)}
+
+
+def test_unpushed_filter_per_scan_not_whole_text(spark):
+    """A Filter directly above a scan with nothing pushed fires — even
+    when ANOTHER scan in the same plan did push (the old all()-scans
+    check let one pushed scan hide the miss). Inner joins infer
+    IsNotNull onto every key scan, so the non-inferring shapes are a
+    standalone scan and the preserved side of a left join. A
+    legitimate post-join cross-column filter stays silent."""
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    # coalesce() wrapping defeats pushdown AND null-inference, so the
+    # scan's PushedFilters is truly empty with a Filter directly above
+    miss = li.filter(F.coalesce(F.col("l_extendedprice"), F.lit(0.0)) > 5)
+    assert "unpushed-filter" in {f.code for f in lint_plan(miss)}
+    # preserved left of a LEFT join (no IsNotNull inference onto li)
+    # joined against a side whose own predicate DID push
+    o = _t(spark, "orders").filter(F.col("o_totalprice") > 0).select(
+        "o_orderkey"
+    )
+    j = miss.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    assert "unpushed-filter" in {f.code for f in lint_plan(j)}
+    # post-join cross-column filter: not a pushdown miss
+    a = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    b = _t(spark, "orders").select("o_orderkey", "o_totalprice")
+    pj = a.join(
+        b, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).filter(F.col("l_extendedprice") > F.col("o_totalprice") * 0.1)
+    assert "unpushed-filter" not in {f.code for f in lint_plan(pj)}
+    # a plainly-pushed filter stays silent
+    ok = li.filter(F.col("l_extendedprice") > 5)
+    assert "unpushed-filter" not in {f.code for f in lint_plan(ok)}
+
+
 # --- global-sort (formatted-mode detection) ----------------------------
 
 

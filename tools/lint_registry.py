@@ -41,11 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #
 # r17: the single-box caveat is now CHECKABLE — the info-tier
 # broadcast-fanout-budget rule (plans/lint.py, default 100 MB) prints a
-# non-gating FANOUT line per breaching gate. At sf100 it fires on all 8
+# non-gating FANOUT line per breaching gate. At sf100 it fires on all 9
 # broadcast-carrying allowlisted gates: set_ops / join_size_estimate
 # read 224 MB raw (customer/orders keys builds — the measured-wash pair;
 # past ~the budget on a real cluster prefer the merge hint these A/Bs
-# showed costless), and the 6 scan-level-cut gates read 159-224 MB RAW
+# showed costless), and the 7 scan-level-cut gates read 159-224 MB RAW
 # where the post-filter ACTUAL build is far smaller (q2: 27 MB measured
 # at sf100) — for those the advisory overstates by the cut selectivity,
 # which a raw-bytes bound cannot see; the recipe stands.
@@ -72,6 +72,13 @@ ADJUDICATED = {
     "tpch_q9": "scan-level-cut recipe: the p_name LIKE part cut "
     "carrying p_retailprice (r14 landed shape; the orders side holds "
     "the merge guard already)",
+    "tpch_q16": "scan-level-cut recipe: the survivors part cut "
+    "(p_size IN 8-of-50 + brand/type NOT-predicates, ~16% selective, "
+    "~26 MB actual at sf100 vs 159 MB raw) broadcast-joined to the "
+    "agg-bounded bucket dim — the landed r14 late-materialization "
+    "shape, A/B'd 3.2x at sf100 (SCALE.md r14). Surfaced only in r17 "
+    "when the agg exemption became per-branch (the raw cut branch is "
+    "correctly no longer hidden by the sibling bdim aggregate)",
     "tpch_q17": "scan-level-cut recipe: part cut, audited at 2 "
     "shuffles with the windowed one-pass shape (r12)",
     "tpch_q20": "scan-level-cut recipe: part name-cut semi build "
