@@ -200,20 +200,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "select":
         df = read_csv(spark, path, opts)
-        spec = [c.strip() for c in args.columns.split(",")]
-        resolved = []
-        for s in spec:
-            # numeric index resolves through the header (select.ts:35-43)
-            if s.lstrip("-").isdigit() and int(s) < len(df.columns):
-                resolved.append(df.columns[int(s)])
-            elif s in df.columns:
-                resolved.append(s)
-            else:
-                print(
-                    f"error: unknown column {s!r}; available: {', '.join(df.columns)}",
-                    file=sys.stderr,
-                )
-                return 2
+        resolved = _resolve_columns(df, args.columns)
+        if resolved is None:
+            return 2
         out = TurboFrame(df).select(*resolved).df
         rows = _rows(out)
         print(render(rows, fmt))
@@ -314,24 +303,50 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     raise AssertionError(f"unhandled command {args.command}")
 
 
+def _resolve_columns(df: DataFrame, columns: str) -> list[str] | None:
+    """Resolve a comma-separated name-or-0-based-index column spec
+    against df (select.ts:35-43) — shared by the select command and
+    `lint --select`. None (with the error printed) on unknown names."""
+    resolved = []
+    for s in (c.strip() for c in columns.split(",")):
+        if s.lstrip("-").isdigit() and int(s) < len(df.columns):
+            resolved.append(df.columns[int(s)])
+        elif s in df.columns:
+            resolved.append(s)
+        else:
+            print(
+                f"error: unknown column {s!r}; available: {', '.join(df.columns)}",
+                file=sys.stderr,
+            )
+            return None
+    return resolved
+
+
+def _csv_partition_cols(path: str) -> list[str]:
+    """Hive-partition columns of a csv layout (k=v subdir levels) —
+    the linter's on-disk detector, reused for reader routing."""
+    from bun_csv_spark.plans.lint import _partition_cols
+
+    return _partition_cols(path)
+
+
 def _looks_like_parquet(path: str) -> bool:
     """Route a lint input to the parquet reader: a *.parquet file, or a
     directory holding parquet files anywhere under it (hive-partitioned
     layouts keep the files under k=v subdirs, so the walk must recurse).
-    The walk stops at the first decisive file — parquet wins, a
-    csv/tsv/txt file routes to the CSV reader — so on real layouts it
-    reads one directory level; a tree with NO decisive files is walked
-    fully and treated as CSV."""
+    Each directory's full listing is examined before deciding — parquet
+    wins over a stray notes.txt in the SAME directory — so routing is
+    deterministic regardless of filesystem listing order; a tree with
+    no decisive files is walked fully and treated as CSV."""
     if os.path.isfile(path):
         return path.endswith(".parquet")
     if not os.path.isdir(path):
         return False
     for _dp, _dns, fns in os.walk(path):
-        for f in fns:
-            if f.endswith(".parquet"):
-                return True
-            if f.endswith((".csv", ".tsv", ".txt")):
-                return False
+        if any(f.endswith(".parquet") for f in fns):
+            return True
+        if any(f.endswith((".csv", ".tsv", ".txt")) for f in fns):
+            return False
     return False
 
 
@@ -351,9 +366,9 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
         # a pipeline file: exec'd with `spark` in scope; the query is
         # whatever `build(spark)` returns (or a top-level `df`)
         ns: dict = {"spark": spark}
-        with open(path) as fh:
-            src = fh.read()
         try:
+            with open(path) as fh:
+                src = fh.read()
             exec(compile(src, path, "exec"), ns)  # noqa: S102 — user's own file, the CLI is the driver
             df = (
                 ns["build"](spark)
@@ -370,23 +385,49 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
                 file=sys.stderr,
             )
             return 2
-    elif _looks_like_parquet(path):
-        df = spark.read.parquet(path)
     else:
-        df = read_csv(spark, path, opts)
+        # any read/plan construction failure (missing path, partition
+        # discovery mismatch, ...) is a USAGE error at this surface —
+        # rc=2, never a traceback and never the rc=1 findings code
+        try:
+            if _looks_like_parquet(path):
+                df = spark.read.parquet(path)
+            elif os.path.isdir(path) and _csv_partition_cols(path):
+                # hive-partitioned CSV layout: the reference reader's
+                # header probe reads one part file and cannot see the
+                # k=v columns — plain Spark csv with partition
+                # discovery is the faithful scan to lint
+                df = spark.read.options(
+                    header=str(opts.has_header is not False).lower(),
+                    inferSchema="true",
+                ).csv(path)
+            else:
+                df = read_csv(spark, path, opts)
+        except Exception as e:
+            msg = (str(e).splitlines() or [""])[0]
+            print(
+                f"error: cannot read {path!r}: {type(e).__name__}: "
+                f"{msg[:200]}",
+                file=sys.stderr,
+            )
+            return 2
 
     if args.select:
-        spec = [c.strip() for c in args.select.split(",")]
-        missing = [c for c in spec if c not in df.columns]
-        if missing:
-            print(f"error: unknown column(s) {missing}", file=sys.stderr)
+        resolved = _resolve_columns(df, args.select)
+        if resolved is None:
             return 2
-        df = df.select(*spec)
+        df = df.select(*resolved)
     if args.filter_expr:
         try:
             df = df.filter(compile_filter(args.filter_expr))
         except ExprError as e:
             print(f"error: {e}", file=sys.stderr)
+            return 2
+        except Exception as e:
+            # unknown column etc. surface from Spark analysis, not the
+            # expression grammar — still a usage error
+            msg = (str(e).splitlines() or [""])[0]
+            print(f"error: {msg[:200]}", file=sys.stderr)
             return 2
     if args.sort_col:
         if args.sort_col not in df.columns:

@@ -425,7 +425,16 @@ def lint_plan(
     global_window = False
     for tree in trees:
         for idx, (_nid, nm, _c) in enumerate(tree):
-            if nm != "Window":
+            # Python-backed window execs too — a pandas window over
+            # SinglePartition is the same all-rows-to-one-task shape
+            # (r17 review fix; Spark 4 prints ArrowWindowPython, older
+            # releases WindowInPandas)
+            if nm not in (
+                "Window",
+                "ArrowWindowPython",
+                "WindowInPandas",
+                "WindowGroupLimit",
+            ):
                 continue
             for j in _subtree(tree, idx):
                 jn, jm, _jc = tree[j]

@@ -592,6 +592,93 @@ def test_lint_blank_table_names_ignored(spark):
     assert none == []
 
 
+def test_cli_lint_partitioned_csv_dir(capsys, spark, tmp_path):
+    """A hive-partitioned CSV layout through the CLI: the reference
+    reader's header probe cannot see the k=v columns (partition
+    discovery adds them), so the CLI routes to the plain Spark csv
+    reader — and the unpruned advisory renders instead of the
+    ASSIGNMENT_ARITY_MISMATCH crash this pinned."""
+    d = str(tmp_path / "csv_by_day")
+    (
+        spark.range(40)
+        .withColumn("day", (F.col("id") % 2).cast("string"))
+        .write.partitionBy("day")
+        .option("header", True)
+        .csv(d)
+    )
+    rc, out, err = run_cli(capsys, spark, ["-f", "csv", "lint", d])
+    assert rc == 0
+    assert "unpruned-partitioned-scan" in out
+
+
+def test_cli_lint_read_failures_are_usage_errors(capsys, spark, tmp_path):
+    """Missing pipeline file, missing data path, unknown --filter
+    column: all rc=2 with a clean message — never a traceback, never
+    the rc=1 findings code."""
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", str(tmp_path / "typo_name.py")]
+    )
+    assert rc == 2 and "error: pipeline file raised" in err
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", str(tmp_path / "no_such_data.parquet")]
+    )
+    assert rc == 2 and "error: cannot read" in err
+    csv = tmp_path / "p.csv"
+    csv.write_text("name,age\nann,31\n")
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", "--filter", "salary > 10", str(csv)]
+    )
+    assert rc == 2 and "error:" in err
+
+
+def test_cli_lint_select_supports_indices(capsys, spark, people_csv):
+    """lint --select shares the select command's resolution: numeric
+    0-based indices resolve through the header."""
+    rc, out, _ = run_cli(
+        capsys, spark, ["lint", "--select", "0,2", people_csv]
+    )
+    assert rc == 0 and "clean" in out
+    rc, _, err = run_cli(
+        capsys, spark, ["lint", "--select", "nope", people_csv]
+    )
+    assert rc == 2 and "available:" in err
+
+
+def test_global_window_fires_on_windowinpandas(spark):
+    """A pandas grouped-agg window over SinglePartition plans as
+    WindowInPandas — the same all-rows-to-one-task shape, caught since
+    r17 (the node-name rewrite had narrowed the rule to 'Window')."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: the module's `from __future__ import
+    # annotations` stringifies hints, which pandas_udf cannot resolve
+    # for locally-imported names
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def pmean(v):
+        return float(v.mean())
+
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    g = li.withColumn(
+        "m",
+        pmean("l_extendedprice").over(
+            Window.orderBy("l_orderkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert "global-window" in {f.code for f in lint_plan(g)}
+    keyed = li.withColumn(
+        "m",
+        pmean("l_extendedprice").over(
+            Window.partitionBy("l_orderkey")
+            .orderBy("l_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert "global-window" not in {f.code for f in lint_plan(keyed)}
+
+
 def test_turboframe_lint_method(spark):
     """TurboFrame.lint() is the library-frame face of the same linter —
     kwargs pass through."""
