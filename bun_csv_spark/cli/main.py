@@ -309,7 +309,10 @@ def _resolve_columns(df: DataFrame, columns: str) -> list[str] | None:
     `lint --select`. None (with the error printed) on unknown names."""
     resolved = []
     for s in (c.strip() for c in columns.split(",")):
-        if s.lstrip("-").isdigit() and int(s) < len(df.columns):
+        # 0-based indices only (select.ts contract) — a negative spec
+        # falls through to the unknown-column error instead of
+        # wrapping around (or crashing out of range)
+        if s.isdigit() and int(s) < len(df.columns):
             resolved.append(df.columns[int(s)])
         elif s in df.columns:
             resolved.append(s)
@@ -322,12 +325,25 @@ def _resolve_columns(df: DataFrame, columns: str) -> list[str] | None:
     return resolved
 
 
-def _csv_partition_cols(path: str) -> list[str]:
-    """Hive-partition columns of a csv layout (k=v subdir levels) —
-    the linter's on-disk detector, reused for reader routing."""
-    from bun_csv_spark.plans.lint import _partition_cols
+def _resolve_delimiter(path: str, delimiter: str | None) -> str:
+    """An explicit delimiter passes through; None/"auto" detects from
+    the first csv leaf file under the layout (same scorer read_csv
+    uses), defaulting to comma when nothing is readable."""
+    if delimiter and delimiter != "auto":
+        return delimiter
+    from bun_csv_spark.sources.csv_reader import detect_delimiter
 
-    return _partition_cols(path)
+    for dp, dns, fns in os.walk(path):
+        dns.sort()
+        for f in sorted(fns):
+            if f.endswith(".csv"):
+                try:
+                    with open(os.path.join(dp, f), errors="replace") as fh:
+                        sample = fh.read(16384)
+                    return detect_delimiter(sample)[0]
+                except OSError:
+                    return ","
+    return ","
 
 
 def _looks_like_parquet(path: str) -> bool:
@@ -335,14 +351,17 @@ def _looks_like_parquet(path: str) -> bool:
     directory holding parquet files anywhere under it (hive-partitioned
     layouts keep the files under k=v subdirs, so the walk must recurse).
     Each directory's full listing is examined before deciding — parquet
-    wins over a stray notes.txt in the SAME directory — so routing is
-    deterministic regardless of filesystem listing order; a tree with
-    no decisive files is walked fully and treated as CSV."""
+    wins over a stray notes.txt in the SAME directory — and the walk
+    visits subdirectories in SORTED order, so routing is deterministic
+    regardless of filesystem listing order (the first decisive
+    directory in sorted traversal wins); a tree with no decisive files
+    is walked fully and treated as CSV."""
     if os.path.isfile(path):
         return path.endswith(".parquet")
     if not os.path.isdir(path):
         return False
-    for _dp, _dns, fns in os.walk(path):
+    for _dp, dns, fns in os.walk(path):
+        dns.sort()
         if any(f.endswith(".parquet") for f in fns):
             return True
         if any(f.endswith((".csv", ".tsv", ".txt")) for f in fns):
@@ -390,16 +409,26 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
         # discovery mismatch, ...) is a USAGE error at this surface —
         # rc=2, never a traceback and never the rc=1 findings code
         try:
+            from bun_csv_spark.plans.lint import _partition_cols
+
             if _looks_like_parquet(path):
                 df = spark.read.parquet(path)
-            elif os.path.isdir(path) and _csv_partition_cols(path):
+            elif os.path.isdir(path) and _partition_cols(path):
                 # hive-partitioned CSV layout: the reference reader's
                 # header probe reads one part file and cannot see the
                 # k=v columns — plain Spark csv with partition
-                # discovery is the faithful scan to lint
+                # discovery is the faithful scan to lint. All-string
+                # schema (like read_csv): inferSchema would read the
+                # whole dataset at plan time, breaking the
+                # nothing-executes contract. Delimiter/encoding carry
+                # over; "auto" resolves off the first leaf file.
+                enc = opts.encoding
+                if not enc or enc == "auto":
+                    enc = "UTF-8"  # Spark's csv charset has no "auto"
                 df = spark.read.options(
                     header=str(opts.has_header is not False).lower(),
-                    inferSchema="true",
+                    sep=_resolve_delimiter(path, opts.delimiter),
+                    encoding=enc,
                 ).csv(path)
             else:
                 df = read_csv(spark, path, opts)

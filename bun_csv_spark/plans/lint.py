@@ -403,10 +403,38 @@ def lint_plan(
         for idx, (_nid, nm, _c) in enumerate(tree):
             if not nm.startswith("BroadcastNestedLoopJoin"):
                 continue
-            if any(
-                tree[j][1].startswith(_LOCAL_SCANS)
-                for j in _subtree(tree, idx)
-            ):
+            # a BNLJ's |A| x |B| cost is linear when EITHER side is
+            # provably tiny (r17 second-review fix, refined): a side is
+            # tiny when ALL its leaves are local/driver relations, or
+            # its top node is a KEYLESS aggregate (1 row — the
+            # attach-the-global-stat crossJoin shape this linter's own
+            # global-window message recommends). Per-SIDE, because a
+            # local scan merely present in a union on the stream side
+            # must not bless a file-vs-file join — and Spark may build
+            # whichever side prices smaller, so build-only is wrong.
+            def _side_tiny(kid: list[int]) -> bool:
+                start = 0
+                if (
+                    tree[kid[0]][1].startswith("BroadcastExchange")
+                    and len(kid) >= 2
+                ):
+                    start = 1
+                top_nid, top_nm, _tc = tree[kid[start]]
+                if top_nm.startswith(_AGG_NODES) and re.search(
+                    r"Keys: \[\]", blocks.get(top_nid, "")
+                ):
+                    return True
+                leaves = [
+                    j
+                    for j in kid
+                    if tree[j][1].startswith(("Scan ", "LocalTableScan"))
+                ]
+                return bool(leaves) and all(
+                    tree[j][1].startswith(_LOCAL_SCANS) for j in leaves
+                )
+
+            kids = _children(tree, idx)
+            if len(kids) == 2 and any(_side_tiny(k) for k in kids):
                 continue
             findings.append(Finding(
                 "nested-loop-join", "warn",
@@ -436,12 +464,23 @@ def lint_plan(
                 "WindowGroupLimit",
             ):
                 continue
-            for j in _subtree(tree, idx):
-                jn, jm, _jc = tree[j]
-                if jm.startswith("Exchange"):
-                    if "SinglePartition" in blocks.get(jn, ""):
+            # walk ONLY the single-child input spine: a pre-order scan
+            # would hit an exchange inside a sibling broadcast-build
+            # branch first (r17 second-review fix — a keyed window over
+            # a crossJoin false-fired off the build's global-agg
+            # exchange). A multi-child node means the window's
+            # distribution was satisfied below the join — stop.
+            cur = idx
+            while True:
+                kids = _children(tree, cur)
+                if len(kids) != 1:
+                    break
+                cur = kids[0][0]
+                cn, cm, _cc = tree[cur]
+                if cm.startswith("Exchange"):
+                    if "SinglePartition" in blocks.get(cn, ""):
                         global_window = True
-                    break  # first exchange on the input chain decides
+                    break
             if global_window:
                 break
         if global_window:

@@ -679,6 +679,78 @@ def test_global_window_fires_on_windowinpandas(spark):
     assert "global-window" not in {f.code for f in lint_plan(keyed)}
 
 
+def test_global_window_ignores_sibling_branch_exchange(spark):
+    """A keyed window over a crossJoin whose BUILD branch carries a
+    global-agg Exchange SinglePartition must not fire — only the
+    window's own input spine decides (the pre-order walk hit the
+    sibling build branch first)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    keyed = li.groupBy("l_orderkey").agg(
+        F.sum("l_extendedprice").alias("tot")
+    )
+    gstat = li.groupBy().agg(F.avg("l_extendedprice").alias("gavg"))
+    out = gstat.crossJoin(keyed).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("tot")
+        ),
+    )
+    assert "global-window" not in {f.code for f in lint_plan(out)}
+
+
+def test_nested_loop_benign_keyless_agg_build(spark):
+    """crossJoin against a KEYLESS aggregate (provably 1 row — the
+    attach-the-global-stat shape the global-window message itself
+    recommends) must not warn; and a local scan on the STREAM side
+    must not bless a file-vs-file BNLJ build."""
+    li = _t(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    gstat = li.groupBy().agg(F.avg("l_extendedprice").alias("gavg"))
+    ok = li.crossJoin(gstat)
+    codes = {f.code for f in lint_plan(ok)}
+    assert "nested-loop-join" not in codes
+    # stream side carries a local relation; build is a FILE scan
+    local = spark.createDataFrame([(1, 2)], ["a", "b"])
+    stream = li.unionByName(
+        local.select(
+            F.col("a").alias("l_orderkey"),
+            F.col("b").cast("double").alias("l_extendedprice"),
+        )
+    )
+    o = _t(spark, "orders").select("o_orderkey")
+    bad = stream.join(F.broadcast(o), stream.l_orderkey > o.o_orderkey + 9e9)
+    assert "nested-loop-join" in {f.code for f in lint_plan(bad)}
+
+
+def test_cli_select_negative_index_is_usage_error(capsys, spark, people_csv):
+    """A negative index spec errors cleanly (0-based contract) instead
+    of wrapping around or crashing out of range."""
+    rc, _, err = run_cli(capsys, spark, ["select", "-5", people_csv])
+    assert rc == 2 and "unknown column" in err
+    rc2, _, err2 = run_cli(capsys, spark, ["select", "-1", people_csv])
+    assert rc2 == 2 and "unknown column" in err2
+
+
+def test_cli_lint_partitioned_csv_keeps_delimiter(capsys, spark, tmp_path):
+    """A semicolon-delimited partitioned CSV layout: the delimiter
+    (explicit or auto-detected) reaches the partition-discovery
+    reader, so --select resolves real columns."""
+    root = tmp_path / "semi" / "day=0"
+    root.mkdir(parents=True)
+    (root / "part.csv").write_text("name;age\nann;31\nbob;17\n")
+    rc, out, _ = run_cli(
+        capsys,
+        spark,
+        ["-d", ";", "lint", "--select", "age,day", str(tmp_path / "semi")],
+    )
+    assert rc == 0
+    rc2, out2, _ = run_cli(  # auto-detection path
+        capsys, spark, ["lint", "--select", "age", str(tmp_path / "semi")]
+    )
+    assert rc2 == 0
+
+
 def test_turboframe_lint_method(spark):
     """TurboFrame.lint() is the library-frame face of the same linter —
     kwargs pass through."""
