@@ -327,8 +327,11 @@ def _resolve_columns(df: DataFrame, columns: str) -> list[str] | None:
 
 def _resolve_delimiter(path: str, delimiter: str | None) -> str:
     """An explicit delimiter passes through; None/"auto" detects from
-    the first csv leaf file under the layout (same scorer read_csv
-    uses), defaulting to comma when nothing is readable."""
+    the first leaf file under the layout with any extension the CSV
+    branch routes (.csv/.tsv/.txt — _looks_like_parquet sends all
+    three here, so a .tsv layout must be sampled too; r17 ADVICE fix),
+    using the same scorer read_csv uses, defaulting to comma when
+    nothing is readable."""
     if delimiter and delimiter != "auto":
         return delimiter
     from bun_csv_spark.sources.csv_reader import detect_delimiter
@@ -336,7 +339,7 @@ def _resolve_delimiter(path: str, delimiter: str | None) -> str:
     for dp, dns, fns in os.walk(path):
         dns.sort()
         for f in sorted(fns):
-            if f.endswith(".csv"):
+            if f.endswith((".csv", ".tsv", ".txt")):
                 try:
                     with open(os.path.join(dp, f), errors="replace") as fh:
                         sample = fh.read(16384)
@@ -425,11 +428,37 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
                 enc = opts.encoding
                 if not enc or enc == "auto":
                     enc = "UTF-8"  # Spark's csv charset has no "auto"
-                df = spark.read.options(
-                    header=str(opts.has_header is not False).lower(),
-                    sep=_resolve_delimiter(path, opts.delimiter),
-                    encoding=enc,
-                ).csv(path)
+                ropts = {
+                    "header": str(opts.has_header is not False).lower(),
+                    "sep": _resolve_delimiter(path, opts.delimiter),
+                    "encoding": enc,
+                }
+                # global reader flags that DO map onto Spark's csv
+                # options carry over; the ones that don't (preview /
+                # skip-first-n-lines / dynamic-typing run in the
+                # reference reader, not this plain-Spark scan) warn
+                # instead of silently diverging (r17 ADVICE fix)
+                if opts.comments:
+                    ropts["comment"] = opts.comments[0]
+                dropped = [
+                    flag
+                    for flag, on in (
+                        ("--preview", opts.preview is not None),
+                        ("--skip-first-n-lines", opts.skip_first_n_lines),
+                        ("--dynamic-typing", opts.dynamic_typing),
+                    )
+                    if on
+                ]
+                if dropped:
+                    print(
+                        "warning: partitioned-CSV lint ignores "
+                        + ", ".join(dropped)
+                        + " (not supported on the partition-discovery "
+                        "scan; the linted plan may differ from the "
+                        "real read path)",
+                        file=sys.stderr,
+                    )
+                df = spark.read.options(**ropts).csv(path)
             else:
                 df = read_csv(spark, path, opts)
         except Exception as e:
@@ -484,7 +513,13 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
     )
 
     if args.explain:
-        print(plan_text(df))
+        # -f json advertises machine-readable stdout (CI pipes it to a
+        # JSON parser) — the plan text goes to stderr there so stdout
+        # stays pure JSON (r17 ADVICE fix); human formats keep it inline
+        print(
+            plan_text(df),
+            file=sys.stderr if fmt == "json" else sys.stdout,
+        )
     if not findings:
         print("clean: no findings")
         return 0
