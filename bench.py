@@ -43,6 +43,34 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# Dominant-cost family per headline query, for per-family normalization
+# (r18): the single scan-aggregate calibration probe's cache/box-load
+# sensitivity differs from the join/window queries', so a bad-cache day
+# compressed but did not vanish under one yardstick. Each query now
+# normalizes against the probe whose execution shape it shares — scan
+# (map-side pipelines + pushed-filter aggregates), shuffle (exchange-
+# dominated joins and high-cardinality groupBys), window (keyed
+# Window/sort shapes). Assignments follow the audited plan shapes in
+# tools/audit_plans.py (e.g. minhash/ann are 0-shuffle map pipelines;
+# dedup_fingerprint groupBys a near-unique digest; events_tumbling
+# aggregates per time-bucket x user).
+FAMILY = {
+    "tpch_q1": "scan",
+    "tpch_q3": "shuffle",
+    "tpch_q5": "shuffle",
+    "join_inner": "shuffle",
+    "groupby_reference_aggs": "scan",
+    "sort_topk": "scan",
+    "window_topk_per_group": "window",
+    "events_tumbling": "shuffle",
+    "events_sessionize": "window",
+    "dedup_fingerprint": "shuffle",
+    "text_quality": "scan",
+    "minhash_signatures": "scan",
+    "ann_cosine_topk": "scan",
+    "multimodal_features": "scan",
+}
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -78,9 +106,11 @@ def _child_main() -> None:
     # AFTER 50+ query executions and reads 40% low on a stale box —
     # the baseline-comparison number deserves the same fresh-JVM
     # treatment as the queries
+    vec = _calibrate_vector(spark)
     print(json.dumps({
         "queries": timings,
-        "calibrate_sec": _calibrate(spark),
+        "calibrate_sec": vec["scan"],
+        "calibrate_vector": vec,
         "csv_parse_mb_per_sec": csv_parse_throughput(spark, sf_dir),
     }))
 
@@ -122,15 +152,49 @@ def _fresh_runs(n: int) -> "dict | None":
         name: round(min(c["queries"][name] for c in per_child), 3)
         for name in HEADLINE
     }
+    vector = {
+        fam: round(
+            min(c["calibrate_vector"][fam] for c in per_child), 3
+        )
+        for fam in ("scan", "shuffle", "window")
+    }
     return {
         "queries": queries,
         "total": round(sum(queries.values()), 3),
         "calibrate_sec": round(min(c["calibrate_sec"] for c in per_child), 3),
+        "calibrate_vector": vector,
+        "queries_normalized_family": _family_normalize(queries, vector),
+        "family_normalized_totals": _family_totals(queries, vector),
         "csv_parse_mb_per_sec": round(
             max(c.get("csv_parse_mb_per_sec", 0.0) for c in per_child), 1
         ),
         "runs": len(per_child),
     }
+
+
+def _family_normalize(
+    timings: dict[str, float], vector: dict[str, float]
+) -> dict[str, float]:
+    """query_sec / its family's probe_sec — the r18 per-family ratio
+    (compare THESE across rounds; a box-state day moves each family's
+    probe with its queries, so the ratios hold still)."""
+    return {
+        k: round(v / vector[FAMILY[k]], 2) for k, v in timings.items()
+    }
+
+
+def _family_totals(
+    timings: dict[str, float], vector: dict[str, float]
+) -> dict[str, float]:
+    """Per-family sums of the normalized ratios, plus 'all' (their
+    grand sum — the r18 scalar that replaces total_normalized for
+    cross-round comparison)."""
+    out: dict[str, float] = {}
+    for k, v in timings.items():
+        fam = FAMILY[k]
+        out[fam] = out.get(fam, 0.0) + v / vector[fam]
+    out["all"] = sum(out.values())
+    return {k: round(v, 2) for k, v in out.items()}
 
 
 def main() -> None:
@@ -145,7 +209,8 @@ def main() -> None:
     # warmup: JIT codegen + parquet footer caches on a small query
     force(queries["count_rows"](spark, sf_dir))
 
-    cal_before = _calibrate(spark)
+    vec_before = _calibrate_vector(spark)
+    cal_before = vec_before["scan"]
 
     timings = _run_suite(spark, queries, sf_dir, samples=3)
 
@@ -160,8 +225,15 @@ def main() -> None:
     # min, which let a one-sided 27% calibrate swing inflate every ratio
     # at once; the mean bounds any one-sided swing's effect to half, and
     # both raw sides stay in the record for attribution — SCALE.md r9)
-    cal_after = _calibrate(spark)
+    vec_after = _calibrate_vector(spark)
+    cal_after = vec_after["scan"]
     cal = round((cal_before + cal_after) / 2, 3)
+    # the r18 probe vector: before/after means per family, same
+    # two-sided protocol as the scalar calibrate
+    vector = {
+        fam: round((vec_before[fam] + vec_after[fam]) / 2, 3)
+        for fam in ("scan", "shuffle", "window")
+    }
     total = round(sum(timings.values()), 3)
 
     # fresh-process pass (r11): the same suite, best-of-2 in each of 2
@@ -199,6 +271,20 @@ def main() -> None:
                     k: round(v / cal, 2) for k, v in timings.items()
                 },
                 "total_normalized": round(total / cal, 2),
+                # r18 per-family normalization: each query divides by
+                # the probe sharing its execution shape (FAMILY map).
+                # family_normalized_totals["all"] is the cross-round
+                # scalar; the single-probe total_normalized stays for
+                # series continuity with r9-r17
+                "calibrate_vector": vector,
+                "calibrate_vector_before": vec_before,
+                "calibrate_vector_after": vec_after,
+                "queries_normalized_family": _family_normalize(
+                    timings, vector
+                ),
+                "family_normalized_totals": _family_totals(
+                    timings, vector
+                ),
                 # normalization-rule version: r<=8 divided by min(before,
                 # after), r9+ divides by their mean — normalized totals are
                 # only comparable within the same rule
@@ -214,25 +300,85 @@ def main() -> None:
     )
 
 
-def _calibrate(spark) -> float:
-    """Fixed synthetic workload (no I/O): a box-speed yardstick recorded
-    alongside the query timings so round-over-round comparisons can be
-    normalized for host drift."""
-    from pyspark.sql import functions as F
-
+def _probe(spark, df_fn) -> float:
+    """Warmup + best-of-3 of one synthetic no-I/O workload."""
     def run():
         t0 = time.time()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .select((F.col("id") % 9973).alias("k"), (F.col("id") * 31 % 7919).alias("v"))
-            .groupBy("k")
-            .agg(F.sum("v"), F.avg("v"), F.max("v"))
-            .write.format("noop").mode("overwrite").save()
-        )
+        df_fn().write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     run()  # warmup
     return round(min(run() for _ in range(3)), 3)
+
+
+def _calibrate(spark) -> float:
+    """Fixed synthetic workload (no I/O): a box-speed yardstick recorded
+    alongside the query timings so round-over-round comparisons can be
+    normalized for host drift. This is the SCAN-family probe (map-side
+    expression pipeline into a low-cardinality partial aggregate — no
+    meaningful exchange volume); kept byte-identical since r8 so the
+    historical calibrate_sec series stays comparable."""
+    from pyspark.sql import functions as F
+
+    return _probe(
+        spark,
+        lambda: (
+            spark.range(0, 20_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"), (F.col("id") * 31 % 7919).alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v"), F.avg("v"), F.max("v"))
+        ),
+    )
+
+
+def _calibrate_vector(spark) -> dict[str, float]:
+    """The r18 probe VECTOR: one yardstick per query family.
+
+    scan   — the historical _calibrate probe unchanged (its series
+             anchors r8-r17 comparisons).
+    shuffle — near-unique keys, so partial aggregation cannot reduce
+             before the exchange: ~4M rows of (k, v) move through a
+             real hash-partitioned shuffle, making the probe sensitive
+             to the same memory/disk/network pressure that moves the
+             join-family queries.
+    window — a keyed running sum (40k keys x 50 rows): exchange + per-
+             partition sort + WindowExec state, the shape the window-
+             family queries share.
+
+    Each probe is warmup + best-of-3; sizes are tuned to ~0.3 s on the
+    reference box so the whole vector costs ~3 s per call."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    shuffle = _probe(
+        spark,
+        lambda: (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(
+                (F.col("id") % 2_000_003).alias("k"),
+                (F.col("id") * 31 % 7919).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        ),
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    window = _probe(
+        spark,
+        lambda: (
+            spark.range(0, 2_000_000, 1, 32)
+            .select(
+                (F.col("id") % 40_000).alias("k"),
+                (F.col("id") * 31 % 7919).alias("v"),
+            )
+            .withColumn("rs", F.sum("v").over(w))
+        ),
+    )
+    return {
+        "scan": _calibrate(spark),
+        "shuffle": shuffle,
+        "window": window,
+    }
 
 
 def csv_parse_throughput(spark, sf_dir: str) -> float:

@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=None, help="limit(k) after the sort (top-k shape)")
     sp.add_argument("--explain", action="store_true", help="also print the formatted physical plan")
     sp.add_argument(
+        "--suggest", action="store_true",
+        help="attach the measured fix recipe (with its SCALE.md "
+        "pointer) to each finding; default off so CI output stays "
+        "stable",
+    )
+    sp.add_argument(
         "--budget", type=float, default=None, metavar="MB",
         help="broadcast fan-out budget in MB for the info-tier advisory "
         "(default 100; 0 disables)",
@@ -527,6 +533,9 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
         {"severity": f.severity, "code": f.code, "message": f.message}
         for f in findings
     ]
+    if args.suggest:
+        for row, f in zip(rows, findings):
+            row["suggestion"] = f.suggestion
     print(render(rows, fmt if fmt != "auto" else "table"))
     gating = sum(1 for f in findings if f.severity in ("error", "warn"))
     print(

@@ -48,6 +48,20 @@ DIM_TABLES = frozenset({"nation", "region", "supplier", "customer", "part"})
 # override this to match their deployment's ceiling.
 FALLBACK_BROADCAST_THRESHOLD = 64 * 1024 * 1024
 
+# Size-class INFERENCE band for the two static-pricing rules (r18): a
+# scan the fact_tables/dim_tables vocabulary cannot name is classified
+# by its raw on-disk bytes against the session broadcast threshold —
+# >= threshold is fact-class (it cannot be broadcast whole, so it
+# behaves as a named fact for rule purposes), <= threshold *
+# DIM_CLASS_FRACTION is dim-class (comfortably broadcastable), and the
+# ambiguous middle stays SILENT exactly as the r17 unnamed-scan guard
+# did. Explicit names always override the inference — the bytes are
+# lint-TIME evidence only (a table that is small today but grows with
+# the data re-classifies itself as it grows; name it in fact_tables=
+# to pin it). This makes the two flagship rules work out of the box on
+# foreign schemas instead of only on the frozensets above.
+DIM_CLASS_FRACTION = 0.25
+
 # Default per-executor fan-out budget for the info-tier
 # "broadcast-fanout-budget" rule: a broadcast build is shipped to EVERY
 # executor, so a multi-hundred-MB build that measures as a wash on a
@@ -59,6 +73,92 @@ FANOUT_BUDGET = 100 * 1024 * 1024
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
 
+# One measured recipe per finding code (r18, the `--suggest` tier):
+# each line is the fix this repo actually landed for that shape, with
+# the measured ratio and the SCALE.md section that recorded it. Kept
+# OUT of the default message so CI output stays stable — `bcsv lint
+# --suggest` (or Finding.suggestion) renders them on demand.
+SUGGESTIONS: dict[str, str] = {
+    "cartesian-product": (
+        "Add an equi-join key, or bucket the similarity condition "
+        "(MinHash/LSH banding with per-bucket caps — operators.dedup; "
+        "interval/as-of shapes — operators.temporal). SCALE.md 'LSH "
+        "banding': pair generation stays bucket-local, never all-pairs."
+    ),
+    "nested-loop-join": (
+        "Reduce the build side to a provably tiny relation — a keyless "
+        "aggregate (1 row) or a collected bounds table — or restate as "
+        "an equi-join. SCALE.md 'skew & salting': the 1-row global-stat "
+        "crossJoin is the only BNLJ shape that survives scale-up."
+    ),
+    "global-window": (
+        "partitionBy an entity key on the window, or restate the "
+        "running total as per-group sums over a bounded aggregate. "
+        "SCALE.md token_budget note: the keyed restatement removes the "
+        "all-rows-to-one-task stage entirely."
+    ),
+    "global-sort": (
+        "If only the top k rows matter, orderBy(...).limit(k) compiles "
+        "to TakeOrderedAndProject (per-partition heaps, no "
+        "range-partitioned global sort). SCALE.md sort_topk: the "
+        "audited 0-extra-shuffle top-k plan."
+    ),
+    "python-udf": (
+        "Replace with built-in Column functions, or pandas_udf / "
+        "mapInPandas (Arrow-batched, 10-100x less overhead). SCALE.md "
+        "'UDF surface': every hot-path gate in this repo is JVM-side "
+        "or Arrow-batched; only the faithful custom-aggregate hook "
+        "stays row-at-a-time."
+    ),
+    "arrow-python": (
+        "Acceptable off the hot path; where a JVM Column expression "
+        "exists, prefer it — SCALE.md minhash/ann rows: the vectorized "
+        "expression pipelines run 0-shuffle map-side."
+    ),
+    "unpushed-filter": (
+        "Filter on raw columns first (no cast/UDF around the column), "
+        "so the predicate reaches PushedFilters on the scan; derive "
+        "expressions AFTER the filter. SCALE.md tpch_q1/q6: "
+        "pushed-filter scans are the single-scan aggregate recipe."
+    ),
+    "fact-broadcast": (
+        "Guard the scaling side with .hint('merge') (never "
+        "shuffle_hash — the SHJ build cannot spill), or make the cut "
+        "scan-level. SCALE.md 'Round-14 fix: tpch_q9': the merge hint "
+        "was 2.8x at sf10 (12.3x -> ~4.7x suite ratio) and holds at "
+        "1000x."
+    ),
+    "dim-cut-not-broadcast": (
+        "Wrap the dim-cut side in F.broadcast(), or collapse it to a "
+        "scan-level isin() over the collected fixed-size key set. "
+        "SCALE.md 'Round-15: tpch_q11': one F.broadcast() on the cut "
+        "= 5.8x at sf100 (30.4 -> 6.2 ratio-to-calib)."
+    ),
+    "unpruned-partitioned-scan": (
+        "Filter the partition column with literal predicates (UDF- or "
+        "join-derived bounds cannot prune statically; dynamic pruning "
+        "needs an equi-join on the partition key). SCALE.md r17 "
+        "partitioned-layout A/B: 7.3x fewer bytes read (1.40x wall on "
+        "a page-cached single box; the bytes ratio is the cluster "
+        "number)."
+    ),
+    "broadcast-fanout-budget": (
+        "Verify the post-filter build size, or prefer a shuffle join "
+        "/ bloom semi-join past the budget (operators.maintenance."
+        "bloom_semi_join). SCALE.md 'single-box broadcast caveat': a "
+        "wash at local[32] still ships build x executor-count "
+        "cluster-wide."
+    ),
+    "wide-scan": (
+        "select() the needed columns immediately after the read so "
+        "column pruning reaches ReadSchema. SCALE.md late-"
+        "materialization notes (q16): narrow keys through the "
+        "exchanges, wide strings attached post-aggregate — 3.2x at "
+        "sf100."
+    ),
+}
+
+
 @dataclass
 class Finding:
     code: str
@@ -67,6 +167,13 @@ class Finding:
 
     def __str__(self) -> str:  # pragma: no cover - repr convenience
         return f"[{self.severity}] {self.code}: {self.message}"
+
+    @property
+    def suggestion(self) -> str:
+        """The measured fix recipe for this finding's code (r18) —
+        empty string for codes without one (none today; the test suite
+        pins full coverage)."""
+        return SUGGESTIONS.get(self.code, "")
 
 
 def plan_text(df: DataFrame, mode: str = "formatted") -> str:
@@ -310,6 +417,22 @@ def _scan_bytes(
         if entry is not None:
             out.append(entry)
     return out
+
+
+def _scan_label(
+    node: tuple[int, str, int], blocks: dict[int, str]
+) -> str:
+    """Human-readable identity for a scan the vocabulary cannot name —
+    the last path segment of its Location (the on-disk table/dir name),
+    falling back to the node name. Used only in finding messages."""
+    nid, name, _c = node
+    m = re.search(r"Location: \w+ \[([^\],]*)", blocks.get(nid, ""))
+    if m:
+        seg = m.group(1).strip().rstrip("/\\").removeprefix("file:")
+        base = os.path.basename(seg)
+        if base:
+            return base
+    return name
 
 
 def _partition_cols(root: str) -> list[str]:
@@ -699,6 +822,7 @@ def _lint_pricing_traps(
                 "Inner", "Cross", "LeftOuter", "LeftSemi", "LeftAnti",
             ) or jt.startswith("ExistenceJoin")
             known = facts | dims
+            dim_floor = int(thr * DIM_CLASS_FRACTION)
             sides = []
             for kid in kids:
                 kf = _scan_tables(nodes, kid, blocks, facts)
@@ -706,16 +830,27 @@ def _lint_pricing_traps(
                 big = any(
                     b >= thr for _nm, b in _scan_bytes(nodes, kid, blocks, cache)
                 )
-                # unknown guard (r17 review fix): a scan the vocabulary
-                # cannot name (a foreign table, a Scan ExistingRDD
-                # artifact) makes the side's size un-classifiable — the
-                # "only scans small dims" claim would be a guess, so
-                # the rule stays silent for that side
-                unknown = any(
-                    nodes[j][1].startswith("Scan ")
-                    and not _scan_tables(nodes, [j], blocks, known)
-                    for j in kid
-                )
+                # size-class inference (r18, replaces the r17 blanket
+                # unknown guard): a scan the vocabulary cannot name is
+                # classified by its OWN raw bytes — under the dim floor
+                # it is dim-class (its label joins the message), at or
+                # over the threshold it is fact-class (already counted
+                # into `big` by the check above), and the ambiguous
+                # middle — or an unreadable location (Scan ExistingRDD,
+                # remote FS) — keeps the side un-classifiable, so the
+                # rule stays silent for it rather than guess
+                unknown = False
+                for j in kid:
+                    if not nodes[j][1].startswith("Scan "):
+                        continue
+                    if _scan_tables(nodes, [j], blocks, known):
+                        continue
+                    bs = _scan_bytes(nodes, [j], blocks, cache)
+                    b = bs[0][1] if bs else None
+                    if b is not None and b <= dim_floor:
+                        kd.add(_scan_label(nodes[j], blocks))
+                    elif b is None or b < thr:
+                        unknown = True
                 sides.append((kf, kd, big, unknown))
             for a, b in ((0, 1), (1, 0)):
                 if not (left_ok if a == 0 else right_ok):

@@ -269,11 +269,14 @@ def test_fact_broadcast_agg_exemption_is_per_branch(spark):
         assert "fact-broadcast" not in {f.code for f in lint_plan(j2)}
 
 
-def test_dim_cut_silent_when_build_scans_unknown_table(spark, tmp_path):
-    """A build side containing a scan the vocabulary cannot name is
-    un-classifiable — 'only scans small dims' would be a guess, so the
-    rule stays silent instead of advising a broadcast of unknown
-    size."""
+def test_dim_cut_unknown_tiny_scan_now_classifies(spark, tmp_path):
+    """r18 semantics change, pinned: a build-side scan the vocabulary
+    cannot name is no longer a blanket silencer — size-class inference
+    reads its raw bytes, and a scan comfortably under the dim floor
+    (thr * DIM_CLASS_FRACTION) is dim-class, so the rule FIRES where
+    the r17 unknown-guard stayed silent. The conservative posture
+    survives in the ambiguous middle band (test_round18_ops
+    test_foreign_middle_band_stays_silent)."""
     d = str(tmp_path / "mystery.parquet")
     spark.range(50).withColumn(
         "n_nationkey", F.col("id") % 25
@@ -289,7 +292,7 @@ def test_dim_cut_silent_when_build_scans_unknown_table(spark, tmp_path):
     )
     with _threshold(spark, "-1"):
         j = o.join(build, F.col("o_custkey") == F.col("c_custkey"))
-        assert "dim-cut-not-broadcast" not in {
+        assert "dim-cut-not-broadcast" in {
             f.code for f in lint_plan(j)
         }
 

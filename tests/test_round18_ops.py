@@ -125,6 +125,257 @@ def test_cli_lint_partitioned_csv_warns_on_dropped_flags(
     assert rc2 == 0 and "warning:" not in err2
 
 
+# --- fact/dim size-class inference (foreign schemas) --------------------
+#
+# The five historical trap sightings (q2/q5/q11 dim-cut, q9/q21
+# fact-broadcast) re-staged on a schema the vocabulary has never heard
+# of: classification must come from raw scan bytes alone. Threshold is
+# pinned to 16KB so the synthetic tables land in the right bands:
+# trips >= 16KB (fact-class), vendors/zones <= 4KB (dim-class),
+# mystery_mid in (4KB, 16KB) (the silent middle).
+
+THR = "16KB"
+
+
+def _du(path):
+    import os
+
+    total = 0
+    for dp, _dns, fns in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dp, fn)) for fn in fns)
+    return total
+
+
+@pytest.fixture(scope="module")
+def foreign(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("foreign")
+    trips = str(root / "trips.parquet")
+    vendors = str(root / "vendors.parquet")
+    zones = str(root / "zones.parquet")
+    mid = str(root / "mystery_mid.parquet")
+    (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("trip_id"),
+            (F.col("id") % 50).alias("trip_vendor"),
+            (F.col("id") * 7 % 977).alias("fare"),
+            F.sha2(F.col("id").cast("string"), 256).alias("note"),
+        )
+        .coalesce(1)
+        .write.parquet(trips)
+    )
+    (
+        spark.range(50)
+        .select(
+            F.col("id").alias("vendor_id"),
+            (F.col("id") % 10).alias("zone"),
+        )
+        .coalesce(1)
+        .write.parquet(vendors)
+    )
+    (
+        spark.range(10)
+        .select(F.col("id").alias("z_id"), F.lit("Z").alias("z_name"))
+        .coalesce(1)
+        .write.parquet(zones)
+    )
+    (
+        spark.range(100)
+        .select(
+            F.col("id").alias("m_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("m_pad"),
+        )
+        .coalesce(1)
+        .write.parquet(mid)
+    )
+    # band preconditions — fail loudly if parquet encoding drifts
+    assert _du(trips) >= 16 << 10, _du(trips)
+    assert _du(vendors) <= 4 << 10, _du(vendors)
+    assert _du(zones) <= 4 << 10, _du(zones)
+    assert (4 << 10) < _du(mid) < (16 << 10), _du(mid)
+    return {
+        "trips": trips, "vendors": vendors, "zones": zones, "mid": mid,
+    }
+
+
+def _foreign_dim_cut(spark, foreign, build_extra=None):
+    """The q11 shape on the foreign schema: fact probe, join-derived
+    dim-cut build (priced at the bytes-PRODUCT, over the 16KB
+    threshold, so the plan goes SMJ)."""
+    trips = spark.read.parquet(foreign["trips"])
+    build = (
+        spark.read.parquet(foreign["vendors"])
+        .join(
+            spark.read.parquet(foreign["zones"]).filter(F.col("z_id") < 5),
+            F.col("zone") == F.col("z_id"),
+        )
+    )
+    if build_extra is not None:
+        build = build.join(
+            build_extra, F.col("vendor_id") == F.col("m_id"), "left"
+        )
+    return trips.join(
+        build.select("vendor_id"),
+        F.col("trip_vendor") == F.col("vendor_id"),
+        "left_semi",
+    )
+
+
+def _codes(df, **kw):
+    return [
+        f.code
+        for f in lint_plan(df, **kw)
+        if f.code in ("fact-broadcast", "dim-cut-not-broadcast")
+    ]
+
+
+def test_foreign_dim_cut_fires_without_vocabulary(spark, foreign):
+    """The q2/q5/q11 sighting on a never-seen schema: with NO
+    fact_tables/dim_tables, the dim-cut rule classifies the build's
+    scans dim-class (bytes <= thr/4) and the probe fact-class (bytes
+    >= thr) and fires — and the message names the inferred tables."""
+    with _threshold(spark, THR):
+        j = _foreign_dim_cut(spark, foreign)
+        plan_codes = _codes(j)
+        assert plan_codes == ["dim-cut-not-broadcast"]
+        msg = [
+            f.message
+            for f in lint_plan(j)
+            if f.code == "dim-cut-not-broadcast"
+        ][0]
+        assert "vendors.parquet" in msg and "zones.parquet" in msg
+
+
+def test_foreign_dim_cut_guarded_broadcast_silent(spark, foreign):
+    """The landed guard works identically on the foreign schema."""
+    with _threshold(spark, THR):
+        trips = spark.read.parquet(foreign["trips"])
+        build = (
+            spark.read.parquet(foreign["vendors"])
+            .join(
+                F.broadcast(
+                    spark.read.parquet(foreign["zones"]).filter(
+                        F.col("z_id") < 5
+                    )
+                ),
+                F.col("zone") == F.col("z_id"),
+            )
+            .select("vendor_id")
+        )
+        j = trips.join(
+            F.broadcast(build),
+            F.col("trip_vendor") == F.col("vendor_id"),
+            "left_semi",
+        )
+        assert _codes(j) == []
+
+
+def test_foreign_middle_band_stays_silent(spark, foreign):
+    """A build containing a scan in the ambiguous middle band
+    (thr/4 < bytes < thr) keeps the side un-classifiable — silent,
+    exactly the r17 unknown-guard posture."""
+    with _threshold(spark, THR):
+        mid = spark.read.parquet(foreign["mid"])
+        j = _foreign_dim_cut(spark, foreign, build_extra=mid)
+        assert _codes(j) == []
+
+
+def test_foreign_explicit_names_override_inference(spark, foreign):
+    """fact_tables= naming a build-side table beats its dim-class
+    bytes: the side now holds a declared fact, so no broadcast advice
+    — the pin for 'small today but grows with the data'."""
+    with _threshold(spark, THR):
+        j = _foreign_dim_cut(spark, foreign)
+        assert _codes(j, fact_tables=frozenset({"vendors"})) == []
+
+
+def test_foreign_fact_broadcast_fires_without_vocabulary(spark, foreign):
+    """The q9/q21 sighting on the foreign schema: an explicit
+    broadcast of a non-aggregated fact-class scan (bytes >= thr)
+    fires with no vocabulary at all."""
+    with _threshold(spark, THR):
+        trips = spark.read.parquet(foreign["trips"]).select(
+            "trip_id", "trip_vendor"
+        )
+        vendors = spark.read.parquet(foreign["vendors"])
+        j = vendors.join(
+            F.broadcast(trips), F.col("vendor_id") == F.col("trip_vendor")
+        )
+        assert _codes(j) == ["fact-broadcast"]
+
+
+# --- the --suggest tier -------------------------------------------------
+
+ALL_LINT_CODES = {
+    "cartesian-product", "nested-loop-join", "global-window",
+    "global-sort", "python-udf", "arrow-python", "unpushed-filter",
+    "fact-broadcast", "dim-cut-not-broadcast",
+    "unpruned-partitioned-scan", "broadcast-fanout-budget", "wide-scan",
+}
+
+
+def test_every_lint_code_has_a_measured_suggestion():
+    """Each finding code carries a fix recipe with a SCALE.md pointer
+    — the --suggest contract (VERDICT r17 #4). The code list here is
+    the complete emitted set; a new rule must land with its recipe."""
+    from bun_csv_spark.plans.lint import SUGGESTIONS
+
+    assert set(SUGGESTIONS) == ALL_LINT_CODES
+    for code, text in SUGGESTIONS.items():
+        assert "SCALE.md" in text, code
+        assert len(text) > 40, code
+
+
+def test_finding_suggestion_property(spark, foreign):
+    with _threshold(spark, THR):
+        j = _foreign_dim_cut(spark, foreign)
+        f = [
+            f
+            for f in lint_plan(j)
+            if f.code == "dim-cut-not-broadcast"
+        ][0]
+        assert "F.broadcast" in f.suggestion and "5.8x" in f.suggestion
+
+
+def test_cli_lint_suggest_flag(capsys, spark, foreign):
+    """--suggest attaches the recipe column; without it the row shape
+    is byte-stable with r17 (CI output contract)."""
+    with _threshold(spark, THR):
+        import json as _json
+
+        pipe_src = (
+            "from pyspark.sql import functions as F\n"
+            "def build(spark):\n"
+            f"    t = spark.read.parquet({foreign['trips']!r})\n"
+            f"    v = spark.read.parquet({foreign['vendors']!r})\n"
+            f"    z = spark.read.parquet({foreign['zones']!r})\n"
+            "    b = v.join(z.filter(F.col('z_id') < 5),"
+            " F.col('zone') == F.col('z_id')).select('vendor_id')\n"
+            "    return t.join(b, F.col('trip_vendor') =="
+            " F.col('vendor_id'), 'left_semi')\n"
+        )
+        import pathlib
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            pipe = pathlib.Path(td) / "pipe.py"
+            pipe.write_text(pipe_src)
+            rc, out, _ = run_cli(
+                capsys,
+                spark,
+                ["-f", "json", "lint", "--suggest", str(pipe)],
+            )
+            rows = _json.loads(out)
+            assert rc == 1
+            assert all("SCALE.md" in r["suggestion"] for r in rows)
+            rc2, out2, _ = run_cli(
+                capsys, spark, ["-f", "json", "lint", str(pipe)]
+            )
+            rows2 = _json.loads(out2)
+            assert rc2 == 1
+            assert all("suggestion" not in r for r in rows2)
+
+
 def test_cli_lint_partitioned_tsv_auto_delimiter(capsys, spark, tmp_path):
     """A hive-partitioned .tsv layout with auto delimiter: the sampler
     must read the .tsv leaf (it previously only sampled *.csv, so tab
