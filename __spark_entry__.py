@@ -4741,10 +4741,114 @@ def _freshness_order(raw: "dict") -> "dict":
     return {name: raw[name] for _, name in ordered}
 
 
+# -- NEW round 18: storage-layout gates --------------------------------
+
+
+def q_partitioned_pruned_read(spark, sf_dir):
+    """Partition-pruned read under the oracle gate (SURVEY §2.3 ext —
+    previously pytest-only): events are written as a hive-partitioned
+    day layout (operators.bucketing.write_partitioned), then read back
+    through a literal range filter on the partition column, so the scan
+    prunes whole day directories before any file opens (PartitionFilters
+    carries the range — law-asserted; the r17 unpruned-partitioned-scan
+    lint rule is asserted SILENT on this plan, closing the rule's
+    negative loop). The day string is pure long arithmetic on the
+    epoch-nanos ts (timefmt conventions — no session-timezone
+    dependence), prefixed 'd' so partition-value type inference keeps it
+    a string in both engines. At 100 TB this shape is the single biggest
+    read lever: a day-bounded query over a day-partitioned store reads
+    5/30ths of the directories here and 1/365th of a year-deep store."""
+    from bun_csv_spark.functions.timefmt import ns_to_seconds
+    from bun_csv_spark.operators.bucketing import write_partitioned
+
+    ev = read_events(spark, sf_dir)
+    date_str = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(ns_to_seconds(F.col("ts")) / 86400).cast("int"),
+    ).cast("string")
+    day = F.concat(F.lit("d"), F.translate(date_str, "-", ""))
+    staged = ev.select(
+        "event_id", "event_type", "value", day.alias("day")
+    )
+    path = _scratch_dir("part_prune", sf_dir) + "/events_by_day"
+    write_partitioned(staged, path, ["day"])
+    back = spark.read.parquet(path).filter(
+        (F.col("day") >= "d20240105") & (F.col("day") <= "d20240109")
+    )
+    return back.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_bucketed_join_agg(spark, sf_dir):
+    """Bucketed co-located join under the oracle gate (SURVEY §2.3 ext —
+    previously pytest-only): orders and lineitem are bucketed AND
+    sorted by orderkey into per-process external tables (data under
+    _scratch_dir so concurrent drivers cannot clobber and dead runs get
+    reaped), then the merge-hinted join reads co-partitioned,
+    pre-sorted buckets — ZERO exchange and ZERO sort below the join at
+    every SF (law-asserted; the hint pins SMJ so a small-SF broadcast
+    cannot hide the bucket path). Both inputs are thinned 97x by a
+    pushed orderkey modulus so the staging write stays cheap when the
+    lint/oracle sweeps construct this gate at sf10/sf100; the thinning
+    is semantics-neutral (same filter in the oracle). At 100 TB this is
+    the repeated fact-fact join strategy: bucket once at write time,
+    skip the orderkey exchange on every later join."""
+    import hashlib as _hl
+
+    from bun_csv_spark.operators.bucketing import write_bucketed
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _scratch_dir("bkt_join", sf_dir)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    t_o, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # one FILE per bucket (repartition on the bucket key first):
+    # Spark's sorted-bucket scan only elides the SMJ sorts when each
+    # bucket is a single file — multi-file buckets are read as unsorted
+    # and the join re-sorts 2x what the layout already paid for
+    write_bucketed(
+        o.repartition(8, "orderkey"),
+        t_o, ["orderkey"], n_buckets=8, sort_cols=["orderkey"],
+        path=base + "/orders",
+    )
+    write_bucketed(
+        li.repartition(8, "orderkey"),
+        t_li, ["orderkey"], n_buckets=8, sort_cols=["orderkey"],
+        path=base + "/lineitem",
+    )
+    j = spark.table(t_o).hint("merge").join(spark.table(t_li), "orderkey")
+    return j.groupBy((F.col("o_custkey") % 10).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order below is just grouping; the driver-visible order is
     # computed by _freshness_order from tools/registry_green.json.
     return _freshness_order({
+        # -- NEW round 18 ---------------------------------------------------
+        "partitioned_pruned_read": q_partitioned_pruned_read,
+        "bucketed_join_agg": q_bucketed_join_agg,
         # -- NEW round 14 ---------------------------------------------------
         "tpch_q7": q_tpch_q7,
         "tpch_q9": q_tpch_q9,
@@ -8656,6 +8760,34 @@ def oracle_sql() -> dict[str, str]:
     # bucket is an identity digest of the band vector, so the md5
     # oracle applies verbatim (r16; law in tests/test_round16_ops.py)
     sql["incremental_neardup_narrow"] = sql["incremental_neardup"]
+
+    # r18: the partitioned layout is a pure re-layout of events, so the
+    # oracle computes the day-bounded aggregate from the source table
+    # directly; DuckDB's naive TIMESTAMP date_trunc matches the gate's
+    # timezone-free epoch-day arithmetic
+    sql["partitioned_pruned_read"] = """
+        SELECT 'd' || strftime(date_trunc('day', ts), '%Y%m%d') AS day,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE 'd' || strftime(date_trunc('day', ts), '%Y%m%d')
+              BETWEEN 'd20240105' AND 'd20240109'
+        GROUP BY 1, 2
+    """
+
+    # r18: bucketing is a pure physical re-layout — the oracle is the
+    # plain thinned join+aggregate over the source tables
+    sql["bucketed_join_agg"] = """
+        SELECT (o_custkey % 10)::BIGINT AS cust_bucket,
+               count(*)::BIGINT AS n_lines,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 97 = 0
+        GROUP BY 1
+    """
 
     return sql
 

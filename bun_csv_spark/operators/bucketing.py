@@ -19,6 +19,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
 
@@ -28,20 +29,31 @@ def write_bucketed(
     A managed-table location can outlive the session-local catalog (the
     in-memory catalog forgets the table, the warehouse directory does
     not), and saveAsTable refuses to adopt an unregistered location — so
-    stale catalog entries AND leftover directories are cleared first."""
+    stale catalog entries AND leftover directories are cleared first.
+
+    ``path`` (r18) makes the table EXTERNAL at that location instead of
+    under the shared warehouse dir — callers that stage per-process
+    bucketed tables (the bucketed_join_agg gate) point it at their own
+    reaped scratch, so two concurrent drivers never clobber each
+    other's files. The caller owns the path's lifecycle."""
     import os
     import shutil
 
     spark = df.sparkSession
     if mode == "overwrite" and "." not in table:
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if path is None:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+            loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        else:
+            loc = path
         if loc and os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

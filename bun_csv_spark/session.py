@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # honor sortBy() metadata on bucketed reads (one file per
+        # bucket): elides both SMJ sorts on bucket-co-located joins
+        # (r18 bucketed_join_agg). Off by default since Spark 3.0 only
+        # because single-file detection costs a listing at plan time.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # local mode defaults to maxFailures=1: any transient task flake
         # (a JDK NativeThreadSet race in a spill read killed an sf100 run
         # under GCLocker churn — SCALE.md r12) aborts the whole job.

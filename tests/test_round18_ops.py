@@ -304,6 +304,83 @@ def test_foreign_fact_broadcast_fires_without_vocabulary(spark, foreign):
         assert _codes(j) == ["fact-broadcast"]
 
 
+# --- r18 storage-layout gates -------------------------------------------
+
+
+def _plan(df) -> str:
+    from bun_csv_spark.plans.lint import plan_text
+
+    return plan_text(df)
+
+
+def test_pruned_gate_prunes_and_lints_silent(spark):
+    """partitioned_pruned_read closes the unpruned-partitioned-scan
+    rule's negative loop (VERDICT r17 #7): the gate's plan carries the
+    literal day range in PartitionFilters, and the rule stays SILENT —
+    while a full read of the SAME layout (positive twin) fires."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["partitioned_pruned_read"](spark, SF)
+    p = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "d20240105" in m.group(1)
+    assert "unpruned-partitioned-scan" not in {
+        f.code for f in lint_plan(df)
+    }
+    # positive twin: the staged layout read WITHOUT the filter
+    layout = re.search(r"Location: \w+ \[([^\],]*)", p).group(1)
+    layout = layout.removeprefix("file:")
+    full = spark.read.parquet(layout).groupBy("event_type").count()
+    assert "unpruned-partitioned-scan" in {
+        f.code for f in lint_plan(full)
+    }
+
+
+def test_bucketed_gate_exchange_and_sort_free_join(spark):
+    """bucketed_join_agg's plan: SMJ over co-partitioned pre-sorted
+    buckets — zero Exchange and zero Sort below the join (the single
+    Exchange is the final aggregate's); the layout paid for both."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["bucketed_join_agg"](spark, SF)
+    p = _plan(df)
+    assert "SortMergeJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert not re.search(r"\(\d+\) Sort\b", p)
+    assert "BroadcastExchange" not in p
+
+
+def test_bucketed_gate_matches_plain_join(spark):
+    """Bucketing is a pure physical re-layout: the gate's result equals
+    the same join+aggregate over the raw parquet."""
+    import __spark_entry__ as e
+
+    got = {
+        r.cust_bucket: (r.n_lines, r.sum_price, r.sum_qty)
+        for r in e.queries()["bucketed_join_agg"](spark, SF).collect()
+    }
+    o = _t(spark, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    li = _t(spark, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    plain = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy((F.col("o_custkey") % 10).alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    want = {
+        r.cust_bucket: (r.n_lines, r.sum_price, r.sum_qty)
+        for r in plain.collect()
+    }
+    assert got == want
+
+
 # --- the --suggest tier -------------------------------------------------
 
 ALL_LINT_CODES = {

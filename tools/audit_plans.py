@@ -307,6 +307,18 @@ EXPECTATIONS = {
     # conditional counts collapse map-side to 2 rows
     "tpch_q12": (2, ["In(l_returnflag, [A,R])", "HashAggregate"],
                  ["CartesianProduct", "BroadcastNestedLoopJoin", "Union"]),
+    # r18 storage-layout gates: the pruned read must carry the literal
+    # day range in PartitionFilters (whole directories pruned before
+    # any file opens) and spend its single shuffle on the final agg
+    "partitioned_pruned_read": (
+        1, ["PartitionFilters: [isnotnull(day#"], []),
+    # the bucketed co-located join: SMJ over co-partitioned pre-sorted
+    # buckets — no exchange below the join (the 1 is the agg), no Sort
+    # nodes (sorted-bucket scan, one file per bucket), and never a
+    # broadcast (the merge hint pins the bucket path so a small-SF
+    # broadcast cannot hide it)
+    "bucketed_join_agg": (
+        1, ["SortMergeJoin"], ["Sort (", "BroadcastExchange"]),
 }
 
 
@@ -418,6 +430,9 @@ BROADCAST_HINT_BUDGET = {
     # inputs are join-derived (product-priced, no q9 trap) — zero hints
     "tpch_q8": 0,
     "tpch_q12": 0,  # orders projection prices over threshold — AQE-decided
+    # r18: the single merge hint that pins the bucket-co-located SMJ
+    # (ResolvedHint counts every hint kind); no broadcast hints
+    "bucketed_join_agg": 1,
 }
 
 
