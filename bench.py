@@ -70,6 +70,12 @@ FAMILY = {
     "ann_cosine_topk": "scan",
     "multimodal_features": "scan",
 }
+# fail at import, not after a 30-minute suite has already run: every
+# headline query needs a family or _family_normalize KeyErrors during
+# result assembly and the whole run's JSON is lost
+assert set(FAMILY) == set(HEADLINE), (
+    set(FAMILY) ^ set(HEADLINE)
+)
 
 
 def force(df) -> None:
@@ -346,10 +352,18 @@ def _calibrate_vector(spark) -> dict[str, float]:
              family queries share.
 
     Each probe is warmup + best-of-3; sizes are tuned to ~0.3 s on the
-    reference box so the whole vector costs ~3 s per call."""
+    reference box so the whole vector costs ~3 s per call.
+
+    ORDER MATTERS: the scan probe runs FIRST so it executes in the same
+    process position the r8-r17 scalar calibrate did (immediately after
+    the warmup / immediately after the suite) — running it after the
+    two new probes would put 8 extra jobs of JIT/GC context in front of
+    it and silently shift the historical calibrate_sec series (the r12
+    '40% low on a stale box' sensitivity)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    scan = _calibrate(spark)
     shuffle = _probe(
         spark,
         lambda: (
@@ -375,7 +389,7 @@ def _calibrate_vector(spark) -> dict[str, float]:
         ),
     )
     return {
-        "scan": _calibrate(spark),
+        "scan": scan,
         "shuffle": shuffle,
         "window": window,
     }

@@ -333,25 +333,39 @@ def _resolve_columns(df: DataFrame, columns: str) -> list[str] | None:
 
 def _resolve_delimiter(path: str, delimiter: str | None) -> str:
     """An explicit delimiter passes through; None/"auto" detects from
-    the first leaf file under the layout with any extension the CSV
-    branch routes (.csv/.tsv/.txt — _looks_like_parquet sends all
-    three here, so a .tsv layout must be sampled too; r17 ADVICE fix),
-    using the same scorer read_csv uses, defaulting to comma when
-    nothing is readable."""
+    the first DATA leaf under the layout, using the same scorer
+    read_csv uses, defaulting to comma when nothing is readable.
+
+    Every extension the CSV branch routes is sampled (.csv/.tsv/.txt —
+    a .tsv layout previously got comma because only *.csv was sampled;
+    r17 ADVICE fix), but .csv/.tsv leaves are PREFERRED over .txt: a
+    stray prose notes.txt at the layout root must not shadow the real
+    part files below it (the same artifact _looks_like_parquet's
+    full-listing rule guards against)."""
     if delimiter and delimiter != "auto":
         return delimiter
     from bun_csv_spark.sources.csv_reader import detect_delimiter
 
+    def _sample(fpath: str) -> str | None:
+        try:
+            with open(fpath, errors="replace") as fh:
+                return detect_delimiter(fh.read(16384))[0]
+        except OSError:
+            return None
+
+    txt_fallback: str | None = None
     for dp, dns, fns in os.walk(path):
         dns.sort()
         for f in sorted(fns):
-            if f.endswith((".csv", ".tsv", ".txt")):
-                try:
-                    with open(os.path.join(dp, f), errors="replace") as fh:
-                        sample = fh.read(16384)
-                    return detect_delimiter(sample)[0]
-                except OSError:
-                    return ","
+            if f.endswith((".csv", ".tsv")):
+                got = _sample(os.path.join(dp, f))
+                return got if got is not None else ","
+            if txt_fallback is None and f.endswith(".txt"):
+                txt_fallback = os.path.join(dp, f)
+    if txt_fallback is not None:
+        got = _sample(txt_fallback)
+        if got is not None:
+            return got
     return ","
 
 
@@ -444,14 +458,27 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
                 # skip-first-n-lines / dynamic-typing run in the
                 # reference reader, not this plain-Spark scan) warn
                 # instead of silently diverging (r17 ADVICE fix)
-                if opts.comments:
-                    ropts["comment"] = opts.comments[0]
+                multi_char_comment = bool(
+                    opts.comments and len(opts.comments) > 1
+                )
+                if opts.comments and not multi_char_comment:
+                    # Spark's csv `comment` is a single CHAR; a
+                    # multi-char prefix (the reference reader supports
+                    # e.g. '//') cannot be represented here —
+                    # truncating to the first char would silently drop
+                    # every line whose first field starts with it, so
+                    # it warns below instead
+                    ropts["comment"] = opts.comments
                 dropped = [
                     flag
                     for flag, on in (
                         ("--preview", opts.preview is not None),
                         ("--skip-first-n-lines", opts.skip_first_n_lines),
                         ("--dynamic-typing", opts.dynamic_typing),
+                        (
+                            "--comments (multi-char prefix)",
+                            multi_char_comment,
+                        ),
                     )
                     if on
                 ]
@@ -527,7 +554,13 @@ def _run_lint(spark, path: str, args, opts: CSVOptions, fmt: str) -> int:
             file=sys.stderr if fmt == "json" else sys.stdout,
         )
     if not findings:
-        print("clean: no findings")
+        # -f json stdout must stay parseable on the CLEAN path too (the
+        # most common CI case): emit the empty findings array, keep the
+        # human-readable line for human formats
+        if fmt == "json":
+            print("[]")
+        else:
+            print("clean: no findings")
         return 0
     rows = [
         {"severity": f.severity, "code": f.code, "message": f.message}

@@ -467,3 +467,56 @@ def test_cli_lint_partitioned_tsv_auto_delimiter(capsys, spark, tmp_path):
         ["lint", "--select", "age,day", str(tmp_path / "tabs")],
     )
     assert rc == 0
+
+
+def test_stray_txt_does_not_shadow_csv_sample(tmp_path):
+    """Delimiter auto-detection prefers .csv/.tsv leaves over .txt: a
+    stray prose notes.txt at the layout root walks first and would be
+    the sample (falling back to comma and breaking a semicolon layout
+    below it) — the sampler must pick the part.csv instead. Unit-level
+    on the sampler: Spark itself cannot read a layout with data-less
+    root files (they'd be parsed as data), so the preference is about
+    WHICH file informs the delimiter, pinned here directly. A
+    .txt-only layout still samples the .txt (the r17 ADVICE fix)."""
+    from bun_csv_spark.cli.main import _resolve_delimiter
+
+    base = tmp_path / "shadow"
+    (base / "day=0").mkdir(parents=True)
+    (base / "notes.txt").write_text(
+        "these are prose notes about the dataset\nno delimiters here\n"
+    )
+    (base / "day=0" / "part.csv").write_text("name;age\nann;31\n")
+    assert _resolve_delimiter(str(base), None) == ";"
+    only_txt = tmp_path / "txts" / "day=0"
+    only_txt.mkdir(parents=True)
+    (only_txt / "part.txt").write_text("a\tb\nx\t1\ny\t2\n")
+    assert _resolve_delimiter(str(tmp_path / "txts"), None) == "\t"
+
+
+def test_cli_lint_clean_json_stdout_is_empty_array(
+    capsys, spark, write_csv_file
+):
+    """The CLEAN path under -f json emits [] — stdout stays parseable
+    for the CI pipe in the most common case."""
+    p = write_csv_file("name,age\nann,31\n")
+    rc, out, _ = run_cli(capsys, spark, ["-f", "json", "lint", p])
+    assert rc == 0 and json.loads(out) == []
+
+
+def test_cli_lint_multichar_comments_warns_not_truncates(
+    capsys, spark, tmp_path
+):
+    """A multi-char --comments prefix cannot map onto Spark csv's
+    single-char `comment` — the partitioned branch warns and drops it
+    rather than silently linting a plan that eats every line starting
+    with the first character."""
+    root = tmp_path / "mc" / "day=0"
+    root.mkdir(parents=True)
+    (root / "part.csv").write_text("name,age\n/path/x,31\n")
+    rc, _out, err = run_cli(
+        capsys,
+        spark,
+        ["--comments", "//", "lint", str(tmp_path / "mc")],
+    )
+    assert rc == 0
+    assert "warning:" in err and "--comments (multi-char prefix)" in err
