@@ -1817,7 +1817,8 @@ def q_csv_roundtrip(spark, sf_dir):
 
 
 def _nation_csv_fixture(
-    spark, sf_dir, ragged: bool = False, comments: bool = False
+    spark, sf_dir, ragged: bool = False, comments: bool = False,
+    empties: bool = False,
 ) -> str:
     """Serialize nation (25 rows, driver-side) to a CSV file with
     deterministically planted irregularities, for the reader option-matrix
@@ -1828,7 +1829,11 @@ def _nation_csv_fixture(
       whose key is a multiple of 5.
     - ``ragged``: rows with key % 7 == 3 drop the last field
       (TooFewFields); otherwise rows with key % 5 == 2 gain an extra
-      field ``x{key}`` (TooManyFields)."""
+      field ``x{key}`` (TooManyFields).
+    - ``empties`` (r18): a truly-EMPTY line after every row whose key is
+      a multiple of 4, and a whitespace-only line (spaces + a tab —
+      skipped only by skipEmptyRows='greedy', parser.ts:70-71) after
+      every row whose key is a multiple of 6."""
     import tempfile as _tf
 
     rows = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
@@ -1846,6 +1851,10 @@ def _nation_csv_fixture(
             lines.append(f"{k},{r['n_name']},{r['n_regionkey']},x{k}")
         else:
             lines.append(f"{k},{r['n_name']},{r['n_regionkey']}")
+        if empties and k % 4 == 0:
+            lines.append("")
+        if empties and k % 6 == 0:
+            lines.append("  \t ")
     f = _tf.NamedTemporaryFile(
         "w", suffix=".csv", prefix="bcsv_opts_", delete=False, encoding="utf-8"
     )
@@ -1862,6 +1871,18 @@ def q_csv_opts_comments(spark, sf_dir):
 
     path = _nation_csv_fixture(spark, sf_dir, comments=True)
     return read_csv(spark, path, CSVOptions(comments="#"))
+
+
+def q_csv_opts_skipempty(spark, sf_dir):
+    """Option matrix (r18, previously pytest-only): skipEmptyRows in
+    GREEDY mode drops both truly-empty lines and whitespace-only lines
+    (parser.ts:70-71); every real record must survive exactly once with
+    its fields still aligned — which the value-hash proves against the
+    unplanted nation table."""
+    from bun_csv_spark.sources.csv_reader import CSVOptions, read_csv
+
+    path = _nation_csv_fixture(spark, sf_dir, empties=True)
+    return read_csv(spark, path, CSVOptions(skip_empty_rows="greedy"))
 
 
 def q_csv_opts_fromto(spark, sf_dir):
@@ -4849,6 +4870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round 18 ---------------------------------------------------
         "partitioned_pruned_read": q_partitioned_pruned_read,
         "bucketed_join_agg": q_bucketed_join_agg,
+        "csv_opts_skipempty": q_csv_opts_skipempty,
         # -- NEW round 14 ---------------------------------------------------
         "tpch_q7": q_tpch_q7,
         "tpch_q9": q_tpch_q9,
@@ -7579,6 +7601,10 @@ def oracle_sql() -> dict[str, str]:
                n_regionkey::VARCHAR AS n_regionkey
         FROM nation
     """
+
+    # r18: greedy skipEmptyRows drops every planted empty/whitespace
+    # line — the surviving set is exactly the unplanted table
+    sql["csv_opts_skipempty"] = sql["csv_opts_comments"]
 
     sql["csv_opts_fromto"] = """
         SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,

@@ -381,6 +381,26 @@ def test_bucketed_gate_matches_plain_join(spark):
     assert got == want
 
 
+def test_csv_opts_skipempty_gate_fixture_and_result(spark):
+    """The skipempty gate's fixture really plants both line kinds
+    (truly-empty after key%4==0, whitespace-only after key%6==0), and
+    the greedy read returns exactly the 25 clean nation records with
+    fields aligned."""
+    import __spark_entry__ as e
+
+    path = e._nation_csv_fixture(spark, SF, empties=True)
+    raw = open(path).read().splitlines()
+    assert raw.count("") == 7  # keys 0,4,8,12,16,20,24
+    assert raw.count("  \t ") == 5  # keys 0,6,12,18,24
+    df = e.queries()["csv_opts_skipempty"](spark, SF)
+    rows = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in df.collect()}
+    nation = {
+        str(r.n_nationkey): (r.n_name, str(r.n_regionkey))
+        for r in _t(spark, "nation").collect()
+    }
+    assert rows == nation
+
+
 # --- the --suggest tier -------------------------------------------------
 
 ALL_LINT_CODES = {
