@@ -308,7 +308,11 @@ def q_groupby_reference_aggs(spark, sf_dir):
     """The exact aggregate semantics table (dataframe.ts:268-343, SURVEY
     §2.4): count counts nulls, stddev is population, median exact,
     first/last in encounter order (pinned by the __ord key)."""
-    li = ensure_parallelism(_t(spark, sf_dir, "lineitem")).withColumn(
+    # r18: no ensure_parallelism — the downstream is one cheap columnar
+    # aggregate; the keyless exchange cost 2.6x the whole query at sf0.1
+    # (A/B best-of-5: 0.37 s direct vs 0.98 s through repartition(32)).
+    # At scale the scan splits at maxPartitionBytes on its own.
+    li = _t(spark, sf_dir, "lineitem").withColumn(
         "__ord", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
     grouped = TurboFrame(li).group_by("l_returnflag")
@@ -378,7 +382,11 @@ def q_agg_ungrouped(spark, sf_dir):
 
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the flagship scan+agg pipeline."""
-    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
+    # r18: no ensure_parallelism — scan-bound pushed-filter aggregate; the
+    # keyless exchange cost 2.8x the whole query at sf0.1 (A/B best-of-5:
+    # 0.51 s direct vs 1.40 s through repartition(32)). At scale the scan
+    # splits at maxPartitionBytes on its own.
+    li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
@@ -623,11 +631,23 @@ def q_events_tumbling(spark, sf_dir):
     codec in the hot path, no timezone dependence."""
     ev = read_events(spark, sf_dir)
     hour_s = ns_truncate("ts", 3600)
+    # r18: group on the NUMERIC hour bucket and render the window_start
+    # string AFTER the aggregate — the wall-clock formatting (date_add +
+    # 3x lpad + concat) runs once per GROUP (hours x event_types) instead
+    # of once per event row, and the exchange carries an 8-byte long
+    # instead of a 19-char string key. Same result: the bucket -> string
+    # map is injective, so the group set is identical.
     return (
-        ev.groupBy(epoch_seconds_to_string(hour_s).alias("window_start"), "event_type")
+        ev.groupBy(hour_s.alias("__hour_s"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            epoch_seconds_to_string(F.col("__hour_s")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -772,13 +792,22 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_fingerprint(spark, sf_dir):
     """Fingerprint dedup on normalized-text md5."""
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # r18: no ensure_parallelism — md5+normalize is cheap per row and the
+    # groupBy(fp) pays its own exchange anyway; the extra keyless exchange
+    # cost 3.2x the whole query at sf0.1 (A/B best-of-5: 0.36 s direct vs
+    # 1.15 s through repartition(32), 0.78 s hash-keyed).
+    docs = _t(spark, sf_dir, "documents")
     return dedup_fingerprint(docs, "text", "doc_id")
 
 
 def q_text_quality(spark, sf_dir):
     """Quality scoring: length/tokens/punct/digit/stopword features."""
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # r18: keyed repartition — the regex feature battery is heavy enough
+    # per row that spreading the single-row-group scan still wins, but the
+    # hash partitioning on the near-unique doc_id skips the round-robin's
+    # sortBeforeRepartition (A/B best-of-5: 0.77 s keyed vs 0.94 s round-
+    # robin vs 1.00 s unpartitioned).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1584,10 +1613,20 @@ def q_events_sliding(spark, sf_dir):
     half = 1800
     bucket30 = ns_truncate("ts", half)  # the 30m bucket the event is in
     starts = F.array(bucket30 - half, bucket30)  # the 2 windows covering it
+    # r18: group on the NUMERIC window start and render the string after
+    # the aggregate (same fix as events_tumbling — injective bucket->string
+    # map, identical groups): the wall-clock formatting runs once per group
+    # instead of once per exploded row (2x events), and the exchange
+    # carries an 8-byte long key.
     return (
-        ev.select(F.explode(starts).alias("win_start_s"), "event_type", "value")
-        .groupBy(epoch_seconds_to_string(F.col("win_start_s")).alias("window_start"), "event_type")
+        ev.select(F.explode(starts).alias("win_start_s"), "event_type")
+        .groupBy("win_start_s", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            epoch_seconds_to_string(F.col("win_start_s")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
     )
 
 

@@ -97,7 +97,13 @@ def minhash_signatures(
     few partitions (one small parquet file -> 1 partition -> 1 core).
     Output: (id, minhash_0..minhash_{n-1}) as longs."""
     if repartition:
-        df = df.repartition(repartition)
+        # hash on the near-unique id, not round-robin: a keyed repartition
+        # skips the keyless form's local sort of every row
+        # (sortBeforeRepartition, SPARK-23207) — r18 A/B at sf0.1: 0.53 s
+        # keyed vs 0.55 s round-robin vs 3.78 s unpartitioned (the
+        # shingle+fold work is CPU-bound, so parallelism is essential on a
+        # single-row-group source).
+        df = df.repartition(repartition, F.col(id_col))
     shingles = F.array_distinct(char_shingles(text_col, shingle_k))
     base = F.transform(
         shingles,

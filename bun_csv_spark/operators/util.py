@@ -116,7 +116,11 @@ def stratified_sample_hash(
     return df.filter(bucket < cutoffs[F.col(strata_col)])
 
 
-def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    small_bytes: int = 128 * 1024 * 1024,
+    key: str | None = None,
+) -> DataFrame:
     """Repartition ONLY when the scan is too small to split (one small
     parquet file = one row group = one task locally), so CPU-bound stages
     that follow still use the whole cluster.
@@ -124,7 +128,23 @@ def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> D
     Decided from file metadata alone (``inputFiles`` + ``getsize`` — no
     job, no RDD conversion). Inputs above ``small_bytes`` already split at
     ``maxPartitionBytes``, so at real scale this is a no-op and costs no
-    shuffle."""
+    shuffle.
+
+    Only worth calling when the downstream per-row work is HEAVY (regex
+    batteries, shingling, decoding): for cheap columnar aggregates the
+    exchange costs more than single-task compute on a <128 MB input
+    (r18 A/B at sf0.1, noop-forced best-of-5: tpch_q1 0.51 s unpartitioned
+    vs 1.40 s through repartition(32)) — those call sites should read the
+    scan directly.
+
+    ``key``: a near-unique column to hash-partition on. A keyed
+    repartition skips the keyless round-robin's local sort of every row
+    (sortBeforeRepartition, SPARK-23207 — paid so retried tasks reproduce
+    their row assignment; a hash partitioning is deterministic per row and
+    needs no such sort) and measured ~20% cheaper end-to-end on the
+    text-feature pipelines (0.77 vs 0.94 s). Needs many more distinct
+    values than partitions to spread evenly — pass a doc/row id, never a
+    low-cardinality attribute."""
     try:
         files = df.inputFiles()
         total = sum(
@@ -134,6 +154,8 @@ def ensure_parallelism(df: DataFrame, small_bytes: int = 128 * 1024 * 1024) -> D
         return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if files and total < small_bytes and parallelism > 4:
+        if key is not None:
+            return df.repartition(parallelism, F.col(key))
         return df.repartition(parallelism)
     return df
 

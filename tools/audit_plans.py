@@ -26,14 +26,17 @@ def plan_of(df) -> str:
 
 EXPECTATIONS = {
     # query: (max_shuffles, must_contain, must_not_contain)
-    "tpch_q1": (2, ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"], []),
+    # r18: the ensure_parallelism round-robin exchange is gone — the one
+    # remaining shuffle is the groupBy's partial->final reduce
+    "tpch_q1": (1, ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"], []),
     "filter_numeric": (0, ["PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"], ["Exchange"]),
     "select_project": (0, ["ReadSchema: struct<c_custkey:bigint,c_name:string>"], ["Exchange"]),
     "join_inner": (0, ["BroadcastHashJoin"], ["SortMergeJoin"]),
     "sort_topk": (0, ["TakeOrderedAndProject"], ["GlobalSort"]),
-    "minhash_signatures": (1, [], ["SortMergeJoin"]),  # repartition only
+    "minhash_signatures": (1, [], ["SortMergeJoin"]),  # keyed repartition only
     "ann_cosine_topk": (0, ["TakeOrderedAndProject"], []),
-    "groupby_reference_aggs": (2, ["HashAggregate"], []),  # partial+final
+    # r18: ensure_parallelism exchange removed -> the groupBy reduce only
+    "groupby_reference_aggs": (1, ["HashAggregate"], []),
     "dedup_exact": (1, ["HashAggregate"], []),
     # as-of join is union-and-carry: ONE key shuffle for the window (+1 if
     # the final project reorders) — and NEVER a nested-loop/cartesian join
