@@ -74,13 +74,22 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 
 def quality_features(col: Column | str) -> dict[str, Column]:
     """The quality-scoring feature set as named columns: length, token
-    count, mean token length, punctuation/digit ratios, stopword ratio."""
+    count, mean token length, punctuation/digit ratios, stopword ratio.
+
+    r18: the stopword ratio lowercases the SHARED token array instead of
+    calling ``stopword_ratio`` (which re-tokenizes ``lower(text)`` with a
+    second regex split + array build per row — lowercasing commutes with
+    whitespace splitting, so ``filter(toks, lower(t) ∈ stop)`` is
+    value-identical; A/B at sf0.1: text_quality 0.392 → 0.325 s
+    noop-forced best-of-5, results bit-equal)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
     n_toks = F.size(toks)
     total_tok_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
+    stop = LANG_STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stop)))
     return {
         "n_chars_calc": F.length(c).cast("long"),
         "n_tokens": n_toks.cast("long"),
@@ -89,7 +98,9 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         ).otherwise(F.lit(0.0)),
         "punct_ratio": punct_ratio(c),
         "digit_ratio": digit_ratio(c),
-        "stopword_ratio_en": stopword_ratio(c, "en"),
+        "stopword_ratio_en": F.when(
+            n_toks > 0, stop_hits.cast("double") / n_toks
+        ).otherwise(F.lit(0.0)),
     }
 
 

@@ -45,6 +45,40 @@ def test_zero_vector_cosine_is_zero(spark):
     assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0].c == 0.0
 
 
+def test_const_norm_bit_identical(spark, vecs):
+    """const_l2_norm / cosine_similarity_const must be BIT-identical to
+    the in-plan generic forms — the r18 fold-the-constant optimization is
+    only legal because the driver-side left fold reproduces Spark's
+    aggregate() double arithmetic exactly."""
+    import struct
+
+    from bun_csv_spark.functions.vectors import (
+        const_l2_norm,
+        cosine_similarity_const,
+        dlit,
+    )
+
+    sample = [list(r.embedding) for r in vecs.limit(8).collect()]
+    sample += [[0.0] * 16, [1e-200] * 4, [3.14159, -2.71828, 1e10, -1e-10]]
+    row = spark.range(1).select(
+        *[l2_norm(dlit(v)).alias(f"n{i}") for i, v in enumerate(sample)]
+    ).first()
+    for i, v in enumerate(sample):
+        assert struct.pack("<d", row[f"n{i}"]) == struct.pack(
+            "<d", const_l2_norm(v)
+        ), f"norm drift on vector {i}"
+
+    # end-to-end: const-form cosine equals generic-form cosine bit-for-bit
+    q = sample[0]
+    a = vecs.select(
+        cosine_similarity("embedding", dlit(q)).alias("g"),
+        cosine_similarity_const("embedding", q).alias("c"),
+    ).collect()
+    assert all(
+        struct.pack("<d", r.g) == struct.pack("<d", r.c) for r in a
+    )
+
+
 def test_brute_force_topk(vecs):
     q = [r.embedding for r in vecs.filter("vec_id = 0").collect()][0]
     out = ann_brute_force(vecs, list(q), k=3).collect()
