@@ -211,6 +211,32 @@ def _band_buckets(
     return _cap_buckets(buckets, max_bucket)
 
 
+def _spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Pin the parallelism of a CPU-heavy verify stage (r18).
+
+    AQE sizes post-shuffle stages by BYTES, and a candidate-pair stream
+    is tiny in bytes but carries heavy per-row compute in the stage that
+    follows (Levenshtein DP, n-gram set intersection, cosine folds) — at
+    sf0.1 AQE coalesced the editdist gate's 156k pairs (1.6e10 DP cells)
+    into ONE partition and the whole verify ran on a single core
+    (measured 297 s; coalescing disabled: 19.6 s). An explicit
+    numPartitions repartition is exempt from AQE coalescing; hashing the
+    near-unique pair key spreads evenly, and the shuffled bytes are
+    negligible against the per-row verify cost at any scale. 4x
+    parallelism smooths stragglers.
+
+    Call it on the PAIR ID STREAM, before the payload joins: the
+    broadcast joins and the verify projection then inherit the pinned
+    partitioning, the exchange moves ids only — and predicates the
+    optimizer pushes into the join (a threshold filter becomes a
+    non-equi join condition) still evaluate in the spread stage. A
+    post-join repartition is defeated by exactly that pushdown
+    (measured: the embedding cosine threshold landed BELOW the exchange
+    as a single-partition join condition)."""
+    par = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(c) for c in key_cols])
+
+
 def _bucket_pairs(a: DataFrame, b: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a, id_b), id_a < id_b, sharing any (band, bucket)."""
     return (
@@ -303,7 +329,11 @@ def ngram_jaccard_pairs(
     )
     ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
     gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
-    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    # r18: pin the set-intersection stage's parallelism (_spread_for_cpu;
+    # the caller's threshold filter pushes into the join and runs spread)
+    joined = _spread_for_cpu(pairs, "id_a", "id_b").join(ga, "id_a").join(
+        gb, "id_b"
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -333,7 +363,10 @@ def ngram_containment_pairs(
     )
     ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
     gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
-    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    # r18: pin the set-intersection stage's parallelism (_spread_for_cpu)
+    joined = _spread_for_cpu(pairs, "id_a", "id_b").join(ga, "id_a").join(
+        gb, "id_b"
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     sa = F.size("grams_a")
     sb = F.size("grams_b")
@@ -598,11 +631,17 @@ def neardup_pairs_embedding(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+    # r18: pin the cosine-verify stage's parallelism (_spread_for_cpu;
+    # 5.1 -> 1.6 s at sf0.1) and evaluate the cosine ONCE via a named
+    # column — inlined, the threshold filter pushes a second full
+    # evaluation into the join condition
+    joined = _spread_for_cpu(pairs, "id_a", "id_b").join(va, "id_a").join(
+        vb, "id_b"
+    )
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        joined.withColumn("__c", cos)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.col("__c").alias("cosine"))
     )
 
 
@@ -767,12 +806,25 @@ def editdist_verify(
     b = corpus.select(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
     )
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    lev = F.levenshtein("__ta", "__tb")
+    # r18: pin the DP stage's parallelism (see _spread_for_cpu — the
+    # editdist gate measured 297 s with AQE's bytes-based coalescing
+    # collapsing the pair stream to one partition; 8.8 s fixed)
+    joined = _spread_for_cpu(pairs, "id_a", "id_b").join(a, "id_a").join(
+        b, "id_b"
+    )
     longest = F.greatest(F.length("__ta"), F.length("__tb"))
-    sim = F.when(longest > 0, 1.0 - lev / longest).otherwise(F.lit(1.0))
-    return joined.select(
-        "id_a", "id_b", lev.cast("long").alias("lev"), F.round(sim, 6).alias("sim")
+    # evaluate levenshtein ONCE via a named column: inlined into the CASE
+    # branch it is re-evaluated per row (codegen subexpression elimination
+    # does not hoist conditional branches) — measured 28.7 -> 13.4 s
+    out = joined.withColumn("__lev", F.levenshtein("__ta", "__tb"))
+    sim = F.when(
+        longest > 0, 1.0 - F.col("__lev") / longest
+    ).otherwise(F.lit(1.0))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("__lev").cast("long").alias("lev"),
+        F.round(sim, 6).alias("sim"),
     )
 
 

@@ -85,7 +85,10 @@ EXPECTATIONS = {
     "anomaly_zscore": (1, ["Window"], ["SinglePartition"]),
     "funnel": (2, [], ["SinglePartition"]),
     "simhash_pairs": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
-    "ngram_containment": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r18: +1 pinned repartition of the candidate-pair ids before the
+    # payload joins (_spread_for_cpu — AQE's bytes-based coalescing ran
+    # the set-intersection verify single-core otherwise)
+    "ngram_containment": (4, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "quantile_normalize": (1, ["Window"], ["SinglePartition"]),
     "balanced_sample": (1, ["WindowGroupLimit"], ["SinglePartition"]),
     # bounds-broadcast decile assignment: NO ranking window anywhere
