@@ -2403,7 +2403,11 @@ def q_schema_apply(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints — md5-derived 64-bit shingle hashes, so the
     DuckDB oracle replays the exact bit pattern (_simhash_sql)."""
-    docs = _t(spark, sf_dir, "documents")
+    # r18: keyed spread — the shingle+fold battery is the heaviest pure
+    # map in the registry and the single-file scan ran it on one core
+    # (A/B best-of-3 noop-forced at sf0.1: 17.6 s -> 3.5 s spread);
+    # no-op above 128 MB of input
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
@@ -2442,7 +2446,11 @@ def q_repetition_filter(spark, sf_dir):
     n-gram arrays are staged once (lambda exprs don't CSE)."""
     from bun_csv_spark.operators.corpus import repetition_table
 
-    return repetition_table(_t(spark, sf_dir, "documents"))
+    # r18: keyed spread — the n-gram repetition battery on a single-file
+    # scan ran one-core (A/B at sf0.1: 6.9 -> 0.86 s); no-op at scale
+    return repetition_table(
+        ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
+    )
 
 
 def q_decontamination(spark, sf_dir):
@@ -2550,7 +2558,9 @@ def q_char_entropy(spark, sf_dir):
     instead of re-deriving it per distinct char (lambda-CSE gap)."""
     from bun_csv_spark.functions.text import array_entropy, char_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    # r18: keyed spread — the O(u*n) entropy fold on a single-file scan
+    # ran one-core (A/B at sf0.1: 3.9 -> 0.46 s); no-op at scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
     staged = docs.select(
         "doc_id", char_shingles(F.col("text"), 1).alias("__chars")
     )
@@ -2656,7 +2666,10 @@ def q_substring_dedup(spark, sf_dir):
     long spans genuinely exist across distinct ids."""
     from bun_csv_spark.operators.dedup import shared_substring_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r18: keyed spread of the anchor-window build (3.1 -> 1.3 s at sf0.1)
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id", "text")
     copies = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" the end")).alias("text"),
@@ -2728,8 +2741,11 @@ def q_simhash_pairs(spark, sf_dir):
     near-dup corpus."""
     from bun_csv_spark.operators.dedup import simhash_pairs
 
+    # r18: keyed spread of the corpus before the simhash64 map (same
+    # rationale as q_simhash: 17.6 -> 3.5 s for the fingerprint battery)
     return simhash_pairs(
-        _neardup_corpus(spark, sf_dir), "doc_id", "text", shingle_k=4, max_hamming=6
+        ensure_parallelism(_neardup_corpus(spark, sf_dir), key="doc_id"),
+        "doc_id", "text", shingle_k=4, max_hamming=6
     )
 
 
@@ -2872,7 +2888,12 @@ def q_dup_spans(spark, sf_dir):
     all-pairs."""
     from bun_csv_spark.operators.dedup import duplicate_spans
 
-    return duplicate_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+    # r18: keyed spread of the gram explode's input (8.2 -> 1.8 s at
+    # sf0.1 — the single-file scan ran the n-gram build one-core)
+    return duplicate_spans(
+        ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id"),
+        n=8, min_docs=2,
+    )
 
 
 def q_dup_span_removal(spark, sf_dir):
@@ -2881,7 +2902,8 @@ def q_dup_span_removal(spark, sf_dir):
     of the kept tokens); untouched docs pass through the left join."""
     from bun_csv_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    # r18: keyed spread (7.8 -> 1.45 s at sf0.1, same rationale)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
     spans = duplicate_spans(docs, n=8, min_docs=2)
     return remove_duplicate_spans(docs, spans)
 
@@ -2892,7 +2914,11 @@ def q_lm_score(spark, sf_dir):
     stream; per-doc mean log-likelihood + perplexity."""
     from bun_csv_spark.functions.text import char_bigram_lm_score
 
-    return char_bigram_lm_score(_t(spark, sf_dir, "documents"))
+    # r18: keyed spread — the bigram explode+join on a single-file scan
+    # bottlenecked one core (A/B at sf0.1: 3.4 -> 1.5 s); no-op at scale
+    return char_bigram_lm_score(
+        ensure_parallelism(_t(spark, sf_dir, "documents"), key="doc_id")
+    )
 
 
 def q_weighted_sample_group(spark, sf_dir):

@@ -45,13 +45,19 @@ EXPECTATIONS = {
     "dedup_embedding": (6, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # r3 additions
     # substring anchors: window cap + equi-join + count agg — never n²
-    "substring_dedup": (5, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r18: +2 for the keyed ensure_parallelism spread of the single-file
+    # local scan (once per union branch of the self-join; no-op >=128 MB)
+    "substring_dedup": (7, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # bounds are a 1-row combinable agg broadcast back — the only Exchange
     # is the ungrouped agg's partial-state reduce (1 tiny row per task),
     # NOT a posexplode shuffle of n·d rows
     "embedding_quantize": (1, ["BroadcastExchange"], ["SortMergeJoin"]),
     # per-row fold: zero shuffles
-    "char_entropy": (0, [], ["Exchange"]),
+    # r18: the keyed ensure_parallelism exchange spreads the one-core
+    # entropy fold on the single-file local scan (3.9 -> 0.46 s); the
+    # compute itself stays a pure map — pin 1 exchange max, no shuffle
+    # joins
+    "char_entropy": (1, [], ["SortMergeJoin", "CartesianProduct"]),
     # candidate selection is a bounded TakeOrdered, then re-rank; the one
     # Exchange is the bounds agg's 1-row reduce (as embedding_quantize)
     "ann_quantized": (1, ["TakeOrderedAndProject"], ["SortMergeJoin"]),
@@ -84,7 +90,9 @@ EXPECTATIONS = {
     "rolling_range": (1, ["Window"], ["SinglePartition"]),
     "anomaly_zscore": (1, ["Window"], ["SinglePartition"]),
     "funnel": (2, [], ["SinglePartition"]),
-    "simhash_pairs": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r18: +2 for the keyed ensure_parallelism spread of the corpus scan
+    # (once per side of the band self-join; no-op at scale)
+    "simhash_pairs": (5, [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # r18: +1 pinned repartition of the candidate-pair ids before the
     # payload joins (_spread_for_cpu — AQE's bytes-based coalescing ran
     # the set-intersection verify single-core otherwise)
@@ -140,7 +148,8 @@ EXPECTATIONS = {
     "transition_counts": (3, ["Window"], ["SinglePartition", "CartesianProduct"]),
     # gram-hash agg + hot-set equi-join + per-doc interval-merge window
     "dup_spans": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"]),
-    "dup_span_removal": (3, [], ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"]),
+    # r18: +1 keyed ensure_parallelism spread of the local scan
+    "dup_span_removal": (4, [], ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"]),
     # partial+final agg on (i, j): reduce input is tasks x dim^2 partials
     "embedding_covariance": (1, ["HashAggregate"], ["CartesianProduct", "Window"]),
     # after the bounded covariance collect, the projection itself is pure
