@@ -1179,7 +1179,11 @@ def q_multimodal_jpeg_pixels(spark, sf_dir):
         extract_pixel_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r18: keyed spread — the Python JPEG decode ran one-core on the
+    # single-file scan (A/B at sf0.1: 7.9 -> 1.6 s); no-op at scale
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id")
     return extract_pixel_stats(
         attach_jpeg_payload(docs), "doc_id", "payload", decoder=decode_jpeg_pixels
     )
@@ -1202,7 +1206,11 @@ def q_multimodal_jpeg_420(spark, sf_dir):
         extract_pixel_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r18: keyed spread (one-core Python decode otherwise; same A/B
+    # family as multimodal_jpeg_pixels); no-op at scale
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id")
     return extract_pixel_stats(
         attach_jpeg420_payload(docs), "doc_id", "payload", decoder=decode_jpeg_pixels
     )
@@ -1310,7 +1318,12 @@ def q_multimodal_video(spark, sf_dir):
         sample_video_frames,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r18: keyed spread — the MJPEG-in-AVI walk + per-frame JPEG decode
+    # is the heaviest Python map in the registry and ran one-core on the
+    # single-file scan (A/B at sf0.1: 47.1 -> 4.5 s); no-op at scale
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id")
     return sample_video_frames(
         attach_avi_mjpeg_payload(docs), "doc_id", "payload",
         every_ms=50, max_frames=8,
@@ -1337,7 +1350,10 @@ def q_multimodal_jpeg_progressive(spark, sf_dir):
         extract_pixel_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r18: keyed spread (A/B at sf0.1: 19.2 -> 2.0 s); no-op at scale
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id")
     return extract_pixel_stats(
         attach_jpeg_progressive_payload(docs),
         "doc_id",
