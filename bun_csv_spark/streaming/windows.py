@@ -13,10 +13,74 @@ oracle for the batch result also validates the streaming result.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _stream_state_partitions(
+    spark: SparkSession, parquet_path: str, override: "int | None" = None
+) -> "int | None":
+    """Derive a stream's state-partition count from the SOURCE SIZE.
+
+    ``spark.sql.shuffle.partitions`` at first-batch time pins the number
+    of state-store instances for the life of a streaming checkpoint, and
+    every stateful operator pays per-store per-batch costs (delta-file
+    commit, snapshot maintenance, the no-data finalize batch) that are
+    INDEPENDENT of the rows in the store. A symmetric hash join keeps 4
+    stores per partition, so this session's core-count default (32)
+    meant 128 stores for kilobytes of state: the r18 measurement on the
+    sf0.1 replay gates had commitTimeMs ≈ 64-88 s cumulative per batch
+    against an addBatch wall of ~5 s — pure bookkeeping. A/B at sf0.1
+    (rows identical): streaming_join 21.3 -> 4.3 s, streaming_watermark
+    13.2 -> 4.0 s, streaming_kmv 7.1 -> 3.7 s, streaming_dedup
+    6.1 -> 2.2 s at 8 partitions (guide §2.2 "fewer, larger reduce
+    partitions" — AQE cannot coalesce stateful-stream exchanges, so the
+    sizing must happen here).
+
+    Rule: ceil(source_bytes / 32 MB), floor 8, capped at the session's
+    defaultParallelism — i.e. small bounded replays get few stores, and
+    above ~cores x 32 MB of source this returns the core count: exactly
+    today's default, so cluster-scale behavior is unchanged. Callers
+    size real deployments explicitly via ``state_partitions=`` (the
+    count is pinned at checkpoint creation and must be chosen for PEAK
+    state volume, which no source-size heuristic can know). Returns
+    None (leave the session conf alone) when the source size cannot be
+    statted."""
+    if override is not None:
+        return max(1, int(override))
+    import os
+
+    try:
+        if os.path.isdir(parquet_path):
+            total = 0
+            for root, _dirs, files in os.walk(parquet_path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+        else:
+            total = os.path.getsize(parquet_path)
+    except OSError:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    return min(max(8, -(-total // (32 * 1024 * 1024))), max(par, 8))
+
+
+@contextlib.contextmanager
+def _pinned_shuffle_partitions(spark: SparkSession, n: "int | None"):
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a stream
+    drain (micro-batches plan against the live session conf), restoring
+    the caller's value after. No-op when ``n`` is None."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tumbling_counts(
@@ -265,6 +329,7 @@ def run_stream_to_table(
     output_mode: str = "complete",
     normalize_ts: bool = False,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Replay a static parquet file through readStream, apply ``transform``
     (DataFrame -> DataFrame), drain synchronously into an in-memory table,
@@ -313,18 +378,20 @@ def run_stream_to_table(
         stream = ensure_ts_nanos(stream, long_factor=lf)
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    parts = _stream_state_partitions(spark, parquet_path, state_partitions)
+    with _pinned_shuffle_partitions(spark, parts):
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(name)
 
 
@@ -336,6 +403,7 @@ def run_stream_polling(
     output_mode: str = "update",
     max_files_per_trigger: int | None = None,
     timeout_s: float = 120.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain variant for stateful transforms carrying
     ``ProcessingTimeTimeout``: with processing-time timers in play the
@@ -357,27 +425,29 @@ def run_stream_polling(
     stream = reader.parquet(parquet_path)
     out = transform(stream)
     name = f"stream_poll_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        deadline = _time.time() + timeout_s
-        while not done(spark.table(name)):
-            if not q.isActive:
-                # a dead query can never satisfy done() — surface its
-                # real failure now instead of a blind TimeoutError
-                err = q.exception()
-                if err is not None:
-                    raise err
-                raise RuntimeError("streaming query terminated before the sink condition was met")
-            if _time.time() > deadline:
-                raise TimeoutError(f"sink condition not met in {timeout_s}s")
-            _time.sleep(0.5)
-    finally:
-        q.stop()
+    parts = _stream_state_partitions(spark, parquet_path, state_partitions)
+    with _pinned_shuffle_partitions(spark, parts):
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            deadline = _time.time() + timeout_s
+            while not done(spark.table(name)):
+                if not q.isActive:
+                    # a dead query can never satisfy done() — surface its
+                    # real failure now instead of a blind TimeoutError
+                    err = q.exception()
+                    if err is not None:
+                        raise err
+                    raise RuntimeError("streaming query terminated before the sink condition was met")
+                if _time.time() > deadline:
+                    raise TimeoutError(f"sink condition not met in {timeout_s}s")
+                _time.sleep(0.5)
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -441,6 +511,7 @@ def run_stream_checkpointed(
     transform,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> "list":
     """One availableNow pass over whatever files are in ``parquet_dir``
     RIGHT NOW, carrying aggregation state across CALLS through the
@@ -471,16 +542,21 @@ def run_stream_checkpointed(
         snapshot["rows"] = batch_df.collect()
         snapshot["batch_id"] = batch_id
 
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    # the partition count only binds on the checkpoint's FIRST commit
+    # (stateful queries resume with the checkpoint's own count); the
+    # derivation is still applied so fresh checkpoints size sensibly
+    parts = _stream_state_partitions(spark, parquet_dir, state_partitions)
+    with _pinned_shuffle_partitions(spark, parts):
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     return snapshot.get("rows", [])
