@@ -540,3 +540,63 @@ def test_cli_lint_multichar_comments_warns_not_truncates(
     )
     assert rc == 0
     assert "warning:" in err and "--comments (multi-char prefix)" in err
+
+
+# ---------------------------------------------------------------------------
+# r18 optimization round: laws for the two operator-internal changes
+# ---------------------------------------------------------------------------
+
+
+def test_stream_state_partitions_sizing_rule(spark, tmp_path):
+    """State-partition derivation: floor 8 on small bounded replays,
+    capped at defaultParallelism for big sources (cluster behavior
+    unchanged), explicit override wins, unstatable source -> None
+    (leave the session conf alone)."""
+    from bun_csv_spark.streaming.windows import _stream_state_partitions
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert _stream_state_partitions(spark, str(small)) == 8
+
+    # sparse file: apparent size is what getsize reports, no disk cost
+    import os
+
+    big = tmp_path / "big.parquet"
+    with open(big, "wb") as f:
+        f.truncate(64 * 1024 * 1024 * 1024)  # 64 GiB -> 2048 raw chunks
+    par = spark.sparkContext.defaultParallelism
+    assert _stream_state_partitions(spark, str(big)) == max(par, 8)
+
+    assert _stream_state_partitions(spark, str(small), override=3) == 3
+    assert _stream_state_partitions(spark, str(tmp_path / "missing")) is None
+
+
+def test_pinned_shuffle_partitions_restores_on_error(spark):
+    """The pin is scoped: the caller's shuffle-partition conf survives
+    both the happy path and an exception inside the drain."""
+    from bun_csv_spark.streaming.windows import _pinned_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _pinned_shuffle_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+    with pytest.raises(RuntimeError):
+        with _pinned_shuffle_partitions(spark, 7):
+            assert spark.conf.get(key) == "7"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
+def test_connected_components_deep_chain(spark):
+    """A 12-node path graph forces many propagation rounds (diameter
+    11) — the law that pins the r18 fused convergence check: the loop
+    must keep iterating until the true fixpoint, and every node lands
+    on the component minimum."""
+    from bun_csv_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    out = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert out == {i: 100 for i in range(100, 112)}
