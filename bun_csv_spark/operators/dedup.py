@@ -504,21 +504,29 @@ def connected_components(
     round). Converges in graph-diameter rounds; near-dup graphs are
     star-like so diameter is small. One shuffle per round, all built-ins.
 
-    r18 (guide §2.4 "remove shuffles outright"): convergence is detected
-    by carrying the previous label THROUGH the propagation round
-    (``__old``) and counting differences on the already-checkpointed
-    result — the old shape re-joined new labels against old labels every
-    round, a full extra join+shuffle whose only output was one count.
-    The symmetric edge list is also hash-partitioned by the probe key
-    ``b`` once, before the loop's checkpoint, so every round's edge side
-    enters its join pre-partitioned (localCheckpoint preserves the
-    partitioning; only the shrinking labels side still moves). Measured
-    at sf0.1 (156k LSH pairs, 8.5k nodes, 9 rounds): 7.5 -> 5.0 s warm,
-    identical labels. A pointer-jumping (path-halving) variant was
-    A/B'd too — it cut rounds 9 -> 6 but its per-round extra checkpoint
-    + self-join cost more than the saved rounds on this low-diameter
-    graph family (5.9 s); rejected with the measurement recorded here.
+    r18 (guide §2.4 "remove shuffles outright"; §1.2 per-round job
+    count): convergence is detected INSIDE the propagation round itself —
+    the previous label rides through as ``__old`` and an ``observe()``
+    metric (sum of changed rows) is collected by the very job that
+    materializes the round's localCheckpoint, so a round is exactly ONE
+    job. The r17 shape re-joined new labels against old labels every
+    round (a full extra join+shuffle whose only output was one count);
+    an intermediate r18 shape counted the checkpointed bytes (no join,
+    but still a second job per round). The symmetric edge list is also
+    hash-partitioned by the probe key ``b`` once, before the loop's
+    checkpoint, so every round's edge side enters its join
+    pre-partitioned (localCheckpoint preserves the partitioning; only
+    the shrinking labels side still moves). Measured at sf0.1 (156k LSH
+    pairs, 8.5k nodes, 9 rounds), warm standalone: 7.5 s (r17 join
+    count) -> 5.0 s (checkpoint count) -> 4.4 s (observe fusion),
+    identical labels at every step. A pointer-jumping (path-halving)
+    variant was A/B'd too — it cut rounds 9 -> 6 but its per-round
+    extra checkpoint + self-join cost more than the saved rounds on
+    this low-diameter graph family (5.9 s); rejected with the
+    measurement recorded here.
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().repartition("b").localCheckpoint()
@@ -531,6 +539,7 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        obs = Observation()
         new_labels = (
             labels.select("node", F.col("label").alias("__old"))
             .join(nbr_min, "node", "left")
@@ -541,9 +550,17 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint()  # eager: runs the round's one job, which
+            # also delivers the observation — obs.get cannot block
         )
-        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        # sum over zero rows is NULL: an empty graph is converged
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("__old")
         if changed == 0:
             break
