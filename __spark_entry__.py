@@ -356,14 +356,26 @@ def q_groupby_concat(spark, sf_dir):
 
 
 def q_agg_ungrouped(spark, sf_dir):
-    """Whole-column aggregates (dataframe.zig:344-464 df_sum/mean/...)."""
+    """Whole-column aggregates (dataframe.zig:344-464 df_sum/mean/...).
+
+    r19 (guide §5 "the driver should do almost no data work" / no
+    single-reducer buffers): the UNGROUPED exact median no longer rides
+    ``F.median`` — a single-group TypedImperativeAggregate whose final
+    merge buffers the whole column's distinct-value map on ONE reducer
+    (an OOM at 100 TB) — but the two-pass distributed histogram
+    selection (operators/aggregates.exact_median_distributed: O(1)
+    task state, <=4096-row driver collects, exact midpoint semantics
+    law-tested bit-equal against F.median). The remaining aggregates
+    keep their one-pass partial-aggregatable plan."""
+    from bun_csv_spark.operators.aggregates import exact_median_distributed
+
     li = _t(spark, sf_dir, "lineitem")
+    median = exact_median_distributed(li, "l_quantity")
     out = TurboFrame(li).aggregate_all(
         {
             "n_rows": ("l_quantity", "count"),
             "sum_qty": ("l_quantity", "sum"),
             "mean_qty": ("l_quantity", "mean"),
-            "median_qty": ("l_quantity", "median"),
             "stddev_qty": ("l_quantity", "stddev"),
             "min_qty": ("l_quantity", "min"),
             "max_qty": ("l_quantity", "max"),
@@ -373,7 +385,7 @@ def q_agg_ungrouped(spark, sf_dir):
         "n_rows",
         F.round("sum_qty", 2).alias("sum_qty"),
         F.round("mean_qty", 4).alias("mean_qty"),
-        F.round("median_qty", 4).alias("median_qty"),
+        F.round(F.lit(median), 4).alias("median_qty"),
         F.round("stddev_qty", 4).alias("stddev_qty"),
         "min_qty",
         "max_qty",
@@ -949,7 +961,11 @@ def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over the LSH candidate pairs."""
     corpus = _neardup_corpus(spark, sf_dir)
     pairs = neardup_pairs_minhash(
-        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5
+        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5,
+        # r19: the other verify gates already spread the CPU-bound
+        # shingle+fold banding (r18 A/B: 3.78 s unspread vs 0.53 s);
+        # this gate had been paying the single-task fold
+        repartition=spark.sparkContext.defaultParallelism,
     )
     out = ngram_jaccard_pairs(corpus, pairs, "doc_id", "text", n=3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -2773,7 +2789,10 @@ def q_ngram_containment(spark, sf_dir):
 
     corpus = _neardup_corpus(spark, sf_dir)
     pairs = neardup_pairs_minhash(
-        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5
+        corpus, "doc_id", "text", n_hashes=8, bands=4, shingle_k=5,
+        # r19: spread the CPU-bound banding like every other verify gate
+        # (r18 A/B: 3.78 s unspread vs 0.53 s single-task fold)
+        repartition=spark.sparkContext.defaultParallelism,
     )
     return ngram_containment_pairs(corpus, pairs, "doc_id", "text", n=3)
 

@@ -126,8 +126,23 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram array (for n-gram Jaccard dedup)."""
-    toks = tokens(col)
+    """Word n-gram array (for n-gram Jaccard dedup).
+
+    PERFORMANCE (r19): this inlines the tokenization INSIDE the per-gram
+    slice lambda, and higher-order-function lambdas re-evaluate outer
+    subtrees per ELEMENT — the gram build is O(tokens²) per row this
+    way. Hot paths should project ``tokens(col)`` as a NAMED column
+    first and call ``word_ngrams_of`` on it (attribute references are
+    O(1) per element); see dedup.ngram_jaccard_pairs."""
+    return word_ngrams_of(tokens(col), n)
+
+
+def word_ngrams_of(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from a token-array Column. Pass an ALREADY-NAMED
+    column (projected as its own field in a preceding select) on hot
+    paths — an inline ``tokens()`` expression here is re-evaluated once
+    per GRAM by the slice lambda (r19 plan read: the split CASE sat
+    inside the lambda body of the committed ngram gates' plans)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     return F.when(cnt >= n,

@@ -52,7 +52,16 @@ def word_ngrams_strict(col: Column | str, n: int) -> Column:
     a whole-text gram for Jaccard's benefit). Repetition statistics need
     the strict form: a 2-token doc has no 3-grams, and pretending it has
     one would count it as 100% duplicated."""
-    toks = tokens(col)
+    return word_ngrams_strict_of(tokens(col), n)
+
+
+def word_ngrams_strict_of(toks: Column, n: int) -> Column:
+    """Strict word n-grams from a token-array Column. Hot paths should
+    pass a NAMED column (projected as its own field first): an inline
+    ``tokens()`` expression is re-evaluated once per GRAM by the slice
+    lambda (higher-order functions run interpreted; outer subtrees in the
+    lambda body are re-evaluated per element — r19, same lesson as
+    dedup._doc_grams)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     return F.when(
@@ -146,11 +155,14 @@ def repetition_table(
     projection boundary keeps each array materialized per row and every
     metric a cheap scan over it."""
     c = F.col(text_col)
-    staged = docs.select(
+    # r19: grams build FROM the staged token array (word_ngrams_strict_of
+    # on the named __t), not from the raw text — inlined, the slice
+    # lambda re-tokenized the doc once per gram (O(tokens²) per row)
+    staged = docs.select(id_col, tokens(c).alias("__t")).select(
         id_col,
-        tokens(c).alias("__t"),
-        word_ngrams_strict(c, 2).alias("__g2"),
-        word_ngrams_strict(c, 3).alias("__g3"),
+        "__t",
+        word_ngrams_strict_of(F.col("__t"), 2).alias("__g2"),
+        word_ngrams_strict_of(F.col("__t"), 3).alias("__g3"),
     )
     raw = staged.select(
         id_col,
@@ -191,9 +203,15 @@ def decontaminate(
 
     Returns (id_col, n_hits bigint, contaminated boolean).
     """
+    # r19: two-step projection — grams from the NAMED token array (an
+    # inlined tokens() re-splits the text once per gram in the lambda)
     grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams_strict(text_col, n))).alias("gram"),
+        F.explode(
+            F.array_distinct(word_ngrams_strict_of(F.col("__toks"), n))
+        ).alias("gram"),
     )
     eval_grams = F.broadcast(grams(eval_docs).select("gram").distinct())
     hits = (
@@ -548,9 +566,13 @@ def decontaminate_surgical(
     ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
 
     eval_grams = F.broadcast(
-        eval_docs.select(
-            F.explode(F.array_distinct(word_ngrams_strict(text_col, n))).alias("gram")
-        ).distinct()
+        eval_docs.select(tokens(text_col).alias("__toks"))
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams_strict_of(F.col("__toks"), n))
+            ).alias("gram")
+        )
+        .distinct()
     )
     hits = corpus_grams.join(eval_grams, "gram", "left_semi")
     covered = hits.select(

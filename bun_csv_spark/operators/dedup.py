@@ -267,14 +267,57 @@ def neardup_pairs_minhash(
     """LSH candidate pairs: docs sharing ANY band of n_hashes/bands
     min-hashes. Returns (id_a, id_b) with id_a < id_b, distinct.
 
-    The self-join is on the band bucket key — Catalyst shuffles both sides
-    by (band, bucket) so comparisons stay within buckets. See
-    ``neardup_pairs_minhash_bucketed`` for the materialized variant that
-    removes even that exchange when the banding table is reused."""
+    r19 shape (guide §2.4 "remove shuffles outright" / §2.3): with the
+    cap in play, pairs are emitted by ONE pass over the banding table —
+    groupBy (band, bucket) collects each bucket's <=``max_bucket`` ids
+    (bounded state: the cap window drops degenerate buckets FIRST, and it
+    shares the same (band, bucket) exchange, so the groupBy adds none)
+    and a per-bucket combination explode replaces the bucket SELF-JOIN.
+    The old join evaluated the whole shingle+minhash banding subtree
+    TWICE (once per side) and broadcast one side — a broadcast of an
+    O(corpus x bands) table that cannot fit at 100 TB (AQE would fall
+    back to shuffling both sides). Local A/B at sf0.1: flat (1.23 vs
+    1.14 s best-of-3); pair set verified identical (156 541 pairs).
+    ``max_bucket=None`` keeps the join shape — without the cap the
+    per-bucket collect would buffer unbounded degenerate buckets, which
+    the streaming window count never does."""
     buckets = _band_buckets(
         df, id_col, text_col, n_hashes, bands, shingle_k, repartition, max_bucket
     )
-    return _bucket_pairs(buckets, buckets, id_col)
+    if max_bucket is None:
+        return _bucket_pairs(buckets, buckets, id_col)
+    return _collected_bucket_pairs(buckets, id_col)
+
+
+def _collected_bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b), id_a < id_b, from a CAPPED banding table by
+    per-bucket combination explode — one aggregation over the same
+    (band, bucket) partitioning the cap window established, no self-join,
+    no second evaluation of the banding subtree. Only safe after a
+    ``max_bucket`` cap: collect_list state is <= cap ids per bucket."""
+    ids = F.array_sort(F.collect_list(id_col))
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__ids") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda b: F.struct(
+                    F.element_at(F.col("__ids"), i + 1).alias("id_a"),
+                    b.alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def neardup_pairs_minhash_bucketed(
@@ -324,9 +367,7 @@ def ngram_jaccard_pairs(
 
     Join the doc n-gram sets onto both sides of the pair list, compute
     |A∩B| / |A∪B| with array built-ins. Returns (id_a, id_b, jaccard)."""
-    grams = df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("grams")
-    )
+    grams = _doc_grams(df, id_col, text_col, n)
     ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
     gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
     # r18: pin the set-intersection stage's parallelism (_spread_for_cpu;
@@ -334,13 +375,40 @@ def ngram_jaccard_pairs(
     joined = _spread_for_cpu(pairs, "id_a", "id_b").join(ga, "id_a").join(
         gb, "id_b"
     )
+    # r19: the union feeds BOTH the CASE condition and its value branch —
+    # inlined, codegen re-evaluates it per reference (conditional branches
+    # are exempt from subexpression elimination; the r18 editdist lesson).
+    # A named non-cheap column referenced twice survives CollapseProject,
+    # so the O(|A|+|B|) set op runs once per pair.
+    sized = joined.withColumn(
+        "__u", F.size(F.array_union("grams_a", "grams_b"))
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    out = joined.select("id_a", "id_b", jac.alias("jaccard"))
+    jac = F.when(
+        F.col("__u") > 0, inter.cast("double") / F.col("__u")
+    ).otherwise(F.lit(0.0))
+    out = sized.select("id_a", "id_b", jac.alias("jaccard"))
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, grams) side table for the pair-verify joins — the token array
+    is projected as a NAMED column before the gram transform (r19): an
+    inline tokens() expression inside the slice lambda is re-evaluated
+    once per GRAM (higher-order functions run interpreted and lambdas
+    re-evaluate outer subtrees per element), making the build O(tokens²)
+    per doc. The two-step projection survives CollapseProject because the
+    token expression is non-cheap and referenced more than once."""
+    from bun_csv_spark.functions.text import tokens, word_ngrams_of
+
+    return df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams_of(F.col("__toks"), n)).alias("grams"),
+    )
 
 
 def ngram_containment_pairs(
@@ -358,21 +426,25 @@ def ngram_containment_pairs(
     Same join shape as ngram_jaccard_pairs (candidates come pre-bounded
     from LSH banding — never all pairs). Returns both directions:
     (id_a, id_b, containment_a_in_b, containment_b_in_a)."""
-    grams = df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("grams")
-    )
+    grams = _doc_grams(df, id_col, text_col, n)
     ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a")
     gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b")
     # r18: pin the set-intersection stage's parallelism (_spread_for_cpu)
     joined = _spread_for_cpu(pairs, "id_a", "id_b").join(ga, "id_a").join(
         gb, "id_b"
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    # r19: ONE intersection per pair — inlined, the intersect sat inside
+    # BOTH direction's CASE branches and evaluated twice per row (plan
+    # read: plans/r19/ngram_containment_before.txt node 59). The named
+    # non-cheap column referenced twice survives CollapseProject.
+    sized = joined.withColumn(
+        "__i", F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    )
     sa = F.size("grams_a")
     sb = F.size("grams_b")
-    c_ab = F.when(sa > 0, inter / sa).otherwise(F.lit(0.0))
-    c_ba = F.when(sb > 0, inter / sb).otherwise(F.lit(0.0))
-    return joined.select(
+    c_ab = F.when(sa > 0, F.col("__i") / sa).otherwise(F.lit(0.0))
+    c_ba = F.when(sb > 0, F.col("__i") / sb).otherwise(F.lit(0.0))
+    return sized.select(
         "id_a",
         "id_b",
         F.round(c_ab, 6).alias("containment_a_in_b"),
@@ -564,6 +636,21 @@ def connected_components(
         labels = new_labels.drop("__old")
         if changed == 0:
             break
+    else:
+        # the fused check makes non-convergence detection free: falling
+        # through max_iter rounds with changed != 0 means the graph's
+        # diameter exceeds max_iter and the labels are NOT canonical
+        # component representatives — surface it instead of returning
+        # partial labels silently
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            f"fixpoint ({changed} labels still changing last round) — "
+            "labels are partial; raise max_iter for high-diameter graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -887,8 +974,13 @@ def duplicate_spans(
     (1-based, inclusive) span bounds."""
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), r"\s+")
+    # r19: the token array is a NAMED column — inlined, the split sat
+    # inside the slice lambda and re-tokenized the doc once per GRAM
+    # (O(tokens²) per row; same lesson as _doc_grams)
+    toks = F.col("__toks")
     grams = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.when(
@@ -949,7 +1041,12 @@ def remove_duplicate_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = F.split(F.col(text_col), r"\s+")
+    # r19: name the token array and the kept-filter result — inlined,
+    # ``kept`` appeared in BOTH output expressions (clean + removed) and
+    # each occurrence re-ran the full filter/transform per row, itself
+    # re-splitting the text (non-cheap aliases referenced >1x survive
+    # CollapseProject, so each now evaluates once)
+    toks = F.col("__toks")
     covered = lambda i: F.exists(  # noqa: E731
         F.col("__spans"),
         lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
@@ -958,12 +1055,18 @@ def remove_duplicate_spans(
         F.transform(toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))),
         lambda s: ~covered(s["i"]),
     )
-    out = df.join(per_doc, id_col, "left")
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn("__toks", F.split(F.col(text_col), r"\s+"))
+        # span-free docs skip the filter entirely (the old lazy-branch
+        # behavior): the CASE keeps the per-row work to touched docs
+        .withColumn("__kept", F.when(F.col("__spans").isNotNull(), kept))
+    )
     clean = F.when(
         F.col("__spans").isNull(), F.col(text_col)
-    ).otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+    ).otherwise(F.array_join(F.transform("__kept", lambda s: s["t"]), " "))
     removed = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
-        F.size(toks) - F.size(kept)
+        F.size(toks) - F.size("__kept")
     )
     return out.select(
         id_col,

@@ -145,19 +145,34 @@ def ensure_parallelism(
     text-feature pipelines (0.77 vs 0.94 s). Needs many more distinct
     values than partitions to spread evenly — pass a doc/row id, never a
     low-cardinality attribute."""
-    try:
-        files = df.inputFiles()
-        total = sum(
-            os.path.getsize(f.removeprefix("file:")) for f in files if f.startswith("file:")
-        )
-    except Exception:  # noqa: BLE001 — non-file sources: leave the plan alone
+    total = _local_input_bytes(df)
+    if total is None:
         return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if files and total < small_bytes and parallelism > 4:
+    if total < small_bytes and parallelism > 4:
         if key is not None:
             return df.repartition(parallelism, F.col(key))
         return df.repartition(parallelism)
     return df
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Sum the on-disk bytes of ``df``'s input files, or ``None`` when the
+    size cannot be known from the driver.
+
+    Sizing is only possible when EVERY path is a local ``file:`` URI: for a
+    remote scheme (s3://, hdfs://, ...) ``getsize`` cannot see the bytes,
+    and silently skipping those paths would leave the total at 0 — "small"
+    — and let ``ensure_parallelism`` full-shuffle an arbitrarily large
+    remote scan. Unknown scheme, no input files, or any stat error ⇒
+    ``None`` ⇒ the caller leaves the plan alone."""
+    try:
+        files = df.inputFiles()
+        if not files or not all(f.startswith("file:") for f in files):
+            return None
+        return sum(os.path.getsize(f.removeprefix("file:")) for f in files)
+    except Exception:  # noqa: BLE001 — non-file sources: leave the plan alone
+        return None
 
 
 def hash_split(

@@ -16,8 +16,16 @@ from __future__ import annotations
 import contextlib
 import uuid
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# `spark.sql.shuffle.partitions` is session-global: two overlapping drains
+# pinning different counts would observe each other's value and a racy
+# interleave could restore the wrong one. The lock serializes pinned drains
+# on this process — correct by construction rather than by harness habit.
+_PIN_LOCK = threading.Lock()
 
 
 def _stream_state_partitions(
@@ -56,8 +64,13 @@ def _stream_state_partitions(
     try:
         if os.path.isdir(parquet_path):
             total = 0
-            for root, _dirs, files in os.walk(parquet_path):
+            for root, dirs, files in os.walk(parquet_path):
+                # writer artifacts (_SUCCESS, .crc, _spark_metadata) are not
+                # stream data — don't let them inflate the size estimate
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
                     total += os.path.getsize(os.path.join(root, f))
         else:
             total = os.path.getsize(parquet_path)
@@ -75,12 +88,13 @@ def _pinned_shuffle_partitions(spark: SparkSession, n: "int | None"):
     if n is None:
         yield
         return
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    with _PIN_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tumbling_counts(

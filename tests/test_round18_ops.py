@@ -547,7 +547,7 @@ def test_cli_lint_multichar_comments_warns_not_truncates(
 # ---------------------------------------------------------------------------
 
 
-def test_stream_state_partitions_sizing_rule(spark, tmp_path):
+def test_stream_state_partitions_sizing_rule(spark, tmp_path, monkeypatch):
     """State-partition derivation: floor 8 on small bounded replays,
     capped at defaultParallelism for big sources (cluster behavior
     unchanged), explicit override wins, unstatable source -> None
@@ -558,12 +558,19 @@ def test_stream_state_partitions_sizing_rule(spark, tmp_path):
     small.write_bytes(b"x" * 1024)
     assert _stream_state_partitions(spark, str(small)) == 8
 
-    # sparse file: apparent size is what getsize reports, no disk cost
+    # a huge source caps at defaultParallelism: fake the size probe
+    # (r19: monkeypatched getsize, not a real 64 GiB sparse file — a
+    # filesystem without holes would actually allocate the bytes)
     import os
 
     big = tmp_path / "big.parquet"
-    with open(big, "wb") as f:
-        f.truncate(64 * 1024 * 1024 * 1024)  # 64 GiB -> 2048 raw chunks
+    big.write_bytes(b"x")
+    real_getsize = os.path.getsize
+    monkeypatch.setattr(
+        os.path,
+        "getsize",
+        lambda p: 64 * 1024**3 if str(p) == str(big) else real_getsize(p),
+    )
     par = spark.sparkContext.defaultParallelism
     assert _stream_state_partitions(spark, str(big)) == max(par, 8)
 
