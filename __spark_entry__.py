@@ -1271,18 +1271,23 @@ def q_incremental_neardup(spark, sf_dir):
     carries exactly the banding history, so the corpus is never
     re-shingled. Each global pair surfaces exactly once, on
     max(day_a, day_b), which the day column pins."""
-    from bun_csv_spark.operators.dedup import incremental_neardup_update
+    from bun_csv_spark.operators.dedup import incremental_neardup_fold_days
 
     corpus = _neardup_corpus(spark, sf_dir)
     store = _scratch_dir("band_store", sf_dir)
-    outs = []
-    for d in range(3):
-        pairs = incremental_neardup_update(
-            spark, corpus.filter(F.col("doc_id") % 3 == d), store, d,
-            n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
-            repartition=spark.sparkContext.defaultParallelism,
-        )
-        outs.append(pairs.withColumn("day", F.lit(d).cast("long")))
+    # r19 (guide §2.6): the three days' band+commit jobs are independent
+    # (each day's pair derivation scopes history via before_day at
+    # listing time, not via commit order), so they run overlapped from a
+    # thread pool instead of serializing three write jobs
+    days = incremental_neardup_fold_days(
+        spark, [(d, corpus.filter(F.col("doc_id") % 3 == d)) for d in range(3)],
+        store, n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
+    outs = [
+        pairs.withColumn("day", F.lit(d).cast("long"))
+        for d, pairs in enumerate(days)
+    ]
     out = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return out.select("day", "id_a", "id_b")
 
@@ -1299,19 +1304,21 @@ def q_incremental_neardup_narrow(spark, sf_dir):
     digest), so this gate reuses the md5 twin's DuckDB oracle VERBATIM
     — the driver hash-match IS the equality law, oracle-verified
     (also pinned small in tests/test_round16_ops.py)."""
-    from bun_csv_spark.operators.dedup import incremental_neardup_update
+    from bun_csv_spark.operators.dedup import incremental_neardup_fold_days
 
     corpus = _neardup_corpus(spark, sf_dir)
     store = _scratch_dir("band_store_xx", sf_dir)
-    outs = []
-    for d in range(3):
-        pairs = incremental_neardup_update(
-            spark, corpus.filter(F.col("doc_id") % 3 == d), store, d,
-            n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
-            repartition=spark.sparkContext.defaultParallelism,
-            bucket_encoding="xxhash64",
-        )
-        outs.append(pairs.withColumn("day", F.lit(d).cast("long")))
+    # r19: overlapped commit jobs, same rationale as q_incremental_neardup
+    days = incremental_neardup_fold_days(
+        spark, [(d, corpus.filter(F.col("doc_id") % 3 == d)) for d in range(3)],
+        store, n_hashes=8, bands=4, shingle_k=5, max_bucket=64,
+        repartition=spark.sparkContext.defaultParallelism,
+        bucket_encoding="xxhash64",
+    )
+    outs = [
+        pairs.withColumn("day", F.lit(d).cast("long"))
+        for d, pairs in enumerate(days)
+    ]
     out = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return out.select("day", "id_a", "id_b")
 

@@ -117,6 +117,8 @@ def _child_main() -> None:
         "queries": timings,
         "calibrate_sec": vec["scan"],
         "calibrate_vector": vec,
+        # after the vector so the scan probe keeps its series position
+        "job_floor_sec": _job_floor(spark),
         "csv_parse_mb_per_sec": csv_parse_throughput(spark, sf_dir),
     }))
 
@@ -173,6 +175,9 @@ def _fresh_runs(n: int) -> "dict | None":
         "family_normalized_totals": _family_totals(queries, vector),
         "csv_parse_mb_per_sec": round(
             max(c.get("csv_parse_mb_per_sec", 0.0) for c in per_child), 1
+        ),
+        "job_floor_sec": (lambda v: round(min(v), 3) if v else None)(
+            [c["job_floor_sec"] for c in per_child if "job_floor_sec" in c]
         ),
         "runs": len(per_child),
     }
@@ -233,6 +238,11 @@ def main() -> None:
     # both raw sides stay in the record for attribution — SCALE.md r9)
     vec_after = _calibrate_vector(spark)
     cal_after = vec_after["scan"]
+    # the per-job scheduling floor (r19): headline queries at sf0.1 sit
+    # near this floor, which is why low-core scaling ratios read ≈ 1 —
+    # recorded so the driver's ratio block is interpretable (runs after
+    # the vector, keeping every probe's historical process position)
+    job_floor = _job_floor(spark)
     cal = round((cal_before + cal_after) / 2, 3)
     # the r18 probe vector: before/after means per family, same
     # two-sided protocol as the scalar calibrate
@@ -273,6 +283,10 @@ def main() -> None:
                 # swinging 27% within one process, not the queries
                 "calibrate_before_sec": cal_before,
                 "calibrate_after_sec": cal_after,
+                # per-job overhead floor: a query wall near this value
+                # cannot show core-count scaling at this SF (see
+                # _job_floor; additive — no timed region changed)
+                "job_floor_sec": job_floor,
                 "queries_normalized": {
                     k: round(v / cal, 2) for k, v in timings.items()
                 },
@@ -334,6 +348,22 @@ def _calibrate(spark) -> float:
             .groupBy("k")
             .agg(F.sum("v"), F.avg("v"), F.max("v"))
         ),
+    )
+
+
+def _job_floor(spark) -> float:
+    """Per-job scheduling/launch floor: warmup + best-of-3 of a
+    noop-forced 32-partition job over 32 rows — all scheduling, no
+    compute. Recorded so the driver's low-core-vs-high-core scaling
+    ratios are interpretable: at sf0.1 most headline queries run
+    0.15-1.1 s against this ~0.2-0.6 s floor, so a ratio ≈ 1 means
+    "at the job-overhead floor", NOT "serial plan" (r18 verdict's
+    scaling-block note). Additive field; no timed query changes."""
+    from pyspark.sql import functions as F
+
+    return _probe(
+        spark,
+        lambda: spark.range(0, 32, 1, 32).select(F.col("id")),
     )
 
 

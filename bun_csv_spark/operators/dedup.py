@@ -911,11 +911,20 @@ def editdist_verify(
     """Exact edit-distance verification of candidate pairs — the last
     stage of a near-dup pipeline: banding proposes, Levenshtein disposes.
 
-    Built-in ``F.levenshtein`` (JVM, O(len_a·len_b) per pair) runs ONLY
-    on the LSH-pruned candidates, never all-pairs — the cost profile that
-    keeps exact verification affordable at corpus scale. Returns
-    (id_a, id_b, lev, sim) where sim = 1 - lev/max(len_a, len_b),
-    rounded 6dp for engine-portable comparison."""
+    Exact distance on LSH-pruned candidates only, never all-pairs — the
+    cost profile that keeps exact verification affordable at corpus
+    scale. r19: the kernel is the batched bit-parallel Myers DP
+    (functions/editdist.py) behind an Arrow-batched pandas UDF — the
+    built-in ``F.levenshtein`` walks the full O(m·n) DP matrix per pair
+    (~1.4e10 cells at the gate's sf0.1 workload, 6.7 s on 32 cores)
+    where Myers does O(n·⌈m/64⌉) word-ops vectorized across the batch;
+    same exact distances (law-tested against F.levenshtein incl.
+    unicode/boundary cases, and the DuckDB oracle re-verified at
+    sf0.01+sf0.1). Returns (id_a, id_b, lev, sim) where
+    sim = 1 - lev/max(len_a, len_b), rounded 6dp for engine-portable
+    comparison."""
+    from bun_csv_spark.functions.editdist import levenshtein_udf
+
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
     )
@@ -929,10 +938,9 @@ def editdist_verify(
         b, "id_b"
     )
     longest = F.greatest(F.length("__ta"), F.length("__tb"))
-    # evaluate levenshtein ONCE via a named column: inlined into the CASE
-    # branch it is re-evaluated per row (codegen subexpression elimination
-    # does not hoist conditional branches) — measured 28.7 -> 13.4 s
-    out = joined.withColumn("__lev", F.levenshtein("__ta", "__tb"))
+    # named column (r18): the CASE branch below references it without
+    # re-evaluating; the UDF lands in one ArrowEvalPython node
+    out = joined.withColumn("__lev", levenshtein_udf()("__ta", "__tb"))
     sim = F.when(
         longest > 0, 1.0 - F.col("__lev") / longest
     ).otherwise(F.lit(1.0))
@@ -1301,21 +1309,65 @@ def incremental_neardup_update(
     if bucket_encoding != "md5":
         params["bucket_encoding"] = bucket_encoding
     _check_store_params(spark, store_dir, params)
-    # Commit FIRST, then derive the pairs from the committed bytes: the
-    # shingle+minhash banding is the fold's expensive map work, and the
-    # lazy pair plan references today's rows four ways (cap window,
-    # join a-side, join b-side, plus whatever the caller unions later).
-    # Writing once and re-reading the parquet evaluates the banding
-    # exactly once per fold — and the emitted pairs are guaranteed to
-    # describe exactly what the store now contains (the twin,
-    # incremental_dedup_update, commits first for the same reason).
+    committed = _commit_day_bands(
+        spark, day_df, store_dir, day, id_col, text_col,
+        n_hashes, bands, shingle_k, repartition, bucket_encoding,
+    )
+    return _day_pairs(
+        spark, committed, store_dir, day, id_col, max_bucket, bloom_bits
+    )
+
+
+def _commit_day_bands(
+    spark,
+    day_df: DataFrame,
+    store_dir: str,
+    day: int,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    repartition: "int | None",
+    bucket_encoding: str,
+) -> DataFrame:
+    """Band today's docs and commit them as the idempotent ``day={day}``
+    partition, returning the committed read-back. Commit FIRST, then
+    derive the pairs from the committed bytes: the shingle+minhash
+    banding is the fold's expensive map work, and the lazy pair plan
+    references today's rows four ways (cap window, join a-side, join
+    b-side, plus whatever the caller unions later). Writing once and
+    re-reading the parquet evaluates the banding exactly once per fold —
+    and the emitted pairs are guaranteed to describe exactly what the
+    store now contains (the twin, incremental_dedup_update, commits
+    first for the same reason). Depends only on its own day's input —
+    never on other days' commits — which is what lets
+    ``incremental_neardup_fold_days`` run commits concurrently."""
     today = _band_buckets(
         day_df, id_col, text_col, n_hashes, bands, shingle_k, repartition,
         None, bucket_encoding=bucket_encoding,
     )
     out_dir = f"{store_dir.rstrip('/')}/day={int(day)}"
     today.select(id_col, "band", "bucket").write.mode("overwrite").parquet(out_dir)
-    committed = spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def _day_pairs(
+    spark,
+    committed: DataFrame,
+    store_dir: str,
+    day: int,
+    id_col: str,
+    max_bucket: "int | None",
+    bloom_bits: "int | None",
+) -> DataFrame:
+    """The fold's candidate-pair derivation against strictly-earlier
+    committed history. The ``before_day`` filter — not commit order — is
+    what scopes history: partitions of day >= ``day`` already present in
+    the store (re-runs, or the concurrent commits of
+    ``incremental_neardup_fold_days``) are excluded at listing time, so
+    the emitted pairs are identical however the commits were ordered
+    (the store-visibility law, pinned in tests/test_round19_ops.py)."""
     hist = load_fingerprint_store(spark, store_dir, before_day=int(day))
     tagged = committed.withColumn("__today", F.lit(True))
     if hist is not None:
@@ -1360,3 +1412,63 @@ def incremental_neardup_update(
         )
         .distinct()
     )
+
+
+def incremental_neardup_fold_days(
+    spark,
+    day_dfs: "list[tuple[int, DataFrame]]",
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket: int | None = 64,
+    repartition: int | None = None,
+    bloom_bits: "int | None" = None,
+    bucket_encoding: str = "md5",
+    max_commit_jobs: int = 3,
+) -> "list[DataFrame]":
+    """Fold SEVERAL days into the band store with the commit jobs
+    OVERLAPPED (r19, guide §2.6 "overlap independent jobs"): each day's
+    band+commit depends only on its own input — never on other days'
+    partitions — so the expensive shingle+minhash write jobs run from a
+    small thread pool and the tail of one day's write back-fills cores
+    with the next day's map work. Sequential ``incremental_neardup_update``
+    calls serialize those writes for no reason.
+
+    Correctness does NOT rest on commit order: each day's pair derivation
+    lists the store AFTER every commit has finished, and
+    ``load_fingerprint_store(before_day=d)`` excludes partitions of
+    day >= d at listing time, so day d joins exactly the history the
+    sequential fold saw — future-day partitions being present is already
+    the re-run scenario the store's idempotent day-overwrite design
+    handles. The law (fold_days pair sets == sequential update pair sets,
+    day by day) is pinned in tests/test_round19_ops.py.
+
+    Returns one pair DataFrame per input day, in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    params = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k}
+    if bucket_encoding != "md5":
+        params["bucket_encoding"] = bucket_encoding
+    _check_store_params(spark, store_dir, params)
+
+    def commit(item):
+        day, df = item
+        spark.sparkContext.setJobDescription(
+            f"incremental_neardup fold: commit day={day}"
+        )
+        return _commit_day_bands(
+            spark, df, store_dir, day, id_col, text_col,
+            n_hashes, bands, shingle_k, repartition, bucket_encoding,
+        )
+
+    # 2-3 jobs in flight is plenty (guide §2.6): enough to fill each
+    # write's task tail, not so many that they fight for executors
+    with ThreadPoolExecutor(max_workers=max(1, max_commit_jobs)) as pool:
+        committed = list(pool.map(commit, day_dfs))
+    return [
+        _day_pairs(spark, c, store_dir, day, id_col, max_bucket, bloom_bits)
+        for (day, _), c in zip(day_dfs, committed)
+    ]

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 # pinning different counts would observe each other's value and a racy
 # interleave could restore the wrong one. The lock serializes pinned drains
 # on this process — correct by construction rather than by harness habit.
-_PIN_LOCK = threading.Lock()
+# RLock: the provider pin nests inside the partition pin on one thread.
+_PIN_LOCK = threading.RLock()
 
 
 def _stream_state_partitions(
@@ -95,6 +96,39 @@ def _pinned_shuffle_partitions(spark: SparkSession, n: "int | None"):
             yield
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@contextlib.contextmanager
+def _pinned_state_store_provider(spark: SparkSession, provider: "str | None"):
+    """Scoped pin of ``spark.sql.streaming.stateStore.providerClass`` for
+    one drain (the conf is read at query start and frozen into the
+    checkpoint). No-op when ``provider`` is None — the r19 A/B measured
+    RocksDB on the bounded sf0.1 replays at PARITY on the join/watermark
+    gates (4.01 -> 3.91 / 3.74 -> 3.57 s) and WORSE on the small-state
+    ones (session 1.30 -> 1.53, hll 1.90 -> 3.36 s: native store setup +
+    SST churn dwarfs the tiny per-batch deltas), so the HDFS-backed
+    default stands; deployments with large live-key state opt in with
+    ``state_store_provider="rocksdb"`` (alias) or a full provider class
+    name, where changed-key-only snapshots pay off."""
+    if provider is None:
+        yield
+        return
+    if provider == "rocksdb":
+        provider = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    with _PIN_LOCK:
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, provider)
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def tumbling_counts(
@@ -344,6 +378,7 @@ def run_stream_to_table(
     normalize_ts: bool = False,
     max_files_per_trigger: int | None = None,
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Replay a static parquet file through readStream, apply ``transform``
     (DataFrame -> DataFrame), drain synchronously into an in-memory table,
@@ -393,7 +428,8 @@ def run_stream_to_table(
     out = transform(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     parts = _stream_state_partitions(spark, parquet_path, state_partitions)
-    with _pinned_shuffle_partitions(spark, parts):
+    with _pinned_shuffle_partitions(spark, parts), \
+            _pinned_state_store_provider(spark, state_store_provider):
         q = (
             out.writeStream.outputMode(output_mode)
             .format("memory")
@@ -418,6 +454,7 @@ def run_stream_polling(
     max_files_per_trigger: int | None = None,
     timeout_s: float = 120.0,
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Drain variant for stateful transforms carrying
     ``ProcessingTimeTimeout``: with processing-time timers in play the
@@ -440,7 +477,8 @@ def run_stream_polling(
     out = transform(stream)
     name = f"stream_poll_{_uuid.uuid4().hex[:8]}"
     parts = _stream_state_partitions(spark, parquet_path, state_partitions)
-    with _pinned_shuffle_partitions(spark, parts):
+    with _pinned_shuffle_partitions(spark, parts), \
+            _pinned_state_store_provider(spark, state_store_provider):
         q = (
             out.writeStream.outputMode(output_mode)
             .format("memory")
@@ -526,6 +564,7 @@ def run_stream_checkpointed(
     checkpoint_dir: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> "list":
     """One availableNow pass over whatever files are in ``parquet_dir``
     RIGHT NOW, carrying aggregation state across CALLS through the
@@ -560,7 +599,8 @@ def run_stream_checkpointed(
     # (stateful queries resume with the checkpoint's own count); the
     # derivation is still applied so fresh checkpoints size sensibly
     parts = _stream_state_partitions(spark, parquet_dir, state_partitions)
-    with _pinned_shuffle_partitions(spark, parts):
+    with _pinned_shuffle_partitions(spark, parts), \
+            _pinned_state_store_provider(spark, state_store_provider):
         q = (
             out.writeStream.outputMode(output_mode)
             .foreachBatch(sink)

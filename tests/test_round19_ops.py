@@ -15,6 +15,7 @@ fixes that accompany this round's optimizations.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bun_csv_spark.operators.util import _local_input_bytes, ensure_parallelism
 
@@ -154,6 +155,127 @@ def test_exact_median_distributed_infinities(spark):
         got = exact_median_distributed(df, "v", buckets=16)
         want = df.agg(F.median("v")).first()[0]
         assert got == want, (got, want, vals)
+
+
+# --- incremental_neardup fold pipelining (VERDICT r18 #5) -----------------
+
+
+def test_fold_days_matches_sequential_updates(spark, tmp_path):
+    """Store-visibility law: the overlapped-commit fold emits, day by
+    day, EXACTLY the pair sets of sequential incremental_neardup_update
+    calls — before_day scoping (not commit order) defines each day's
+    history, so future-day partitions present at listing time change
+    nothing."""
+    from bun_csv_spark.operators.dedup import (
+        incremental_neardup_fold_days,
+        incremental_neardup_update,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox jumps over the lazy dog variant {i % 4} "
+                f"pad {'x' * (i % 3)}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(n_hashes=8, bands=4, shingle_k=5, max_bucket=64)
+
+    seq_store = str(tmp_path / "seq")
+    seq = [
+        sorted(
+            map(
+                tuple,
+                incremental_neardup_update(
+                    spark, docs.filter(F.col("doc_id") % 3 == d),
+                    seq_store, d, **kw,
+                ).collect(),
+            )
+        )
+        for d in range(3)
+    ]
+
+    fold_store = str(tmp_path / "fold")
+    fold = [
+        sorted(map(tuple, p.collect()))
+        for p in incremental_neardup_fold_days(
+            spark,
+            [(d, docs.filter(F.col("doc_id") % 3 == d)) for d in range(3)],
+            fold_store,
+            **kw,
+        )
+    ]
+    assert fold == seq
+    # at least one cross-day pair, or the law is vacuous
+    assert any(len(day) > 0 for day in seq[1:])
+
+
+def test_day_pairs_ignore_future_partitions(spark, tmp_path):
+    """Deriving day 1's pairs AFTER day 2 is already committed (the
+    re-run / concurrent-commit scenario) must not leak day-2 history in."""
+    from bun_csv_spark.operators.dedup import incremental_neardup_update
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix text body number {i % 2}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    kw = dict(n_hashes=8, bands=4, shingle_k=5, max_bucket=64)
+    fresh, replay = str(tmp_path / "a"), str(tmp_path / "b")
+    want = []
+    for d in range(3):
+        day_df = docs.filter(F.col("doc_id") % 3 == d)
+        want.append(
+            sorted(map(tuple, incremental_neardup_update(
+                spark, day_df, fresh, d, **kw).collect()))
+        )
+        incremental_neardup_update(spark, day_df, replay, d, **kw)
+    # replay day 1 with days 0..2 all present: identical output
+    got = sorted(map(tuple, incremental_neardup_update(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), replay, 1, **kw
+    ).collect()))
+    assert got == want[1]
+
+
+# --- batched Myers Levenshtein kernel (VERDICT r18 #7) --------------------
+
+
+def test_myers_matches_builtin_levenshtein(spark):
+    """The bit-parallel kernel must equal F.levenshtein exactly — unicode
+    codepoints, empties, NULLs, 64-bit word boundaries, long strings."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("a" * 64, "a" * 64), ("a" * 65, "b" * 64),
+        ("a" * 128, "a" * 127 + "b"), ("ü" * 70 + "x", "ü" * 70 + "y"),
+        ("日本語テキスト", "日本語のテキスト"), ("🎉🎊x", "🎉y🎊"),
+        (None, "abc"), ("abc", None), (None, None),
+    ]
+    alphabet = "abcdefgh ü日🎉"
+    for _ in range(120):
+        la, lb = rng.randint(0, 300), rng.randint(0, 300)
+        rows.append(
+            ("".join(rng.choice(alphabet) for _ in range(la)),
+             "".join(rng.choice(alphabet) for _ in range(lb)))
+        )
+    df = spark.createDataFrame(rows, "a string, b string")
+    from bun_csv_spark.functions.editdist import levenshtein_udf
+
+    got = df.select(
+        F.levenshtein("a", "b").cast("long").alias("want"),
+        levenshtein_udf()("a", "b").alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
+
+
+def test_batched_levenshtein_numpy_edges():
+    from bun_csv_spark.functions.editdist import batched_levenshtein
+
+    assert batched_levenshtein([], []).tolist() == []
+    assert batched_levenshtein(["x"], [""]).tolist() == [1]
+    assert batched_levenshtein(["ab", "abc"], ["ab", "abc"]).tolist() == [0, 0]
 
 
 # --- connected_components non-convergence warning ------------------------
